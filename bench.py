@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Queries execute to a noop sink so timings measure full plan execution
+(scan → shuffle → agg) without driver-collect transfer noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans  # noqa: E402
+from hybrid_nutrition_data_pipeline_batch_streaming_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Representative spread: joins/aggs (TPC-H-ish core), windows, JSON, text,
+#: dedup (exact + MinHash LSH), similarity (exact + LSH), the e2e pipeline
+#: with pandas-UDF enrichment, and a real Structured Streaming window query.
+HEADLINE = [
+    "flagship_revenue",
+    "agg_macros",
+    "join_inner",
+    "join_broadcast",
+    "topk_sodium",
+    "join_asof",
+    "window_running_sum",
+    "dedup_last_write",
+    "json_flatten",
+    "wordcloud_tokens",
+    "dedup_exact_text",
+    "dedup_minhash",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "pipeline_nutrition_e2e",
+    "stream_tumbling_live",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="hybrid-nutrition-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM/codegen path so the first measured query isn't paying
+    # one-time initialization.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = plans.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

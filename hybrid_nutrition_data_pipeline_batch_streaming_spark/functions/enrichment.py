@@ -1,0 +1,106 @@
+"""Enrichment UDFs: the reference's external-call compute kernels, batched.
+
+The reference enriches per record, serially — 4 sequential OpenAI prompts
+with 2 s sleeps (`dagster_project/pipeline.py:59-74`) and one REST call per
+Kafka message (`consumer/consume_items.py:66-80`). Here both are Arrow-batched
+pandas UDFs: the executor processes whole column batches, connection reuse
+and request batching live inside the UDF, and throughput scales with
+partitions instead of being serial-bounded (SURVEY.md §4.1 "batched I/O").
+
+Tests and the oracle use the deterministic stand-ins below (pure functions of
+their inputs — FIXTURES.md B4); production callers inject real HTTP/LLM
+clients with the same signatures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+def _fmt_cal(cal: pd.Series) -> pd.Series:
+    # One-decimal fixed format, matching DECIMAL(10,1)::VARCHAR in SQL.
+    return cal.map(lambda c: f"{c:.1f}")
+
+
+# --- U1: the four LLM text columns (`pipeline.py:59-74`), deterministic ----
+
+
+@pandas_udf(StringType())
+def gen_description(item_name: pd.Series, calories: pd.Series) -> pd.Series:
+    return (
+        "Description: " + item_name + " has " + _fmt_cal(calories) + " kcal per serving."
+    )
+
+
+@pandas_udf(StringType())
+def gen_best_pairings(item_name: pd.Series) -> pd.Series:
+    return "Best pairings for " + item_name + ": water."
+
+
+@pandas_udf(StringType())
+def gen_health_impact(item_name: pd.Series, calories: pd.Series) -> pd.Series:
+    density = pd.Series(
+        ["dense" if c > 300 else "light" for c in calories], index=calories.index
+    )
+    return "Health impact of " + item_name + ": " + density + "."
+
+
+@pandas_udf(StringType())
+def gen_preparation_tips(item_name: pd.Series) -> pd.Series:
+    return "Preparation tips for " + item_name + ": serve fresh."
+
+
+def with_llm_columns(df, item_col: str = "item_name", cal_col: str = "calories"):
+    """Append the four openai_* columns (reference DDL `pipeline.py:101-104`)
+    in one pass — vs the reference's 4 serial API calls per record."""
+    name, cal = F.col(item_col), F.col(cal_col)
+    return (
+        df.withColumn("openai_description", gen_description(name, cal))
+        .withColumn("openai_best_pairings", gen_best_pairings(name))
+        .withColumn("openai_health_impact", gen_health_impact(name, cal))
+        .withColumn("openai_preparation_tips", gen_preparation_tips(name))
+    )
+
+
+# --- U2: the REST nutrition lookup (`consume_items.py:66-80`), batched -----
+
+
+def nutrition_lookup_stub(names: pd.Series) -> pd.Series:
+    """Deterministic stand-in for the Nutrition API: item name → JSON array
+    string shaped like the real response (FIXTURES.md B3). Rate limits /
+    timeouts (`consume_items.py:70-72,108`) become executor-side concerns."""
+    def payload(name: str) -> str:
+        h = sum(ord(c) for c in name)
+        cal = (h % 900) / 2 + 50
+        return (
+            f'[{{"name": "{name}", "calories": {cal:.1f}, "serving_size_g": 100.0, '
+            f'"fat_total_g": {h % 40}.5, "protein_g": {h % 30}.2, '
+            f'"sodium_mg": {h % 500}.0, "carbohydrates_total_g": {h % 80}.1}}]'
+        )
+
+    return names.map(payload)
+
+
+def enrich_from_api(df, name_col: str = "item_name", lookup=nutrition_lookup_stub):
+    """mapInPandas-style enrichment: one HTTP-batch per Arrow batch.
+
+    ``lookup`` is injectable (tests/oracle use the deterministic stub; prod
+    supplies a real batched client with retry/timeout).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["data"] = lookup(pdf[name_col])
+            yield pdf
+
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField("data", StringType())])
+    return df.mapInPandas(run, schema=schema)

@@ -1,0 +1,113 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (north-star
+X4; SURVEY.md §2.11).
+
+Design for 100 TB of mixed media:
+- the payload is an opaque ``binary`` column (never parsed by Catalyst, so
+  it's pass-through in shuffles and prunable — a query that doesn't touch
+  ``payload`` never reads those parquet pages);
+- typed metadata (modality, byte size, content hash) travels in ordinary
+  columns so filtering/routing is JVM-side;
+- decode / feature-extract runs in ``mapInPandas`` over Arrow batches —
+  the only sane boundary for media codecs — partitioned upstream so each
+  task decodes a bounded byte volume.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``decode_features`` computes a deterministic byte-level feature
+vector with the exact schema/batching a real decoder would use, and
+``decode_image`` raises NotImplementedError to mark the integration point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Materialize a multimodal row: binary payload + typed metadata.
+
+    Uses the UTF-8 bytes of the text as the stand-in payload; a real corpus
+    reads media bytes from object storage with exactly this schema.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("text").alias("modality"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Integration point for a real image decoder (PIL/libvips). The
+    container ships no media libraries, so this is an explicit stub."""
+    raise NotImplementedError(
+        "media decode requires an image library; wire PIL/libvips here"
+    )
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched fake 'decode': per-payload deterministic byte statistics
+    with the schema, batching and partition behavior of a real feature
+    extractor (FEATURE_DIM floats per row).
+
+    Swap the body for codec calls without touching the plan: the
+    mapInPandas boundary, output schema and upstream partitioning all stay.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for buf in pdf["payload"]:
+                b = bytes(buf)
+                n = max(len(b), 1)
+                # Deterministic byte-moment features (stride-sampled so cost
+                # is bounded per row regardless of payload size).
+                sample = b[:: max(n // 64, 1)][:64]
+                s = [float(x) for x in sample] or [0.0]
+                mean = sum(s) / len(s)
+                feats.append(
+                    [
+                        float(len(b)),
+                        mean,
+                        min(s),
+                        max(s),
+                        float(len(set(sample))),
+                        float(b[0]) if b else 0.0,
+                        float(b[-1]) if b else 0.0,
+                        sum((x - mean) ** 2 for x in s) / len(s),
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,321 @@
+"""Deduplication suite over documents (SURVEY.md §2.11 X2; north-star).
+
+Five dedup strategies, each shaped for 100 TB:
+
+- exact:        hash-groupBy on a normalized content hash — one shuffle.
+- minhash LSH:  shingle → minhash signature → band-bucket equi-join →
+                verify candidates with exact Jaccard. The candidate join is
+                an equi-join on band keys, so candidate generation never
+                goes O(n²); only within-bucket pairs are verified.
+- simhash:      near-dup via Hamming distance on a 16-bit signature; pairs
+                are generated within LSH-style bucket (high byte) so the
+                pair join is again an equi-join.
+- n-gram Jaccard: word-3-gram overlap verify on blocked candidates.
+- embedding cosine: see plans/similarity.py (shares the vector machinery).
+
+Everything is built-in column expressions (split/transform/md5/explode) —
+JVM-side, no Python UDFs. The md5-string minhash keeps the oracle portable:
+min() over hex digests is a total order both engines agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_text",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_cnt
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content hash (X2): groupBy(hash) keeping the
+    smallest id. Single shuffle on a 128-bit key — the canonical first pass
+    of any training-data dedup pipeline."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.groupBy(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+        )
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingling helpers
+# ---------------------------------------------------------------------------
+
+N_MINHASHES = 4
+
+
+def _shingles(text: Column) -> Column:
+    """Distinct word 3-gram shingles of a space-tokenized document."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+    list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i + 1] || ' ' ||
+             string_split(text, ' ')[i + 2]))
+"""
+
+
+def _minhash(shingles: Column, seed: int) -> Column:
+    """Keyed min-hash: the lexicographic min of md5(seed || shingle).
+
+    A string-min over keyed digests is a valid minhash family (each seed is
+    an independent permutation of the shingle space) and — unlike xxhash64 —
+    has an exact DuckDB twin for the oracle."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"mh{seed}:"), s)))
+    )
+
+
+def _minhash_sql(seed: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('mh{seed}:' || s)))"
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MINHASH_SIG_SQL = ",\n           ".join(
+    f"{_minhash_sql(k)} AS mh{k}" for k in range(N_MINHASHES)
+)
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+    ), sig AS (
+        SELECT doc_id, shingles,
+           {_MINHASH_SIG_SQL}
+        FROM sh
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.shingles AS sh_a, b.shingles AS sh_b
+        FROM sig a JOIN sig b
+          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
+         AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
+    FROM cand
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection (X2): 4 keyed minhashes over word
+    3-gram shingles form one LSH band; docs colliding on the whole band are
+    candidates (equi-join — shuffle on the band key, never O(n²)), then
+    verified with exact Jaccard ≥ 0.5.
+
+    At 100 TB you'd use r bands × b rows to tune recall; the plan shape
+    (signature → band explode → equi-self-join → verify) is exactly this.
+    """
+    cat = Catalog(spark, sf_dir)
+    sig = cat.documents.select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    ).select(
+        "doc_id",
+        "shingles",
+        *[_minhash(F.col("shingles"), k).alias(f"mh{k}") for k in range(N_MINHASHES)],
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    band_eq = [F.col(f"a.mh{k}") == F.col(f"b.mh{k}") for k in range(N_MINHASHES)]
+    cond = band_eq[0]
+    for c in band_eq[1:]:
+        cond = cond & c
+    cand = a.join(b, cond & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.shingles").alias("sh_a"),
+        F.col("b.shingles").alias("sh_b"),
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+# 16-bit simhash built from the first 4 hex chars of each token's md5.
+# hexdigit value via strpos on the hex alphabet — portable to any dialect.
+_HEXVAL_SQL = "(strpos('0123456789abcdef', substr(md5(token), {pos}, 1)) - 1)"
+
+
+def _token_bits(tok_md5: Column) -> list[Column]:
+    """16 bit columns (0/1) from the first 4 hex chars of a token digest."""
+    bits: list[Column] = []
+    for pos in range(1, 5):
+        # Hex digit → value 0..15 (conv base16→10); DuckDB twin uses strpos
+        # on the hex alphabet — same values.
+        v = F.conv(F.substring(tok_md5, pos, 1), 16, 10).cast("int")
+        for div in (8, 4, 2, 1):
+            bits.append(((v / div).cast("int") % 2).cast("int"))
+    return bits
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), bits AS (
+        SELECT doc_id, md5(token) AS h FROM tok WHERE token <> ''
+    ), expanded AS (
+        SELECT doc_id,
+               j,
+               CASE WHEN ((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
+                          // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                    THEN 1 ELSE -1 END AS sgn
+        FROM bits, generate_series(0, 15) t(j)
+    ), sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM (SELECT doc_id, j, SUM(sgn) AS s FROM expanded GROUP BY doc_id, j)
+        GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.simhash // 4096) = (b.simhash // 4096) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate detection (X2): 16-bit signature from token
+    digests; candidate pairs generated by equality on the top 4 bits (an LSH
+    block — equi-join, no O(n²)), verified by Hamming distance ≤ 2.
+
+    100 TB shape: the multi-probe generalization re-joins on each of several
+    bit-blocks; the plan per block is identical to this one."""
+    cat = Catalog(spark, sf_dir)
+    tok = (
+        cat.documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .select("doc_id", F.md5(F.col("token")).alias("h"))
+    )
+    # Sum the +1/-1 votes per bit in one aggregation (16 conditional sums —
+    # no per-bit explode needed on the Spark side).
+    bit_votes = [
+        F.sum(F.when(b == 1, 1).otherwise(-1)).alias(f"s{j}")
+        for j, b in enumerate(_token_bits(F.col("h")))
+    ]
+    sig = (
+        tok.groupBy("doc_id")
+        .agg(*bit_votes)
+        .select(
+            "doc_id",
+            sum(
+                (F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(0) for j in range(16)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("simhash"),
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.expr("a.simhash DIV 4096") == F.expr("b.simhash DIV 4096"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (blocked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup (X2) with blocking on `source`: pairs are
+    only formed within a block (equi-join key), then verified exactly. The
+    blocking key is what keeps this linear-ish at scale — swap in the LSH
+    band key from dedup_minhash for content-based blocking."""
+    cat = Catalog(spark, sf_dir)
+    sh = cat.documents.select(
+        "doc_id", "source", _shingles(F.col("text")).alias("shingles")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double") / F.size(
+        F.array_union("a.shingles", "b.shingles")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.4)
+    )

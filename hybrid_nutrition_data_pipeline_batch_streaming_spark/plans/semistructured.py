@@ -1,0 +1,280 @@
+"""Semi-structured JSON handling + scalar function library.
+
+SURVEY.md §2.2 (P2–P5), §2.8 (F1–F7), §2.9 (T8). This is the reference's
+transform op (`dagster_project/pipeline.py:43-78` — json.loads, take [0],
+flatten, cast-with-default) rebuilt as narrow, codegen-friendly column
+expressions: `from_json` + struct access instead of per-record Python, so the
+whole path stays inside whole-stage codegen and scales linearly with input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from .registry import query
+
+# events.props is a JSON object string like '{"k": 87}' (FIXTURES.md).
+PROPS_SCHEMA = "k BIGINT"
+
+
+def _mangled_data(cat: Catalog) -> DataFrame:
+    """Synthesize the raw layer's dirty `data` column from events.props.
+
+    Mirrors the failure modes of `items_raw.data` the reference defends
+    against (`pipeline.py:27-32`, `consume_items.py:99-100`): NULL, the
+    processed marker '[]', and malformed JSON — deterministically derived
+    from event_id so the DuckDB oracle can reproduce the exact same rows.
+    """
+    e = F.col("event_id") % 7
+    return cat.events.withColumn(
+        "data",
+        F.when(e == 0, F.lit(None).cast("string"))
+        .when(e == 1, F.lit("[]"))
+        .when(e == 2, F.substring(F.col("props"), 1, 3))
+        .otherwise(F.col("props")),
+    )
+
+
+_MANGLED_SQL = """
+        SELECT event_id, props,
+               CASE event_id % 7
+                   WHEN 0 THEN NULL
+                   WHEN 1 THEN '[]'
+                   WHEN 2 THEN substr(props, 1, 3)
+                   ELSE props
+               END AS data
+        FROM events
+"""
+
+
+@query(
+    "filter_nonempty",
+    oracle=f"""
+    WITH raw AS ({_MANGLED_SQL})
+    SELECT event_id, data
+    FROM raw
+    WHERE data IS NOT NULL AND data <> '[]' AND json_valid(data)
+    """,
+)
+def filter_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop null / processed-marker / unparseable raw rows (P2/P3 —
+    `pipeline.py:27-32`, `consume_items.py:99-100`). Parse-validity via
+    `from_json` returning NULL in PERMISSIVE mode, not a Python loop."""
+    cat = Catalog(spark, sf_dir)
+    raw = _mangled_data(cat)
+    # get_json_object(x, '$') is NULL iff x is not valid JSON — the exact
+    # twin of DuckDB's json_valid() (from_json PERMISSIVE instead yields a
+    # null-fielded struct for malformed input, not NULL).
+    return raw.where(
+        F.col("data").isNotNull()
+        & (F.col("data") != "[]")
+        & F.get_json_object(F.col("data"), "$").isNotNull()
+    ).select("event_id", "data")
+
+
+@query(
+    "filter_corrupt",
+    oracle=f"""
+    WITH raw AS ({_MANGLED_SQL})
+    SELECT CASE
+               WHEN data IS NULL THEN 'missing'
+               WHEN data = '[]' THEN 'processed'
+               WHEN NOT json_valid(data) THEN 'corrupt'
+               ELSE 'ok'
+           END AS record_class,
+           COUNT(*) AS cnt
+    FROM raw
+    GROUP BY 1
+    """,
+)
+def filter_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine classification of corrupt records (T8) — the streaming
+    skip-and-continue path (`consume_items.py:109-111`, `pipeline.py:76-77`)
+    as an auditable PERMISSIVE-parse split instead of silent drops."""
+    cat = Catalog(spark, sf_dir)
+    raw = _mangled_data(cat)
+    cls = (
+        F.when(F.col("data").isNull(), F.lit("missing"))
+        .when(F.col("data") == "[]", F.lit("processed"))
+        .when(F.get_json_object(F.col("data"), "$").isNull(), F.lit("corrupt"))
+        .otherwise(F.lit("ok"))
+    )
+    return raw.groupBy(cls.alias("record_class")).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "json_flatten",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field promotion to typed columns (F4/U3/P4) — the reference's
+    dynamic flatten (`pipeline.py:50-57`) via `from_json` + struct access,
+    a single codegen'd projection."""
+    cat = Catalog(spark, sf_dir)
+    return cat.events.select(
+        "event_id",
+        "event_type",
+        F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k"),
+    )
+
+
+@query(
+    "cast_defaults",
+    oracle="""
+    SELECT event_id,
+           COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0) AS k_val,
+           COALESCE(json_extract_string(props, '$.tag'), '') AS tag
+    FROM events
+    """,
+)
+def cast_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast-with-default per column (P5/F7): the reference's
+    `float(rec.get(k, 0))` / `str(rec.get(k, ""))` (`pipeline.py:113-129`)
+    as `coalesce(try_cast(...), default)`."""
+    cat = Catalog(spark, sf_dir)
+    return cat.events.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object(F.col("props"), "$.k").try_cast("double"), F.lit(0.0)
+        ).alias("k_val"),
+        F.coalesce(F.get_json_object(F.col("props"), "$.tag"), F.lit("")).alias("tag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                       AS brand_u,
+           lower(p_type)                        AS type_l,
+           trim(p_name)                         AS name_trim,
+           p_brand || ':' || p_type             AS brand_type,
+           substr(p_name, 1, 5)                 AS name5,
+           CAST(length(p_name) AS INT)          AS name_len,
+           replace(p_name, ' ', '_')            AS name_us
+    FROM part
+    """,
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (F1 — the reference's encode/strip/f-string
+    surface, `produce_items.py:23,35`, `pipeline.py:60-63`)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.trim("p_name").alias("name_trim"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                        AS odate,
+           CAST(year(o_orderdate) AS INT)                   AS oyear,
+           CAST(month(o_orderdate) AS INT)                  AS omonth,
+           CAST(dayofmonth(o_orderdate) AS INT)             AS oday,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS omonth_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+                                                            AS days_since_epoch
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family (F2 — ingestion stamps at
+    `consume_items.py:103`, ts handling at `pipeline.py:114`)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.year("o_orderdate").alias("oyear"),
+        F.month("o_orderdate").alias("omonth"),
+        F.dayofmonth("o_orderdate").alias("oday"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("omonth_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_epoch"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(2,1))
+                AS DOUBLE)                          AS tithe,
+           round(l_discount * 100)                  AS disc_pct,
+           abs(l_discount - 0.05)                   AS disc_dev,
+           greatest(l_quantity, 25.0)               AS q_floor25,
+           least(l_tax, l_discount)                 AS min_rate,
+           CAST(floor(l_quantity) AS BIGINT)        AS q_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT)    AS price_ceil
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (F3 — float casts and default-0 arithmetic,
+    `pipeline.py:115-125`; per-100g ratio `README.md:42`)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        # Exact decimal product (no scale-down: engines disagree on decimal
+        # rescale tie-breaking; double round() ties likewise) — then round()
+        # demonstrated on a tie-free near-integer value.
+        (F.col("l_extendedprice").cast("decimal(12,2)") * F.lit("0.1").cast("decimal(2,1)"))
+        .cast("double")
+        .alias("tithe"),
+        F.round(F.col("l_discount") * 100).alias("disc_pct"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("q_floor25"),
+        F.least(F.col("l_tax"), F.col("l_discount")).alias("min_rate"),
+        F.floor(F.col("l_quantity")).alias("q_floor"),
+        F.ceil(F.col("l_extendedprice")).cast("bigint").alias("price_ceil"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1]                AS first_val,
+           list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                       (a, b) -> a + b) AS sq_norm
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order function family (F5): size, element access, and a
+    fold — the JVM-side building blocks of the vector ops in §2.11. The fold
+    accumulates left-to-right in both engines, so the double sum is
+    bit-identical."""
+    cat = Catalog(spark, sf_dir)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return cat.embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.aggregate(
+            F.transform(emb_d, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sq_norm"),
+    )

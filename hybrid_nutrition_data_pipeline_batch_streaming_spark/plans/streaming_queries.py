@@ -1,0 +1,62 @@
+"""Streaming queries exposed through the driver contract (SURVEY.md §2.9).
+
+Each runs a REAL Structured Streaming query (file source → transformations →
+memory sink) to completion with Trigger.AvailableNow, then returns the
+materialized result.
+
+``stream_tumbling_live`` carries a full DuckDB oracle: with complete output
+mode and AvailableNow, the final windowed aggregate must equal the batch
+grouping — the hybrid batch/stream parity the reference architecture claims
+(`README.md:7-19`) but never verifies. The others are order-dependent
+(first-seen dedup) and registered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.ingest import dedup_stream, read_events_stream, run_to_memory
+from ..streaming.windows import session_windows, tumbling_counts
+from .registry import query
+
+
+@query(
+    "stream_tumbling_live",
+    oracle="""
+    SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                          * 3600000000) AS bucket_start,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a live stream (T6),
+    value-checked against the batch oracle: stream-batch parity, exactly."""
+    stream = read_events_stream(spark, sf_dir)
+    windowed = tumbling_counts(stream, "1 hour", "2 hours")
+    return run_to_memory(windowed, output_mode="complete")
+
+
+@query("stream_dedup_state")
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (T4/T7): first event per (user_id,
+    event_type) with watermark-bounded state. First-seen depends on arrival
+    order → rows-only check."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = dedup_stream(
+        stream.withColumn("ts", F.col("ts").cast("timestamp")),
+        ["user_id", "event_type"],
+        watermark=("ts", "1 hour"),
+    )
+    return run_to_memory(deduped)
+
+
+@query("stream_session_windows")
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap (T6) —
+    variable-length event-time state, watermark-bounded."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(session_windows(stream), output_mode="complete")

@@ -1,0 +1,230 @@
+"""Text analysis over the documents table (SURVEY.md §2.4 A4, §2.11 X3;
+north-star: language-ID, quality scoring, token counting, fingerprinting).
+
+The reference's only text analytics is the Superset word cloud over
+`openai_best_pairings` (`README.md:61-64`); everything here generalizes that
+to an LLM-training-data text pipeline. All ops are built-in column
+expressions (split/explode/transform/md5) — no Python UDFs — so they run
+inside whole-stage codegen and shuffle at most once (the token groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from .registry import query
+
+
+@query(
+    "wordcloud_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+)
+def wordcloud_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency top-N (A4) — the word-cloud aggregation
+    (`README.md:61-64`) as explode → groupBy → TakeOrdered."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(len(string_split(text, ' ')) AS INT)                AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' '))                         AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length statistics (X3)."""
+    cat = Catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return cat.documents.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+def _occurrences(text: Column, marker: str) -> Column:
+    """Count non-overlapping occurrences of ``marker`` in ``text`` via the
+    length-difference trick — pure string arithmetic, identical in any SQL
+    dialect (the portable form of the word-frequency heuristic)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(marker)))) / len(marker)
+
+
+def _occ_sql(expr: str, marker: str) -> str:
+    return f"(length({expr}) - length(replace({expr}, '{marker}', ''))) / {len(marker)}"
+
+
+# Tiny deterministic marker lexicons (language-ID heuristic: function-word
+# hit counting — the classic n-gram/stopword LID shortcut).
+_EN_MARKERS = (" the ", " a ", " and ", " of ", " is ")
+_ES_MARKERS = (" el ", " la ", " de ", " que ", " y ")
+
+_PADDED = "' ' || text || ' '"
+_EN_SCORE_SQL = " + ".join(_occ_sql(_PADDED, m) for m in _EN_MARKERS)
+_ES_SCORE_SQL = " + ".join(_occ_sql(_PADDED, m) for m in _ES_MARKERS)
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_EN_SCORE_SQL} AS DOUBLE) AS en_score,
+           CAST({_ES_SCORE_SQL} AS DOUBLE) AS es_score,
+           CASE
+               WHEN {_EN_SCORE_SQL} >= {_ES_SCORE_SQL}
+                    AND {_EN_SCORE_SQL} > 0 THEN 'en'
+               WHEN {_ES_SCORE_SQL} > 0 THEN 'es'
+               ELSE 'und'
+           END AS pred_lang
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via function-word marker counting (north-star
+    text-analysis op). Pure column arithmetic — at 100 TB this is a
+    map-only pass with zero shuffle."""
+    cat = Catalog(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    en = sum((_occurrences(padded, m) for m in _EN_MARKERS), F.lit(0))
+    es = sum((_occurrences(padded, m) for m in _ES_MARKERS), F.lit(0))
+    return cat.documents.select(
+        "doc_id",
+        en.cast("double").alias("en_score"),
+        es.cast("double").alias("es_score"),
+        F.when((en >= es) & (en > 0), F.lit("en"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "is")
+_STOP_LIST_SQL = "['" + "', '".join(_STOPWORDS) + "']"
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               string_split(text, ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+           CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token,
+           CAST(CASE WHEN len(toks) BETWEEN 20 AND 400 THEN 1 ELSE 0 END
+                + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+                       THEN 1 ELSE 0 END
+                + CASE WHEN CAST(len(list_filter(toks, x ->
+                            list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE) / len(toks)
+                            BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END AS INT) AS quality
+    FROM t
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring (north-star): length band,
+    lexical-diversity and stopword-ratio signals summed into a 0-3 score —
+    the Gopher-rules shape, as pure column expressions."""
+    cat = Catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_cnt = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = stop_cnt.cast("double") / n
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = (
+        F.when(n.between(20, 400), 1).otherwise(0)
+        + F.when(uniq_ratio > 0.3, 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+    )
+    return cat.documents.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        (F.col("n_chars").cast("double") / n).alias("chars_per_token"),
+        quality.cast("int").alias("quality"),
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                                x -> x <> '')) AS INT) AS re_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                               x -> x <> '')) AS chars_per_re_token
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star): whitespace tokens plus a BPE-ish
+    regex-word tokenization ([^a-z0-9]+ splits), both JVM-side."""
+    cat = Catalog(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    re_toks = F.filter(F.split(F.col("text"), "[^a-z0-9]+"), lambda x: x != "")
+    return cat.documents.select(
+        "doc_id",
+        F.size(ws).alias("ws_tokens"),
+        F.size(re_toks).alias("re_tokens"),
+        (F.length("text").cast("double") / F.size(re_toks)).alias("chars_per_re_token"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_exact,
+           list_min(list_transform(
+               generate_series(1, greatest(length(text) - 7, 1)),
+               i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp_min_shingle
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (north-star): a whole-document content hash
+    plus a min-hash over 8-char rolling shingles (the rolling-hash winnowing
+    shape) — the pair of keys an exact/near dedup pass clusters on."""
+    cat = Catalog(spark, sf_dir)
+    positions = F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+    return cat.documents.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp_exact"),
+        F.array_min(
+            F.transform(positions, lambda i: F.md5(F.col("text").substr(i, F.lit(8))))
+        ).alias("fp_min_shingle"),
+    )

@@ -1,0 +1,153 @@
+"""Window functions + time bucketing (SURVEY.md §2.5 W1–W4, §2.9 T6 analog).
+
+The reference's only ordered-data semantics are the Cassandra last-write-wins
+upsert (`consume_items.py:53,102-103`) and MergeTree ORDER BY
+(`pipeline.py:105-107`); W1 re-expresses the former declaratively. All window
+specs carry a unique tiebreaker column so results are deterministic under any
+partitioning — the property that keeps reruns idempotent at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Catalog
+from ..functions.parity import MONEY
+from .registry import query
+
+
+@query(
+    "dedup_last_write",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_last_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins dedup by key (W1/S4): the Cassandra PK-upsert
+    semantics (`consume_items.py:53,102-103`) as row_number over
+    (key, desc ts). One shuffle on the key; at 100 TB this is the standard
+    "latest record per key" compaction pattern."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        cat.events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@query(
+    "window_lag",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           LAG(CAST(ts AS TIMESTAMP)) OVER w  AS prev_ts,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER w AS next_ts,
+           LAG(value) OVER w                  AS prev_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over per-user event time (W2)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return cat.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec running aggregate (W3), decimal-exact so the cumulative sum
+    is order-stable across engines."""
+    cat = Catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cat.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(MONEY)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS bal_quartile,
+           CAST(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS bal_pct_rank
+    FROM customer
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile banding (W4): ntile/percent_rank — the "calorie quartiles"
+    style dashboard cut."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cat.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+    )
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                          * 3600000000) AS bucket_start,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window, batch analog (T6): 1-hour buckets over
+    events — identical grouping to `groupBy(window("ts", "1 hour"))` in the
+    streaming module (streaming/windows.py carries the watermark variant);
+    expressed via epoch arithmetic so DuckDB computes the same buckets."""
+    cat = Catalog(spark, sf_dir)
+    bucket_us = 3_600_000_000
+    bucket = F.timestamp_micros(
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("ts").cast("timestamp")) % bucket_us)
+    ).cast("timestamp_ntz")
+    return (
+        cat.events.groupBy(bucket.alias("bucket_start"))
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.sum(F.col("value").cast(MONEY)).cast("double").alias("total_value"),
+        )
+    )

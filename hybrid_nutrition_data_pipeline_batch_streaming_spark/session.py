@@ -1,0 +1,85 @@
+"""SparkSession construction tuned for this engine.
+
+Design point: correctness is tested on ``local[N]`` but every setting here is
+chosen for a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, broadcast demotion).
+- UTC session timezone so timestamp semantics are deployment-independent.
+- Arrow enabled so the few pandas-UDF paths (enrichment, multimodal decode)
+  move data in columnar batches rather than pickled rows.
+- ``nanosAsLong`` so nanosecond parquet timestamps (events.ts) are readable;
+  the catalog converts them to microsecond TIMESTAMP_NTZ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL (runtime-settable) configs every session should carry. Applied both at
+#: build time and defensively at catalog time (the driver may hand us a
+#: session we did not build).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # Permissive expression semantics (Spark 4 defaults to ANSI): the engine
+    # mirrors the reference's defensive null-on-error behavior
+    # (`pipeline.py:27-30,115-129`) — out-of-range element_at → NULL,
+    # bad casts → NULL — rather than failing the job.
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: keep pushdown on (it is the default, but make it explicit
+    # because the 100 TB design depends on it).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "hybrid-nutrition-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's configuration.
+
+    ``shuffle_partitions`` defaults to the core count: on a real cluster this
+    would be sized to ~128 MB per shuffle partition of the largest stage
+    (i.e. thousands of partitions at 100 TB); AQE coalesces the excess.
+    """
+    par = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{par}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or par))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_runtime_conf(spark: SparkSession) -> None:
+    """Apply runtime-settable engine configs to a foreign session.
+
+    The correctness driver passes in its own SparkSession; these SQL confs
+    are all runtime-settable so the engine behaves identically there.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — harmless to skip; catalog readers
+            # have explicit fallbacks for the load-bearing ones.
+            pass

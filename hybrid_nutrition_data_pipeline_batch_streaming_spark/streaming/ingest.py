@@ -1,0 +1,137 @@
+"""Streaming ingest: the reference's Kafka producer/consumer loop, on
+Structured Streaming (SURVEY.md §2.9, §3.1).
+
+Reference → Spark mapping:
+- Kafka consumer w/ earliest offsets + manual commit
+  (`consume_items.py:21-35,107`)      → ``readStream`` + checkpointLocation
+  (offset tracking becomes exactly-once bookkeeping, T3);
+- rate limiting (`produce_items.py:66`, `consume_items.py:108`)
+                                       → ``maxFilesPerTrigger`` /
+                                         ``maxOffsetsPerTrigger`` (T1/T2);
+- in-memory dedup set (`produce_items.py:48-64`)
+                                       → ``dropDuplicates`` with watermarked
+                                         state (T4);
+- 10-min batch cadence (`pipeline.py:161-163`)
+                                       → ``trigger(processingTime=...)`` or
+                                         ``Trigger.AvailableNow`` per run (T5).
+
+Tests drive these with file sources + AvailableNow (deterministic, no
+broker); a production deployment swaps ``format("kafka")`` in without
+touching the transformation graph — that separation is the point.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import ensure_runtime_conf
+
+#: Parquet-file schema of the events stream (ts is INT64 nanos on disk).
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events table (the Kafka stand-in S1/T1).
+
+    Rate limiting via maxFilesPerTrigger mirrors the reference's paced
+    consumption (T2) without a sleeping loop.
+    """
+    ensure_runtime_conf(spark)
+    # The file stream source requires a directory; stream the table dir with
+    # a glob filter selecting just the events file(s).
+    reader = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+    )
+
+
+def kafka_source(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
+    """The production Kafka source (S1 — `consume_items.py:21-35`): string
+    values, earliest offsets; group/commit management is replaced by the
+    query's checkpoint. Requires the spark-sql-kafka package at runtime."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS item_name", "timestamp AS ingestion_ts")
+    )
+
+
+def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """The production Kafka sink (S2 — `produce_items.py:30-41`)."""
+    return (
+        df.selectExpr("CAST(item_name AS STRING) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def dedup_stream(df: DataFrame, keys: list[str], watermark: tuple[str, str] | None = None) -> DataFrame:
+    """Streaming dedup with bounded state (T4): the producer's in-memory
+    `produced_items` set (`produce_items.py:48-64`), distributed. A watermark
+    bounds the dedup state — at 100 TB/day unbounded dedup state is the
+    thing that kills the job, so bound it by event time."""
+    if watermark is not None:
+        col, delay = watermark
+        df = df.withWatermark(col, delay)
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def run_to_memory(
+    df: DataFrame,
+    table: str | None = None,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Execute a streaming frame to completion with Trigger.AvailableNow and
+    return the materialized result (memory sink) as a batch DataFrame.
+
+    AvailableNow processes everything currently available then stops — the
+    engine's replacement for the reference's cron'd 10-minute batch job (T5):
+    same code path as continuous streaming, bounded per run, exactly-once
+    via the checkpoint.
+    """
+    name = table or f"mem_{uuid.uuid4().hex[:12]}"
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return df.sparkSession.table(name)
