@@ -56,16 +56,53 @@ def gen_preparation_tips(item_name: pd.Series) -> pd.Series:
     return "Preparation tips for " + item_name + ": serve fresh."
 
 
+_LLM_STRUCT = (
+    "openai_description string, openai_best_pairings string, "
+    "openai_health_impact string, openai_preparation_tips string"
+)
+
+
+def _gen_all(item_name: pd.Series, calories: pd.Series) -> pd.DataFrame:
+    cal_s = _fmt_cal(calories)
+    density = pd.Series(
+        ["dense" if c > 300 else "light" for c in calories], index=calories.index
+    )
+    return pd.DataFrame(
+        {
+            "openai_description": "Description: "
+            + item_name
+            + " has "
+            + cal_s
+            + " kcal per serving.",
+            "openai_best_pairings": "Best pairings for " + item_name + ": water.",
+            "openai_health_impact": "Health impact of "
+            + item_name
+            + ": "
+            + density
+            + ".",
+            "openai_preparation_tips": "Preparation tips for "
+            + item_name
+            + ": serve fresh.",
+        }
+    )
+
+
 def with_llm_columns(df, item_col: str = "item_name", cal_col: str = "calories"):
     """Append the four openai_* columns (reference DDL `pipeline.py:101-104`)
-    in one pass — vs the reference's 4 serial API calls per record."""
-    name, cal = F.col(item_col), F.col(cal_col)
-    return (
-        df.withColumn("openai_description", gen_description(name, cal))
-        .withColumn("openai_best_pairings", gen_best_pairings(name))
-        .withColumn("openai_health_impact", gen_health_impact(name, cal))
-        .withColumn("openai_preparation_tips", gen_preparation_tips(name))
-    )
+    in ONE Arrow round trip — a single struct-returning pandas UDF instead of
+    four separate Python exchanges (and vs the reference's 4 serial API calls
+    per record with 2 s sleeps, `pipeline.py:59-74`)."""
+    gen_all = pandas_udf(_gen_all, _LLM_STRUCT)
+    struct = gen_all(F.col(item_col), F.col(cal_col)).alias("__llm")
+    df = df.withColumn("__llm", struct)
+    for f in (
+        "openai_description",
+        "openai_best_pairings",
+        "openai_health_impact",
+        "openai_preparation_tips",
+    ):
+        df = df.withColumn(f, F.col("__llm").getField(f))
+    return df.drop("__llm")
 
 
 # --- U2: the REST nutrition lookup (`consume_items.py:66-80`), batched -----
