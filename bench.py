@@ -49,9 +49,20 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark(app_name="hybrid-nutrition-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Warm the JVM/codegen path so the first measured query isn't paying
-    # one-time initialization.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm one-time machinery so timings reflect steady state: JVM/codegen,
+    # a shuffle, parquet footers for every table, and the Python UDF workers.
+    from pyspark.sql import functions as F
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.catalog import (
+        TABLES,
+        load_table,
+    )
+
+    spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
+    spark.range(10_000).select(
+        F.pandas_udf(lambda s: s + 1, "long")(F.col("id"))
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,122 @@
+"""Pipeline-parity unit tests (SURVEY.md §5.2 items 3–4): reference-shaped
+fixtures (FIXTURES.md B2/B3) through the batch pipeline, exact golden output.
+
+Covers the edge semantics the DuckDB oracle can hide: null vs '[]' vs
+malformed data, missing-field 0-defaults, multi-element arrays, LWW dedup
+tie-breaking, and the deterministic enrichment strings.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_nutrition_data_pipeline_batch_streaming_spark.pipeline import (
+    ENRICHED_COLUMNS,
+    dedup_last_write_wins,
+    filter_valid_raw,
+    flatten_nutrition,
+    run_batch_pipeline,
+)
+
+TS1 = datetime.datetime(2024, 1, 15, 12, 0, 0)
+TS2 = datetime.datetime(2024, 1, 15, 13, 0, 0)
+
+GOOD_JSON = (
+    '[{"name": "avocado toast", "calories": 245.1, "serving_size_g": 100.0,'
+    ' "fat_total_g": 14.2, "fat_saturated_g": 2.9, "protein_g": 6.1,'
+    ' "sodium_mg": 320.0, "potassium_mg": 450.0, "cholesterol_mg": 0.0,'
+    ' "carbohydrates_total_g": 23.4, "fiber_g": 6.7, "sugar_g": 1.2}]'
+)
+MISSING_FIELDS_JSON = '[{"name": "plain rice", "calories": 130.0}]'
+MULTI_ELEMENT_JSON = (
+    '[{"name": "first", "calories": 10.0}, {"name": "second", "calories": 999.0}]'
+)
+
+
+@pytest.fixture()
+def raw(spark):
+    rows = [
+        ("avocado toast", TS1, GOOD_JSON),
+        ("plain rice", TS1, MISSING_FIELDS_JSON),
+        ("multi", TS1, MULTI_ELEMENT_JSON),
+        ("processed", TS1, "[]"),          # processed marker → dropped
+        ("broken", TS1, '[{"cal'),          # malformed → dropped
+        ("missing", TS1, None),             # null → dropped
+        ("dup item", TS1, '[{"name": "dup", "calories": 1.0}]'),
+        ("dup item", TS2, '[{"name": "dup", "calories": 2.0}]'),  # LWW winner
+    ]
+    return spark.createDataFrame(rows, "item_name string, ingestion_ts timestamp_ntz, data string")
+
+
+def test_filter_valid_raw_drops_bad_rows(raw):
+    kept = {r.item_name for r in filter_valid_raw(raw).collect()}
+    assert kept == {"avocado toast", "plain rice", "multi", "dup item"}
+
+
+def test_flatten_defaults_and_first_element(raw):
+    flat = {r["item_name"]: r.asDict() for r in flatten_nutrition(filter_valid_raw(raw)).collect()}
+    # full payload flattens intact, `name` column is dropped
+    assert flat["avocado toast"]["calories"] == 245.1
+    assert flat["avocado toast"]["sugar_g"] == 1.2
+    assert "name" not in flat["avocado toast"]
+    # missing fields default to 0.0 (reference float(rec.get(k, 0)))
+    assert flat["plain rice"]["calories"] == 130.0
+    assert flat["plain rice"]["fat_total_g"] == 0.0
+    assert flat["plain rice"]["sugar_g"] == 0.0
+    # only element [0] of a multi-element array is used
+    assert flat["multi"]["calories"] == 10.0
+
+
+def test_lww_dedup_keeps_latest(raw):
+    out = run_batch_pipeline(raw)
+    dup = [r for r in out.collect() if r.item_name == "dup item"]
+    assert len(dup) == 1
+    assert dup[0].calories == 2.0
+    assert dup[0].ingestion_ts == TS2
+
+
+def test_enriched_schema_and_strings(raw):
+    out = run_batch_pipeline(raw)
+    assert tuple(out.columns) == ENRICHED_COLUMNS
+    row = next(r for r in out.collect() if r.item_name == "avocado toast")
+    assert row.openai_description == (
+        "Description: avocado toast has 245.1 kcal per serving."
+    )
+    assert row.openai_best_pairings == "Best pairings for avocado toast: water."
+    assert row.openai_health_impact == "Health impact of avocado toast: light."
+    assert row.openai_preparation_tips == (
+        "Preparation tips for avocado toast: serve fresh."
+    )
+
+
+def test_dedup_lww_tiebreak_is_deterministic(spark):
+    # Same key, same ts — the dedup must still return exactly one row.
+    df = spark.createDataFrame(
+        [("k", TS1, "a"), ("k", TS1, "b")],
+        "item_name string, ingestion_ts timestamp_ntz, payload string",
+    )
+    assert dedup_last_write_wins(df).count() == 1
+
+
+def test_write_clustered_roundtrip(spark, raw, tmp_path):
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.pipeline import (
+        write_clustered,
+    )
+
+    out = run_batch_pipeline(raw)
+    path = str(tmp_path / "enriched")
+    write_clustered(out, path, n_files=2)
+    back = spark.read.parquet(path)
+    assert back.count() == out.count()
+    assert set(back.columns) == set(ENRICHED_COLUMNS)
+    # Clustering invariant: rows inside each file are sorted by the key
+    # (MergeTree ORDER BY analog, FIXTURES.md B5).
+    files = back.select(F.input_file_name().alias("f"), "item_name").collect()
+    by_file: dict[str, list[str]] = {}
+    for r in files:
+        by_file.setdefault(r.f, []).append(r.item_name)
+    for names in by_file.values():
+        assert names == sorted(names)

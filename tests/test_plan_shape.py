@@ -1,0 +1,105 @@
+"""Physical-plan shape assertions — the 100 TB design rules, enforced.
+
+Correct results are necessary but not sufficient: these tests pin the plan
+properties that decide whether a query survives a 1000× scale-up —
+predicate/projection pushdown into the parquet scan, broadcast (not shuffle)
+joins for dimensions, TakeOrderedAndProject for top-k, partial aggregation,
+and no Python UDFs in JVM-expressible paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, execute: bool = False) -> str:
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    df = plans.QUERIES[name](spark, SF)
+    if execute:
+        # AQE finalizes the physical plan (and codegen annotations) only
+        # once THIS query execution runs (count() would spawn its own).
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, name: str) -> str:
+    df = plans.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_scan_project_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "scan_project")
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+    # Column pruning: the scan reads only the projected columns plus the
+    # filter column — never the untouched ones.
+    assert "o_orderdate" not in plan and "o_orderpriority" not in plan
+
+
+def test_filter_range_pushes_all_predicates(spark):
+    plan = _plan(spark, "filter_range")
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, f"missing pushdown: {pushed}"
+    # Untouched columns never reach the scan.
+    assert "l_returnflag" not in plan
+
+
+def test_join_broadcast_uses_broadcast_hash_join(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "topk_sodium")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_macros_has_partial_aggregation(spark):
+    # Map-side partial agg (A7): HashAggregate appears in partial+final pairs.
+    plan = _plan(spark, "agg_macros")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_semi_and_anti_joins_planned(spark):
+    assert "LeftSemi" in _optimized(spark, "join_semi")
+    assert "LeftAnti" in _optimized(spark, "incremental_antijoin")
+
+
+def test_range_join_broadcasts_bucket_side(spark):
+    plan = _plan(spark, "join_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_no_python_udf_in_jvm_paths(spark):
+    """Every oracle-checked relational/text query must stay JVM-side —
+    pandas UDFs are reserved for the enrichment/multimodal boundary."""
+    python_ok = {"pipeline_nutrition_e2e", "mm_decode_features"}
+    for name in plans.ORACLE:
+        if name in python_ok or name.startswith("stream_"):
+            continue
+        plan = _plan(spark, name)
+        assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} unexpectedly routes through Python"
+        )
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    # Whole-stage codegen renders as "*(n)" stage markers in the plan string.
+    for name in ("flagship_revenue", "agg_macros", "join_inner"):
+        plan = _plan(spark, name, execute=True)
+        assert "isFinalPlan=true" in plan or "*(" in plan
+        assert "*(" in plan, f"{name} has no codegen'd stage"
+
+
+def test_flagship_no_cartesian(spark):
+    plan = _plan(spark, "flagship_revenue")
+    assert "CartesianProduct" not in plan
