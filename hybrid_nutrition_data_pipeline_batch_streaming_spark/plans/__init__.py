@@ -14,3 +14,4 @@ from . import similarity  # noqa: F401,E402
 from . import nutrition  # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
 from . import multimodal_queries  # noqa: F401,E402
+from . import udf_surface  # noqa: F401,E402

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.ingest import dedup_stream, read_events_stream, run_to_memory
+from ..streaming.stateful import stateful_user_totals
 from ..streaming.windows import session_windows, tumbling_counts
 from .registry import query
 
@@ -60,3 +61,22 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     variable-length event-time state, watermark-bounded."""
     stream = read_events_stream(spark, sf_dir)
     return run_to_memory(session_windows(stream), output_mode="complete")
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (T7/U4): applyInPandasWithState per-user
+    accumulation. AvailableNow drains the source in one pass, so the final
+    update per user equals the exact batch aggregate (fsum keeps the float
+    total correctly rounded) — stateful-stream/batch parity, value-checked."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(stateful_user_totals(stream), output_mode="update")

@@ -1,0 +1,104 @@
+"""UDF/UDAF/UDTF surface queries (SURVEY.md §2.10) + remaining function
+families (F6 map ops, A5 approximate distinct).
+
+These exercise every Python-boundary mechanism the engine supports — scalar
+pandas UDF (U1, in plans/nutrition.py), mapInPandas row-batch enrichment
+(U2), native JSON expansion (U3, json_flatten), grouped applyInPandas UDAF
+(U4) and applyInPandasWithState (T7, plans/streaming_queries.py) — each in
+its designated role: Python only where JVM expressions genuinely can't go.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.enrichment import enrich_from_api
+from .registry import query
+
+
+@query(
+    "json_map",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)                                 AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed JSON access (F6): the reference's dynamic key iteration
+    (`pipeline.py:54-57`) without a fixed struct — parse to MapType, expose
+    keys and a value."""
+    cat = Catalog(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return cat.events.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (A5 at scale: the exact distinct
+    set the producer keeps in memory, `produce_items.py:48`, stops fitting at
+    100 TB; HLL is the engine answer). Sketch values are engine-specific →
+    rows-only check; the unit test asserts the ≤5%-error contract instead."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count("*").alias("line_cnt"),
+    )
+
+
+@query("enrich_rest_stub")
+def enrich_rest_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-batched REST enrichment (S7/U2): mapInPandas with an injectable
+    lookup (deterministic stub here; batched HTTP client in production) —
+    the reference's one-blocking-call-per-message loop
+    (`consume_items.py:66-80,108`) turned into per-partition batch I/O.
+    Python-side → rows-only."""
+    cat = Catalog(spark, sf_dir)
+    names = cat.part.select(
+        F.concat(F.col("p_name"), F.lit(" #"), F.col("p_partkey")).alias("item_name")
+    )
+    enriched = enrich_from_api(names)
+    return enriched.select(
+        "item_name",
+        F.length("data").alias("payload_len"),
+        F.get_json_object(F.col("data"), "$[0].calories").cast("double").alias("calories"),
+    )
+
+
+@query(
+    "grouped_udaf_median",
+    oracle="""
+    SELECT user_id,
+           median(value) AS median_value,
+           CAST(COUNT(*) AS BIGINT) AS event_cnt
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def grouped_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation via applyInPandas (U4): per-user median —
+    a rank statistic Spark has no exact distributed built-in for. The group
+    is the parallelism unit; each Arrow batch holds one user's rows."""
+    import pandas as pd
+
+    cat = Catalog(spark, sf_dir)
+
+    def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "median_value": [float(pdf["value"].median())],
+                "event_cnt": [len(pdf)],
+            }
+        )
+
+    return cat.events.select("user_id", "value").groupBy("user_id").applyInPandas(
+        median_fn, schema="user_id bigint, median_value double, event_cnt bigint"
+    )

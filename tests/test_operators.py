@@ -1,0 +1,82 @@
+"""Operator-contract tests that the hash oracle can't express."""
+
+from pyspark.sql import functions as F
+
+from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ sketch (A5 scale path) must stay within its configured rsd."""
+    approx = {
+        r.l_returnflag: r.approx_orders
+        for r in plans.QUERIES["agg_approx_distinct"](spark, SF).collect()
+    }
+    exact = {
+        r.l_returnflag: r.cnt
+        for r in spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("cnt"))
+        .collect()
+    }
+    for flag, est in approx.items():
+        assert abs(est - exact[flag]) / exact[flag] <= 0.05
+
+
+def test_stateful_totals_match_batch(spark):
+    """applyInPandasWithState totals == exact batch aggregate."""
+    got = {
+        r.user_id: (r.event_cnt, r.total_value)
+        for r in plans.QUERIES["stream_stateful_totals"](spark, SF).collect()
+    }
+    exp = {
+        r.user_id: (r.cnt, r.total)
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_minhash_finds_known_near_dups(spark):
+    """MinHash LSH must surface pairs whose true 3-gram Jaccard ≥ 0.5 that
+    collide on the band; every emitted pair must genuinely clear the
+    threshold (no false positives survive verification)."""
+    rows = plans.QUERIES["dedup_minhash"](spark, SF).collect()
+    assert all(r.jaccard >= 0.5 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_similarity_topk_contract(spark):
+    """Exact top-k: k rows per query, ranks 1..k, cosine non-increasing."""
+    rows = plans.QUERIES["similarity_topk"](spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in cosines)
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """Bucketed ANN should recover a healthy fraction of the exact top-5
+    (sign-LSH with 6 bits on 64-dim unit-ish vectors — recall won't be 1.0,
+    but it must be far above chance)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in plans.QUERIES["similarity_topk"](spark, SF).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in plans.QUERIES["similarity_ann_lsh"](spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
