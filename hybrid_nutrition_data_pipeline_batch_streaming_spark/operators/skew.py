@@ -1,0 +1,70 @@
+"""Skew-mitigation utilities (SURVEY.md §4.2; the "salting for skew" lever).
+
+AQE's skew-join splitting handles most sort-merge skew automatically
+(enabled in session.py); these helpers cover the cases AQE can't re-plan:
+
+- ``salted_join``: replicate the small side R ways and scatter the skewed
+  big-side keys across R salt buckets, so one hot key (the celebrity-user /
+  empty-string pathology of web-scale training data) spreads over R tasks
+  instead of stalling one straggler.
+- ``two_phase_agg``: explicit partial aggregation over a salted key for
+  high-cardinality-resistant combiners where a single hot group dominates.
+
+Both preserve exact semantics — tests assert equality with the unsalted
+plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the big side.
+
+    big gains a random-ish (but deterministic: hash of all columns) salt in
+    [0, n_salts); small is exploded n_salts×; the join key becomes
+    (key, salt). Exact same rows as ``big.join(small, key)`` — only the
+    partitioning changes.
+    """
+    salt = F.pmod(F.xxhash64(*[big[c] for c in big.columns]), F.lit(n_salts)).cast("int")
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    joined = big_s.join(small_s, [key, "__salt"], how)
+    return joined.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    agg_exprs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """groupBy(key).agg(...) via an explicit salted partial phase.
+
+    ``agg_exprs`` maps column → 'sum'|'count'|'min'|'max' (the algebraic
+    combiners that re-aggregate cleanly). Phase 1 aggregates (key, salt);
+    phase 2 merges the ≤ n_salts partials per key — the hot group's work is
+    spread across n_salts tasks.
+    """
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
+    phase1 = salted.groupBy(key, "__salt").agg(
+        *[getattr(F, fn)(c).alias(f"__p_{c}") for c, fn in agg_exprs.items()]
+    )
+    phase2 = phase1.groupBy(key).agg(
+        *[
+            getattr(F, merge_fn[fn])(f"__p_{c}").alias(f"{fn}_{c}")
+            for c, fn in agg_exprs.items()
+        ]
+    )
+    return phase2

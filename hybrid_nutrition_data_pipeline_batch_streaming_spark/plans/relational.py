@@ -72,6 +72,29 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENDPOINT_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sql_endpoint", oracle=_ENDPOINT_SQL)
+def sql_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytics SQL endpoint (S9, SURVEY.md §3.3): the reference serves
+    dashboards through Superset-generated SQL against ClickHouse
+    (`superset/superset_config.py:1-3`); here the SAME SQL text runs through
+    ``spark.sql`` over registered views — one dialect for BI tools and the
+    DataFrame API (a Thrift/Connect server exposes this socket in
+    production)."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(_ENDPOINT_SQL)
+
+
 # ---------------------------------------------------------------------------
 # §2.1 / §2.2 — scans, projections, filters
 # ---------------------------------------------------------------------------

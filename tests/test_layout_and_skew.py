@@ -1,0 +1,92 @@
+"""Storage-layout and skew-mitigation tests (SURVEY.md §4.2).
+
+Partition pruning and salted-plan equivalence are the two scale levers that
+can't be seen in query results — so they're pinned here: pruning must show
+up as PartitionFilters in the plan, and salted plans must stay exactly
+result-equivalent to their unsalted forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.skew import (
+    salted_join,
+    two_phase_agg,
+)
+from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.writers import (
+    read_pruned,
+    write_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, ["o_year"], cluster_cols=["o_orderkey"])
+
+    pruned = read_pruned(spark, path, F.col("o_year") == 1997)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # The year predicate must become a partition filter (directory pruning),
+    # not a data filter.
+    assert "PartitionFilters: [isnotnull(o_year" in plan and "(o_year" in plan
+    expected = orders.where(F.col("o_year") == 1997).count()
+    assert pruned.count() == expected
+
+
+def test_salted_join_equivalent(spark):
+    big = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    small = spark.read.parquet(f"{SF}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plain = big.join(small, "l_partkey").groupBy("p_brand").count()
+    salted = salted_join(big, small, "l_partkey", n_salts=4).groupBy("p_brand").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_two_phase_agg_equivalent(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(12,2)").alias("q")
+    )
+    plain = {
+        r.l_returnflag: (r.s, r.m)
+        for r in df.groupBy("l_returnflag")
+        .agg(F.sum("q").alias("s"), F.max("q").alias("m"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.sum_q, r.max_q)
+        for r in two_phase_agg(df, "l_returnflag", {"q": "sum"}, 4)
+        .join(two_phase_agg(df, "l_returnflag", {"q": "max"}, 4), "l_returnflag")
+        .collect()
+    }
+    assert plain == salted
+
+
+def test_bucketed_table_join_avoids_shuffle(spark, tmp_path):
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    write_bucketed_table(
+        orders, "orders_bkt", "o_orderkey", 4, sort_col="o_orderkey", mode="overwrite"
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    bkt = spark.table("orders_bkt")
+    joined = bkt.join(
+        li.repartition(4, "l_orderkey"),
+        bkt["o_orderkey"] == li["l_orderkey"],
+    )
+    # The bucketed side must scan without an Exchange above it.
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    scan_side = plan.split("orders_bkt")[0]
+    assert "Exchange hashpartitioning(o_orderkey" not in scan_side
+    assert joined.count() == li.count()
