@@ -367,6 +367,52 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_star_5way",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS line_cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS nation_rev
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY nation_rev DESC
+    """,
+)
+def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema chain join (J1/J2 composed, TPC-H Q5 family): one
+    fact-fact shuffle join (lineitem ⋈ orders) and a broadcast chain through
+    supplier → nation → region. The region filter propagates through the
+    broadcast chain, so the fact scan is the only large input — the
+    prototypical 100 TB star query."""
+    cat = Catalog(spark, sf_dir)
+    revenue = F.col("l_extendedprice").cast(MONEY) * (
+        F.lit(1) - F.col("l_discount").cast(RATE)
+    )
+    return (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(
+            F.col("r_name").isin("ASIA", "EUROPE")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("line_cnt"),
+            F.sum(revenue).cast("double").alias("nation_rev"),
+        )
+        .orderBy(F.desc("nation_rev"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 — aggregations
 # ---------------------------------------------------------------------------

@@ -107,17 +107,21 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only k rows per partition past the window."""
     cat = Catalog(spark, sf_dir)
     emb = cat.embeddings
+    # Norms are precomputed per side (not per candidate pair) — same doubles
+    # (identical fold), ~3× less array work in the pairwise stage.
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("qe")
-    )
+    ).withColumn("qn", _norm(F.col("qe")))
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"), _to_double(F.col("embedding")).alias("ce")
-    )
+    ).withColumn("cn", _norm(F.col("ce")))
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine")
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -204,10 +208,11 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         e.alias("e"),
         *[_band_bucket(e, b).alias(f"b{b}") for b in range(N_BANDS)],
-    )
+    ).withColumn("n", _norm(F.col("e")))
     q = base.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
         *[F.col(f"b{b}").alias(f"qb{b}") for b in range(N_BANDS)],
     )
     cand = None
@@ -224,13 +229,19 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = piece if cand is None else cand.union(piece)
     cand = cand.distinct()
     scored = (
-        cand.join(F.broadcast(q.select("query_id", "qe")), "query_id")
+        cand.join(F.broadcast(q.select("query_id", "qe", "qn")), "query_id")
         .join(
-            base.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")),
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("e").alias("ce"),
+                F.col("n").alias("cn"),
+            ),
             "neighbor_id",
         )
         .select(
-            "query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine")
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -271,7 +282,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         e.alias("e"),
         *[_band_bucket(e, b).alias(f"b{b}") for b in range(N_BANDS)],
-    ).persist()
+    ).withColumn("n", _norm(F.col("e"))).persist()
     pairs = None
     for b in range(N_BANDS):
         lhs = base.select(F.col("vec_id").alias("vec_a"), F.col(f"b{b}").alias("ba"))
@@ -283,11 +294,25 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.distinct()
     return (
         pairs.join(
-            base.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")), "vec_a"
+            base.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("e").alias("ea"),
+                F.col("n").alias("na"),
+            ),
+            "vec_a",
         )
         .join(
-            base.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")), "vec_b"
+            base.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("e").alias("eb"),
+                F.col("n").alias("nb"),
+            ),
+            "vec_b",
         )
-        .select("vec_a", "vec_b", _cosine(F.col("ea"), F.col("eb")).alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
         .where(F.col("cosine") > NEAR_DUP_COS)
     )
