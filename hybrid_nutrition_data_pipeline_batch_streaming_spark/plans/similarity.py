@@ -252,6 +252,45 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_ann_mllib")
+def similarity_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH variant of the ANN path (X1): the
+    library implementation of the same idea (random-hyperplane bucketing,
+    approxSimilarityJoin on Euclidean distance over normalized vectors ≈
+    cosine ranking). Seeded for determinism, but hash functions are
+    JVM-internal → rows-only check; the custom SQL-portable variant
+    (similarity_ann_lsh) carries the oracle."""
+    try:
+        from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+        from pyspark.ml.functions import array_to_vector
+    except ImportError:  # pragma: no cover - ml not bundled
+        raise NotImplementedError("pyspark.ml unavailable in this build")
+
+    cat = Catalog(spark, sf_dir)
+    vecs = cat.embeddings.select(
+        "vec_id", array_to_vector(_to_double(F.col("embedding"))).alias("raw")
+    )
+    vecs = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(vecs)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(vecs)
+    q = vecs.where(F.col("vec_id") < N_QUERIES)
+    # On unit vectors: cosine = 1 - dist²/2, so ranking by distance ranks
+    # by cosine.
+    joined = model.approxSimilarityJoin(q, vecs, 2.0, distCol="dist").select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        (1 - F.col("dist") * F.col("dist") / 2).alias("cosine"),
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 NEAR_DUP_COS = 0.4
 
 

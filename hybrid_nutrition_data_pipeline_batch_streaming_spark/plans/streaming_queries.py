@@ -64,6 +64,65 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ), s AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS s_ts, value AS signup_value
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.purchase_id, p.user_id, p.p_ts, s.s_ts, s.signup_value
+    FROM p JOIN s
+      ON p.user_id = s.user_id
+     AND s.s_ts <= p.p_ts
+     AND s.s_ts >= p.p_ts - INTERVAL 3 DAY
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (J7/T6): purchases join signups of the
+    same user within a 3-day lookback, both sides watermarked so join state
+    is evicted once the watermark passes the interval — the bounded-state
+    requirement for joining two unbounded streams. Inner-join matches emit
+    as they arrive, so the drained AvailableNow result equals the batch
+    interval join — value-checked against it."""
+    events = read_events_stream(spark, sf_dir)
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    s = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").cast("timestamp").alias("s_ts"),
+            F.col("value").alias("signup_value"),
+        )
+        .withWatermark("s_ts", "4 days")
+    )
+    joined = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAY")),
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.col("s_ts").cast("timestamp_ntz").alias("s_ts"),
+        "signup_value",
+    )
+    return run_to_memory(joined)
+
+
+@query(
     "stream_stateful_totals",
     oracle="""
     SELECT user_id,
