@@ -75,6 +75,14 @@ def test_bucketed_table_join_avoids_shuffle(spark, tmp_path):
         write_bucketed_table,
     )
 
+    import shutil
+
+    # A previous session may have left the managed-table directory behind
+    # (fresh in-memory metastore + persistent warehouse dir): clear both.
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/orders_bkt", ignore_errors=True)
+
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     write_bucketed_table(
         orders, "orders_bkt", "o_orderkey", 4, sort_col="o_orderkey", mode="overwrite"
