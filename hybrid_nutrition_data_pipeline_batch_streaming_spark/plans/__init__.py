@@ -6,6 +6,7 @@ driver contract (``__spark_entry__.py``) re-exports ``QUERIES`` / ``ORACLE``.
 
 from .registry import ORACLE, QUERIES, query  # noqa: F401
 from . import relational  # noqa: F401,E402
+from . import relational2  # noqa: F401,E402
 from . import semistructured  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import text  # noqa: F401,E402

@@ -626,15 +626,16 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_orderkey AS orderkey FROM orders
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT l_orderkey AS orderkey FROM lineitem
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT: orders with no line items (non-empty at every SF)."""
     cat = Catalog(spark, sf_dir)
     # subtract == EXCEPT DISTINCT (exceptAll would only remove one occurrence
     # per matching right row, which is EXCEPT ALL semantics).
-    return cat.customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
-        cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return cat.orders.select(F.col("o_orderkey").alias("orderkey")).subtract(
+        cat.lineitem.select(F.col("l_orderkey").alias("orderkey"))
     )
