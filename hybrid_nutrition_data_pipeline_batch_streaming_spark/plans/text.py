@@ -204,6 +204,32 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_ml_pipeline")
+def text_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib text pipeline (X3 library path): Tokenizer → StopWordsRemover →
+    HashingTF term frequencies — the feature-extraction front half of any
+    Spark-native text classifier/clusterer. Hash buckets are JVM-internal →
+    rows-only; the SQL-portable tokenization carries the oracle
+    (wordcloud_tokens, text_stats)."""
+    try:
+        from pyspark.ml.feature import HashingTF, StopWordsRemover, Tokenizer
+    except ImportError:  # pragma: no cover
+        raise NotImplementedError("pyspark.ml unavailable in this build")
+
+    cat = Catalog(spark, sf_dir)
+    toks = Tokenizer(inputCol="text", outputCol="tokens").transform(cat.documents)
+    filtered = StopWordsRemover(inputCol="tokens", outputCol="filtered").transform(toks)
+    tf = HashingTF(inputCol="filtered", outputCol="tf", numFeatures=1024).transform(
+        filtered
+    )
+    return tf.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size("filtered").alias("n_content_tokens"),
+        (F.size("tokens") - F.size("filtered")).alias("n_stopwords"),
+    )
+
+
 @query(
     "doc_fingerprint",
     oracle="""

@@ -122,3 +122,36 @@ def test_rate_limited_ingestion(spark):
     out = run_to_memory(stream.groupBy().count(), output_mode="complete")
     total = spark.read.parquet(f"{SF}/events.parquet").count()
     assert out.collect()[0]["count"] == total
+
+
+def test_foreachbatch_upsert_lww(spark, tmp_path):
+    """foreachBatch keyed upsert (S4): streaming merge equals the batch
+    last-write-wins dedup of all input."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+        upsert_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ts0 = datetime.datetime(2024, 1, 1)
+    rows1 = [("a", ts0, "v1"), ("b", ts0, "v1")]
+    _write_batch(spark, tmp_path, rows1, "src")
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="item_name", ts_col="ingestion_ts"
+    )
+    schema = "item_name string, ingestion_ts timestamp, data string"
+
+    q = upsert_stream(
+        spark.readStream.schema(schema).parquet(src), store, str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+    # Later write for 'a', new key 'c'.
+    rows2 = [("a", ts0 + datetime.timedelta(hours=1), "v2"), ("c", ts0, "v1")]
+    _write_batch(spark, tmp_path, rows2, "src")
+    q = upsert_stream(
+        spark.readStream.schema(schema).parquet(src), store, str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+
+    final = {r.item_name: r.data for r in store.read().collect()}
+    assert final == {"a": "v2", "b": "v1", "c": "v1"}
