@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..functions.parity import MONEY, QTY
+from ..functions.parity import MONEY
 from .registry import query
 
 
