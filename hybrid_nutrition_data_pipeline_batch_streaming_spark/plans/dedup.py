@@ -194,57 +194,84 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-# 16-bit simhash built from the first 4 hex chars of each token's md5.
-# hexdigit value via strpos on the hex alphabet — portable to any dialect.
-_HEXVAL_SQL = "(strpos('0123456789abcdef', substr(md5(token), {pos}, 1)) - 1)"
+# 64-bit simhash from the full 16-hex-char md5 of each token, carried as two
+# 32-bit words (w0 = chars 1-8, w1 = chars 9-16) so signed BIGINT arithmetic
+# stays overflow-free in every dialect. Hex digits decode portably: Spark
+# conv(c,16,10), DuckDB strpos on the hex alphabet.
+SIMHASH_BITS = 64
+_WORD_BITS = 32
+HAMMING_MAX = 6
+_BLOCK_DIV = 2 ** 24  # block on the top 8 bits of w0
 
 
 def _token_bits(tok_md5: Column) -> list[Column]:
-    """16 bit columns (0/1) from the first 4 hex chars of a token digest."""
+    """64 bit columns (0/1) from the 16 hex chars of a token digest."""
     bits: list[Column] = []
-    for pos in range(1, 5):
-        # Hex digit → value 0..15 (conv base16→10); DuckDB twin uses strpos
-        # on the hex alphabet — same values.
+    for pos in range(1, 17):
         v = F.conv(F.substring(tok_md5, pos, 1), 16, 10).cast("int")
         for div in (8, 4, 2, 1):
             bits.append(((v / div).cast("int") % 2).cast("int"))
     return bits
 
 
+def _word(prefix: str, lo: int) -> Column:
+    """Assemble one 32-bit signature word from the per-bit vote columns."""
+    return (
+        sum(
+            (
+                F.when(F.col(f"{prefix}{lo + j}") > 0, F.lit(2**j)).otherwise(0)
+                for j in range(_WORD_BITS)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+    )
+
+
+_EXPANDED_SQL = """
+        SELECT doc_id, j,
+               CASE WHEN ((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
+                          // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                    THEN 1 ELSE -1 END AS sgn
+        FROM bits, generate_series(0, 63) t(j)
+"""
+
+
 @query(
     "dedup_simhash",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ), bits AS (
         SELECT doc_id, md5(token) AS h FROM tok WHERE token <> ''
-    ), expanded AS (
-        SELECT doc_id,
-               j,
-               CASE WHEN ((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
-                          // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
-                    THEN 1 ELSE -1 END AS sgn
-        FROM bits, generate_series(0, 15) t(j)
+    ), expanded AS ({_EXPANDED_SQL}
+    ), votes AS (
+        SELECT doc_id, j, SUM(sgn) AS s FROM expanded GROUP BY doc_id, j
     ), sig AS (
         SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        FROM (SELECT doc_id, j, SUM(sgn) AS s FROM expanded GROUP BY doc_id, j)
+               CAST(SUM(CASE WHEN s > 0 AND j < 32
+                             THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS w0,
+               CAST(SUM(CASE WHEN s > 0 AND j >= 32
+                             THEN CAST(pow(2, j - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1
+        FROM votes
         GROUP BY doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INT) AS hamming
     FROM sig a JOIN sig b
-      ON (a.simhash // 4096) = (b.simhash // 4096) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      ON (a.w0 // {_BLOCK_DIV}) = (b.w0 // {_BLOCK_DIV}) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= {HAMMING_MAX}
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate detection (X2): 16-bit signature from token
-    digests; candidate pairs generated by equality on the top 4 bits (an LSH
-    block — equi-join, no O(n²)), verified by Hamming distance ≤ 2.
+    """SimHash near-duplicate detection (X2): 64-bit signature from token
+    digests (per-bit ±1 votes over all tokens); candidate pairs generated by
+    equality on the top 8 signature bits (an LSH block — equi-join, never
+    O(n²)), verified by Hamming distance ≤ {HAMMING_MAX}.
 
-    100 TB shape: the multi-probe generalization re-joins on each of several
-    bit-blocks; the plan per block is identical to this one."""
+    100 TB shape: multi-probe re-joins on several bit-blocks (rotations of
+    the signature) to recover near-dups whose differing bits fall inside the
+    block; each probe is this same plan with a different block key."""
     cat = Catalog(spark, sf_dir)
     tok = (
         cat.documents.select(
@@ -253,8 +280,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("token") != "")
         .select("doc_id", F.md5(F.col("token")).alias("h"))
     )
-    # Sum the +1/-1 votes per bit in one aggregation (16 conditional sums —
-    # no per-bit explode needed on the Spark side).
+    # Sum the +1/-1 votes per bit in ONE aggregation pass (64 conditional
+    # sums, map-side partials — no per-bit explode on the Spark side).
     bit_votes = [
         F.sum(F.when(b == 1, 1).otherwise(-1)).alias(f"s{j}")
         for j, b in enumerate(_token_bits(F.col("h")))
@@ -262,29 +289,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         tok.groupBy("doc_id")
         .agg(*bit_votes)
-        .select(
-            "doc_id",
-            sum(
-                (F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(0) for j in range(16)),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("simhash"),
-        )
+        .select("doc_id", _word("s", 0).alias("w0"), _word("s", 32).alias("w1"))
+        .persist()  # both self-join sides read the materialized signatures
     )
     a, b = sig.alias("a"), sig.alias("b")
+    hamming = (
+        F.bit_count(F.expr("a.w0 ^ b.w0")) + F.bit_count(F.expr("a.w1 ^ b.w1"))
+    ).cast("int")
     return (
         a.join(
             b,
-            (F.expr("a.simhash DIV 4096") == F.expr("b.simhash DIV 4096"))
+            (F.expr(f"a.w0 DIV {_BLOCK_DIV}") == F.expr(f"b.w0 DIV {_BLOCK_DIV}"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("int").alias("hamming"),
+            hamming.alias("hamming"),
         )
-        .where(F.col("hamming") <= 2)
+        .where(F.col("hamming") <= HAMMING_MAX)
     )
 
 

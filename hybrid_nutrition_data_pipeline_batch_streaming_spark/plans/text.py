@@ -204,6 +204,81 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_text_curation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               string_split(text, ' ') AS toks,
+               md5(lower(trim(text))) AS text_hash,
+               CASE WHEN {_EN_SCORE_SQL} >= {_ES_SCORE_SQL}
+                         AND {_EN_SCORE_SQL} > 0 THEN 'en'
+                    WHEN {_ES_SCORE_SQL} > 0 THEN 'es'
+                    ELSE 'und' END AS pred_lang
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, text_hash, pred_lang,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CASE WHEN len(toks) BETWEEN 20 AND 400 THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(len(list_filter(toks, x ->
+                             list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE) / len(toks)
+                             BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END AS quality
+        FROM scored
+    ), kept AS (
+        SELECT doc_id, text_hash, n_tokens, CAST(quality AS INT) AS quality,
+               ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        FROM quality
+        WHERE quality >= 2 AND pred_lang = 'en'
+    )
+    SELECT doc_id, n_tokens, quality FROM kept WHERE rn = 1
+    """,
+)
+def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star ops composed into one curation pass (the shape of a
+    real training-data pipeline): quality gate → language gate → exact
+    dedup keeping the smallest doc_id — a single Catalyst plan whose only
+    shuffle is the dedup window. At 100 TB the map-only gates run first and
+    cut the shuffle volume, which is exactly why they're composed this way.
+    """
+    cat = Catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    en = sum((_occurrences(padded, m) for m in _EN_MARKERS), F.lit(0))
+    es = sum((_occurrences(padded, m) for m in _ES_MARKERS), F.lit(0))
+    pred_lang = (
+        F.when((en >= es) & (en > 0), F.lit("en"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double") / n
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = (
+        F.when(n.between(20, 400), 1).otherwise(0)
+        + F.when(uniq_ratio > 0.3, 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+    )
+    from pyspark.sql.window import Window
+
+    gated = cat.documents.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        quality.cast("int").alias("quality"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"),
+    ).where((quality >= 2) & (pred_lang == "en"))
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
 @query("text_ml_pipeline")
 def text_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib text pipeline (X3 library path): Tokenizer → StopWordsRemover →
