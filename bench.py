@@ -40,6 +40,8 @@ HEADLINE = [
     "wordcloud_tokens",
     "dedup_exact_text",
     "dedup_minhash",
+    "dedup_simhash",
+    "pipeline_text_curation",
     "similarity_topk",
     "similarity_ann_lsh",
     "pipeline_nutrition_e2e",
