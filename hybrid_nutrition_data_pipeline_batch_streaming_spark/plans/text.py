@@ -279,6 +279,66 @@ def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), ids AS (
+        SELECT doc_id, toks,
+               CAST(unnest(generate_series(0,
+                   CAST(greatest(ceil((len(toks) - {CHUNK_TOKENS})
+                                      / {CHUNK_STRIDE}.0), 0) AS BIGINT))) AS INT) AS chunk_id
+        FROM t
+    ), chunks AS (
+        SELECT doc_id, chunk_id,
+               array_to_string(toks[(chunk_id * {CHUNK_STRIDE} + 1)
+                                    :(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS})], ' ') AS chunk_text
+        FROM ids
+    )
+    SELECT doc_id, chunk_id, chunk_text,
+           CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_chunk_tokens
+    FROM chunks
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (north-star text op): fixed
+    {CHUNK_TOKENS}-token windows with {CHUNK_STRIDE}-token stride — the
+    standard context-window preparation step for LLM training corpora.
+    Pure slice/explode column work: one generator, no shuffle, linear in
+    corpus size."""
+    cat = Catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(CHUNK_TOKENS)) / F.lit(float(CHUNK_STRIDE))),
+        F.lit(0),
+    )
+    idx = F.sequence(F.lit(0), n_chunks.cast("bigint"))
+    chunked = cat.documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(idx).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"),
+                CHUNK_TOKENS,
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    return chunked.withColumn(
+        "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), " "))
+    )
+
+
 @query("text_ml_pipeline")
 def text_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib text pipeline (X3 library path): Tokenizer → StopWordsRemover →

@@ -72,6 +72,46 @@ def enrich_rest_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sample_bernoulli")
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (training-data pipeline staple): each row
+    kept i.i.d. with p=0.1 — scan-local, no shuffle, reproducible under the
+    seed. Spark's sampler RNG is engine-specific → rows-only check; the
+    unit test pins the statistical contract instead."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.sample(fraction=0.1, seed=42).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query("sample_stratified")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language (`sampleBy`): per-stratum keep rates —
+    the rebalancing step of corpus curation (e.g. downsample English,
+    keep all low-resource languages)."""
+    cat = Catalog(spark, sf_dir)
+    langs = [r.lang for r in cat.documents.select("lang").distinct().collect()]
+    fractions = {lang: (0.05 if lang == "en" else 0.5) for lang in langs}
+    return cat.documents.sampleBy("lang", fractions, seed=42).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile / KLL-style): the scale
+    path when exact interpolation (agg_percentile) would require a full
+    sort — accuracy bound pinned in tests, sketch values engine-specific →
+    rows-only."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag").agg(
+        F.approx_percentile(F.col("l_extendedprice"), F.lit(0.5), F.lit(1000)).alias(
+            "approx_median_price"
+        ),
+        F.count("*").alias("line_cnt"),
+    )
+
+
 @query(
     "grouped_udaf_median",
     oracle="""

@@ -80,3 +80,63 @@ def test_ann_lsh_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+
+
+def test_sampling_contracts(spark):
+    """Seeded samplers: reproducible, right expected size, valid strata."""
+    s1 = plans.QUERIES["sample_bernoulli"](spark, SF)
+    n1, n2 = s1.count(), plans.QUERIES["sample_bernoulli"](spark, SF).count()
+    assert n1 == n2  # seed-reproducible
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0.02 * total <= n1 <= 0.25 * total  # near p=0.1
+
+    strat = plans.QUERIES["sample_stratified"](spark, SF)
+    by_lang = {r.lang: r.cnt for r in strat.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    full = {
+        r.lang: r.cnt
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    # English stratum sampled much more aggressively than the rest.
+    if "en" in by_lang:
+        assert by_lang["en"] / full["en"] < 0.3
+
+
+def test_approx_percentile_error_bound(spark):
+    approx = {
+        r.l_returnflag: r.approx_median_price
+        for r in plans.QUERIES["agg_approx_percentile"](spark, SF).collect()
+    }
+    exact = {
+        r.l_returnflag: r.m
+        for r in spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("m"))
+        .collect()
+    }
+    for flag, est in approx.items():
+        assert abs(est - exact[flag]) / exact[flag] <= 0.05
+
+
+def test_text_chunking_reconstructs(spark):
+    """Stride-1 chunk coverage: every token of every doc appears in at least
+    one chunk, first chunk starts the doc, overlap equals tokens - stride."""
+    rows = plans.QUERIES["text_chunking"](spark, SF).collect()
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id].split(" ")
+        assert chunks[0] == toks[:CHUNK_TOKENS]
+        covered = max(cid * CHUNK_STRIDE + len(c) for cid, c in chunks.items())
+        assert covered >= len(toks)  # tail covered
+        for cid, c in chunks.items():
+            assert c == toks[cid * CHUNK_STRIDE : cid * CHUNK_STRIDE + CHUNK_TOKENS]
