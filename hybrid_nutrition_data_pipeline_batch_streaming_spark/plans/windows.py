@@ -124,6 +124,61 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sessionize_batch",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS event_cnt,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (the batch twin of
+    streaming/windows.py::session_windows): lag → gap flag → running sum
+    assigns session ids, then per-session aggregates — two window passes
+    over ONE shuffle on user_id (the partitioning is reused across both
+    windows and the final groupBy)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gaps (a seconds-truncated cast would round each
+    # endpoint before differencing and disagree with the oracle near the
+    # 30-minute boundary).
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    tagged = cat.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_id"),
+    )
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("event_cnt"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
     "stream_tumbling",
     oracle="""
     SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
