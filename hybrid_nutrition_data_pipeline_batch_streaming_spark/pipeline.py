@@ -110,6 +110,45 @@ def run_batch_pipeline(raw: DataFrame) -> DataFrame:
     return enriched.select(*ENRICHED_COLUMNS)
 
 
+def run_incremental_pipeline(
+    spark,
+    raw_path: str,
+    out_path: str,
+    checkpoint: str,
+    raw_schema: str = "item_name string, ingestion_ts timestamp, data string",
+):
+    """The reference's scheduled job (`pipeline.py:161-163`, cron every
+    10 min + mark-processed mutation), as a checkpointed incremental run:
+
+    each invocation streams exactly the raw files that arrived since the
+    last run (AvailableNow + checkpoint — no processed-flag writes back to
+    the store, no race between load and mark, SURVEY.md §4.2 item 4), pushes
+    the increment through the SAME batch transform, and merges it into the
+    enriched table with last-write-wins semantics.
+
+    Returns once the increment is fully processed. Run it from any
+    scheduler — the checkpoint makes reruns exactly-once.
+    """
+    from .streaming.upsert_sink import ParquetUpsertStore
+
+    store = ParquetUpsertStore(
+        spark, out_path, key="item_name", ts_col="ingestion_ts"
+    )
+    stream = spark.readStream.schema(raw_schema).parquet(raw_path)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        store.merge(run_batch_pipeline(batch))
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.read()
+
+
 def write_clustered(df: DataFrame, path: str, n_files: int | None = None) -> None:
     """Columnar load clustered by (item_name, ingestion_ts) — the engine's
     analog of MergeTree ``ORDER BY`` (`pipeline.py:105-107`): repartition on

@@ -120,3 +120,42 @@ def test_write_clustered_roundtrip(spark, raw, tmp_path):
         by_file.setdefault(r.f, []).append(r.item_name)
     for names in by_file.values():
         assert names == sorted(names)
+
+
+def test_incremental_pipeline_two_waves(spark, tmp_path):
+    """The scheduled-job replacement (S6/T5): two raw arrival waves, two
+    runs; the final enriched table equals the one-shot batch pipeline over
+    all raw data (exactly-once increments + LWW merge)."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.pipeline import (
+        run_incremental_pipeline,
+    )
+
+    raw_dir = str(tmp_path / "raw")
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "item_name string, ingestion_ts timestamp_ntz, data string"
+
+    wave1 = [
+        ("avocado toast", TS1, GOOD_JSON),
+        ("plain rice", TS1, MISSING_FIELDS_JSON),
+        ("dup item", TS1, '[{"name": "dup", "calories": 1.0}]'),
+    ]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(raw_dir)
+    first = run_incremental_pipeline(spark, raw_dir, out, ckpt)
+    assert {r.item_name for r in first.collect()} == {
+        "avocado toast", "plain rice", "dup item",
+    }
+
+    wave2 = [
+        ("dup item", TS2, '[{"name": "dup", "calories": 2.0}]'),  # LWW update
+        ("multi", TS1, MULTI_ELEMENT_JSON),
+        ("broken", TS1, "[{oops"),  # dropped
+    ]
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(raw_dir)
+    final = run_incremental_pipeline(spark, raw_dir, out, ckpt)
+
+    all_raw = spark.createDataFrame(wave1 + wave2, schema)
+    expected = run_batch_pipeline(all_raw)
+    got = {tuple(r) for r in final.select(*ENRICHED_COLUMNS).collect()}
+    exp = {tuple(r) for r in expected.collect()}
+    assert got == exp
