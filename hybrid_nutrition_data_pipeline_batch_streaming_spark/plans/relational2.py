@@ -107,6 +107,65 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): status columns per return flag — the
+    dashboard cross-tab. Spark's pivot plans the same single-pass
+    conditional aggregation the oracle spells out."""
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql.types import DecimalType
+
+    piv = (
+        cat.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(DecimalType(12, 2))))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").cast("double").alias("qty_F"),
+        F.col("O").cast("double").alias("qty_O"),
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT o_orderkey, metric, value FROM (
+        SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+    )
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): melt measure columns into (metric, value)
+    rows — the long-format feed for generic metric dashboards. Spark's
+    unpivot/stack is a zero-shuffle generator."""
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double").alias("custkey")
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "o_totalprice", "totalprice").otherwise(F.col("metric")),
+    )
+
+
+@query(
     "try_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
