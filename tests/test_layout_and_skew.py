@@ -98,3 +98,48 @@ def test_bucketed_table_join_avoids_shuffle(spark, tmp_path):
     scan_side = plan.split("orders_bkt")[0]
     assert "Exchange hashpartitioning(o_orderkey" not in scan_side
     assert joined.count() == li.count()
+
+
+def test_scd2_merge_semantics(spark):
+    """SCD2 (CDC history) merge: changed keys close + reopen, unchanged pass
+    through, new keys insert, closed history is immutable."""
+    import datetime
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.scd import (
+        scd2_apply,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    t2 = datetime.datetime(2024, 3, 1)
+    hist_schema = (
+        "custkey bigint, segment string, valid_from timestamp_ntz, valid_to timestamp_ntz"
+    )
+    history = spark.createDataFrame(
+        [
+            (1, "BUILDING", t0, t1),   # closed old version
+            (1, "MACHINERY", t1, None),  # current
+            (2, "FURNITURE", t0, None),  # current, won't change
+        ],
+        hist_schema,
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "AUTOMOBILE", t2),  # change → close+reopen
+            (2, "FURNITURE", t2),   # no-op
+            (3, "HOUSEHOLD", t2),   # brand new key
+        ],
+        "custkey bigint, segment string, update_ts timestamp_ntz",
+    )
+    out = scd2_apply(history, updates, key="custkey", tracked=["segment"])
+    rows = {(r.custkey, r.segment, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, "BUILDING", t0, t1),
+        (1, "MACHINERY", t1, t2),      # closed at update time
+        (1, "AUTOMOBILE", t2, None),   # new current
+        (2, "FURNITURE", t0, None),    # untouched
+        (3, "HOUSEHOLD", t2, None),    # inserted
+    }
+    # Idempotence: re-applying the same updates changes nothing.
+    again = scd2_apply(out, updates, key="custkey", tracked=["segment"])
+    assert {(r.custkey, r.segment, r.valid_from, r.valid_to) for r in again.collect()} == rows
