@@ -251,6 +251,82 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1)            AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')      AS devoweled,
+           regexp_matches(p_type, '^ECO')                   AS is_economy,
+           CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) + 1 AS INT) AS word_cnt
+    FROM part
+    """,
+)
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family (F1 extension): extract / global replace /
+    match-test — patterns kept to the Java∩RE2 common subset so both
+    engines agree."""
+    cat = Catalog(spark, sf_dir)
+    return cat.part.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("^ECO").alias("is_economy"),
+        (
+            F.length(F.regexp_replace(F.col("p_name"), "[^ ]", "")) + 1
+        ).alias("word_cnt"),
+    )
+
+
+@query(
+    "date_arith_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY          AS due_ts,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)    AS month_end,
+           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH         AS quarter_later,
+           CAST(date_part('dow', o_orderdate) AS INT)           AS dow,
+           CAST(date_part('quarter', o_orderdate) AS INT)       AS oquarter
+    FROM orders
+    """,
+)
+def date_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family (F2 extension): interval addition, month-end,
+    day-of-week, quarter — the reporting-calendar toolkit."""
+    cat = Catalog(spark, sf_dir)
+    odate = F.col("o_orderdate").cast("date")
+    return cat.orders.select(
+        "o_orderkey",
+        F.date_add(odate, 30).cast("timestamp_ntz").alias("due_ts"),
+        F.last_day(odate).alias("month_end"),
+        F.add_months(odate, 3).cast("timestamp_ntz").alias("quarter_later"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.quarter("o_orderdate").alias("oquarter"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregation): the order carrying each group's
+    extreme price — one pass, no self-join back to find the extreme row."""
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
     "array_funcs",
     oracle="""
     SELECT vec_id,

@@ -124,6 +124,63 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           FIRST_VALUE(value) OVER w AS first_value_seen,
+           LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_value,
+           NTH_VALUE(value, 2) OVER w AS second_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth analytic values over the full partition frame (W2
+    family): per-user first-seen, final and second event values."""
+    cat = Catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return cat.events.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_value_seen"),
+        F.last("value").over(w).alias("final_value"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               ORDER BY o_totalprice
+               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS nearby_price_sum
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windowed aggregate (W3 variant): value-based frame bounds
+    (all orders within $1000 below the current price), decimal-exact."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, Window.currentRow)
+    return cat.orders.where(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast(MONEY)).over(w).cast("double").alias(
+            "nearby_price_sum"
+        ),
+    )
+
+
+@query(
     "sessionize_batch",
     oracle="""
     WITH ordered AS (
