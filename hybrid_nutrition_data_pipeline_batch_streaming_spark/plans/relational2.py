@@ -107,6 +107,85 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, part_rev, rnk
+    FROM (
+        SELECT p_brand, p_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_rev,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) DESC,
+                                           p_partkey) AS rnk
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+    )
+    WHERE rnk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (the other top-k): best 3 parts per brand by revenue —
+    aggregate then window row_number ≤ K; only K rows per group survive the
+    window, never a global sort."""
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    per_part = (
+        cat.lineitem.join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double").alias("part_rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("part_rev"), F.asc("p_partkey"))
+    return (
+        per_part.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "part_rev", "rnk")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT c_nationkey)) AS nation_list,
+           CAST(COUNT(*) AS BIGINT) AS customer_cnt
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect (string_agg/listagg family): the distinct nation set
+    per segment as a sorted array — collect_set is order-nondeterministic,
+    so sort_array makes it hashable."""
+    cat = Catalog(spark, sf_dir)
+    return cat.customer.groupBy("c_mktsegment").agg(
+        F.sort_array(F.collect_set("c_nationkey")).alias("nation_list"),
+        F.count("*").alias("customer_cnt"),
+    )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT l_returnflag,
+           bool_or(l_discount > 0.08)  AS any_deep_discount,
+           bool_and(l_quantity > 0)    AS all_positive_qty,
+           CAST(count_if(l_tax = 0.0) AS BIGINT) AS taxfree_cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (any/every/count_if): data-quality style asserts
+    as single-pass aggregations."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag").agg(
+        F.bool_or(F.col("l_discount") > 0.08).alias("any_deep_discount"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.count_if(F.col("l_tax") == 0.0).alias("taxfree_cnt"),
+    )
+
+
+@query(
     "agg_pivot",
     oracle="""
     SELECT l_returnflag,
