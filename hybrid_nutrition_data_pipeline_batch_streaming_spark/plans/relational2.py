@@ -245,6 +245,58 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_checks",
+    oracle="""
+    SELECT
+        CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)                AS row_cnt,
+        CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT)
+                                                                       AS null_orderkeys,
+        CAST((SELECT COUNT(*) FROM lineitem
+              WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)       AS bad_discounts,
+        CAST((SELECT COUNT(*) FROM lineitem
+              WHERE l_shipdate < TIMESTAMP '1990-01-01') AS BIGINT)    AS impossible_dates,
+        CAST((SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+                                                                       AS orphan_lineitems,
+        CAST((SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber
+              FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS BIGINT)
+                                                                       AS dup_pk_groups
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation suite (the expectations pass every 100 TB
+    ingest needs): null-key rate, domain-range violations, impossible
+    dates, referential integrity (orphan facts via anti-join), and
+    primary-key uniqueness — each an aggregate or anti-join the optimizer
+    can run over one scan per check, emitted as a single assertion row."""
+    cat = Catalog(spark, sf_dir)
+    li, orders = cat.lineitem, cat.orders
+    row_cnt = li.count()
+    null_keys = li.where(F.col("l_orderkey").isNull()).count()
+    bad_disc = li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).count()
+    bad_dates = li.where(
+        F.col("l_shipdate") < F.lit("1990-01-01").cast("timestamp_ntz")
+    ).count()
+    orphans = li.join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    ).count()
+    dup_pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    return spark.createDataFrame(
+        [(row_cnt, null_keys, bad_disc, bad_dates, orphans, dup_pk)],
+        "row_cnt bigint, null_orderkeys bigint, bad_discounts bigint, "
+        "impossible_dates bigint, orphan_lineitems bigint, dup_pk_groups bigint",
+    )
+
+
+@query(
     "try_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
