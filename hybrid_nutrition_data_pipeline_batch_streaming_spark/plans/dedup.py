@@ -190,6 +190,87 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_banded",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+    ), sig AS (
+        SELECT doc_id, shingles,
+           {_MINHASH_SIG_SQL}
+        FROM sh
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+    """,
+)
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band MinHash LSH (X2, the production r×b form): the same 4
+    minhash coordinates arranged as b=2 bands × r=2 rows. A pair is a
+    candidate if it collides on EITHER band (OR-amplification), then exact
+    Jaccard verifies. At J=0.5 the single-band (AND-of-4) recall is
+    J⁴ ≈ 0.06; two bands of two give 1-(1-J²)² ≈ 0.44 — the recall knob
+    `dedup_minhash`'s docstring promises, wired. Each band join is still an
+    equi-join (never O(n²)); the union + distinct dedups cross-band
+    candidates before the verify join, so no pair is rescored twice."""
+    cat = Catalog(spark, sf_dir)
+    sig = (
+        cat.documents.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .withColumn("digests", F.transform(F.col("shingles"), F.md5))
+        .select(
+            "doc_id",
+            "shingles",
+            *[
+                _minhash(F.col("digests"), k).alias(f"mh{k}")
+                for k in range(N_MINHASHES)
+            ],
+        )
+        .persist()
+    )
+    bands = [("mh0", "mh1"), ("mh2", "mh3")]
+    cand = None
+    for cols in bands:
+        a, b = sig.alias("a"), sig.alias("b")
+        cond = (F.col(f"a.{cols[0]}") == F.col(f"b.{cols[0]}")) & (
+            F.col(f"a.{cols[1]}") == F.col(f"b.{cols[1]}")
+        )
+        pairs = a.join(b, cond & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

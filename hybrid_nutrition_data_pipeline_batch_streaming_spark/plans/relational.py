@@ -609,6 +609,137 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1998-06-30'
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      AND o_orderstatus LIKE 'F%'
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full P6 predicate family in one scan — date/value range (BETWEEN),
+    IN-list, and LIKE prefix — all pushed into the parquet reader
+    (PushedFilters shows every conjunct; a prefix LIKE compiles to
+    StringStartsWith). Single map-only pass at any scale."""
+    cat = Catalog(spark, sf_dir)
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-06-30").cast("timestamp_ntz")
+    return cat.orders.where(
+        F.col("o_orderdate").between(lo, hi)
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+        & F.col("o_orderstatus").like("F%")
+    ).select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "agg_rollup_cube",
+    oracle="""
+    SELECT 'rollup' AS mode, l_returnflag AS dim1, l_linestatus AS dim2,
+           COUNT(*) AS grp_cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS mode, o_orderstatus AS dim1, o_orderpriority AS dim2,
+           COUNT(*) AS grp_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE multi-level aggregation (A6) in one result: rollup
+    over lineitem (hierarchy totals) tag-unioned with cube over orders (all
+    2² grouping sets). Each branch is a single-pass grouping-sets expansion
+    with map-side partials; the union is plan-level concatenation, not a
+    shuffle."""
+    cat = Catalog(spark, sf_dir)
+    rollup_side = (
+        cat.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("grp_cnt"),
+            F.sum(F.col("l_quantity").cast(QTY)).cast("double").alias("total"),
+        )
+        .select(
+            F.lit("rollup").alias("mode"),
+            F.col("l_returnflag").alias("dim1"),
+            F.col("l_linestatus").alias("dim2"),
+            "grp_cnt",
+            "total",
+        )
+    )
+    cube_side = (
+        cat.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("grp_cnt"),
+            F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("total"),
+        )
+        .select(
+            F.lit("cube").alias("mode"),
+            F.col("o_orderstatus").alias("dim1"),
+            F.col("o_orderpriority").alias("dim2"),
+            "grp_cnt",
+            "total",
+        )
+    )
+    return rollup_side.unionByName(cube_side)
+
+
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'union' AS op, CAST(nationkey AS BIGINT) AS key FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union_all' AS op, CAST(nationkey AS BIGINT) AS key FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(nationkey AS BIGINT) AS key FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, CAST(orderkey AS BIGINT) AS key FROM (
+        SELECT o_orderkey AS orderkey FROM orders
+        EXCEPT
+        SELECT l_orderkey AS orderkey FROM lineitem)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four set operations (§2.7) tag-unioned into one result: UNION
+    (distinct), UNION ALL (bag), INTERSECT, EXCEPT. Each distinct-flavored op
+    is one hash-aggregate/join shuffle on the key; UNION ALL is shuffle-free
+    concatenation. The per-op queries (set_union etc.) remain registered
+    individually — this composite carries the driver correctness row."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer.select(F.col("c_nationkey").cast("bigint").alias("key"))
+    supp = cat.supplier.select(F.col("s_nationkey").cast("bigint").alias("key"))
+    tag = lambda df, name: df.select(F.lit(name).alias("op"), "key")  # noqa: E731
+    return (
+        tag(cust.union(supp).distinct(), "union")
+        .unionByName(tag(cust.union(supp), "union_all"))
+        .unionByName(tag(cust.intersect(supp), "intersect"))
+        .unionByName(
+            tag(
+                cat.orders.select(F.col("o_orderkey").cast("bigint").alias("key"))
+                .subtract(
+                    cat.lineitem.select(F.col("l_orderkey").cast("bigint").alias("key"))
+                ),
+                "except",
+            )
+        )
+    )
+
+
+@query(
     "set_intersect",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer

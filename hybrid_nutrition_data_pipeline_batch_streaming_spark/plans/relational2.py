@@ -146,7 +146,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT c_nationkey)) AS nation_list,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nation_list,
            CAST(COUNT(*) AS BIGINT) AS customer_cnt
     FROM customer
     GROUP BY c_mktsegment
@@ -154,11 +154,15 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered collect (string_agg/listagg family): the distinct nation set
-    per segment as a sorted array — collect_set is order-nondeterministic,
-    so sort_array makes it hashable."""
+    per segment, sorted and joined to one string — collect_set is
+    order-nondeterministic, so sort_array fixes the order and array_join
+    emits a scalar every comparison harness can hash (array columns are
+    unhashable in the driver's canonicalizer)."""
     cat = Catalog(spark, sf_dir)
     return cat.customer.groupBy("c_mktsegment").agg(
-        F.sort_array(F.collect_set("c_nationkey")).alias("nation_list"),
+        F.array_join(F.sort_array(F.collect_set("c_nationkey")), ",").alias(
+            "nation_list"
+        ),
         F.count("*").alias("customer_cnt"),
     )
 
@@ -266,33 +270,50 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality validation suite (the expectations pass every 100 TB
-    ingest needs): null-key rate, domain-range violations, impossible
-    dates, referential integrity (orphan facts via anti-join), and
-    primary-key uniqueness — each an aggregate or anti-join the optimizer
-    can run over one scan per check, emitted as a single assertion row."""
+    ingest needs) as ONE lazy plan: the four row-local checks (row count,
+    null keys, domain range, impossible dates) are conditional aggregates
+    over a single lineitem scan; referential integrity is one anti-join
+    count and PK uniqueness one groupBy count — three 1-row aggregates
+    cross-joined (broadcast NLJ of single rows) into the assertion row.
+    No driver-side `.count()` actions: the whole suite is a plan the
+    optimizer schedules in one job."""
     cat = Catalog(spark, sf_dir)
     li, orders = cat.lineitem, cat.orders
-    row_cnt = li.count()
-    null_keys = li.where(F.col("l_orderkey").isNull()).count()
-    bad_disc = li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).count()
-    bad_dates = li.where(
-        F.col("l_shipdate") < F.lit("1990-01-01").cast("timestamp_ntz")
-    ).count()
-    orphans = li.join(
-        orders.select("o_orderkey"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-        "left_anti",
-    ).count()
-    dup_pk = (
+    row_checks = li.agg(
+        F.count("*").alias("row_cnt"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
+            "null_orderkeys"
+        ),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("bad_discounts"),
+        F.sum(
+            F.when(
+                F.col("l_shipdate") < F.lit("1990-01-01").cast("timestamp_ntz"), 1
+            ).otherwise(0)
+        ).alias("impossible_dates"),
+    )
+    orphan_check = (
+        li.join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    dup_check = (
         li.groupBy("l_orderkey", "l_linenumber")
         .count()
         .where(F.col("count") > 1)
-        .count()
+        .agg(F.count("*").alias("dup_pk_groups"))
     )
-    return spark.createDataFrame(
-        [(row_cnt, null_keys, bad_disc, bad_dates, orphans, dup_pk)],
-        "row_cnt bigint, null_orderkeys bigint, bad_discounts bigint, "
-        "impossible_dates bigint, orphan_lineitems bigint, dup_pk_groups bigint",
+    return row_checks.crossJoin(orphan_check).crossJoin(dup_check).select(
+        F.col("row_cnt").cast("bigint"),
+        F.col("null_orderkeys").cast("bigint"),
+        F.col("bad_discounts").cast("bigint"),
+        F.col("impossible_dates").cast("bigint"),
+        F.col("orphan_lineitems").cast("bigint"),
+        F.col("dup_pk_groups").cast("bigint"),
     )
 
 

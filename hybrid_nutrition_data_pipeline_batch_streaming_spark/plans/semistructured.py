@@ -162,13 +162,21 @@ def cast_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
            p_brand || ':' || p_type             AS brand_type,
            substr(p_name, 1, 5)                 AS name5,
            CAST(length(p_name) AS INT)          AS name_len,
-           replace(p_name, ' ', '_')            AS name_us
+           replace(p_name, ' ', '_')            AS name_us,
+           regexp_extract(p_name, '([a-z]+)', 1)            AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')      AS devoweled,
+           regexp_matches(p_type, '^ECO')                   AS is_economy,
+           CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) + 1 AS INT) AS word_cnt
     FROM part
     """,
 )
 def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String function family (F1 — the reference's encode/strip/f-string
-    surface, `produce_items.py:23,35`, `pipeline.py:60-63`)."""
+    surface, `produce_items.py:23,35`, `pipeline.py:60-63`) plus the regex
+    subfamily (extract / global replace / match-test, patterns kept to the
+    Java∩RE2 common subset) — one codegen'd projection carries the whole
+    F1 correctness row; `regexp_funcs` stays registered as the standalone
+    variant."""
     cat = Catalog(spark, sf_dir)
     return cat.part.select(
         "p_partkey",
@@ -179,6 +187,10 @@ def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 5).alias("name5"),
         F.length("p_name").alias("name_len"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.regexp_extract(F.col("p_name"), "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("^ECO").alias("is_economy"),
+        (F.length(F.regexp_replace(F.col("p_name"), "[^ ]", "")) + 1).alias("word_cnt"),
     )
 
 
@@ -192,24 +204,36 @@ def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dayofmonth(o_orderdate) AS INT)             AS oday,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS omonth_start,
            CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
-                                                            AS days_since_epoch
+                                                            AS days_since_epoch,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY          AS due_ts,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)    AS month_end,
+           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH         AS quarter_later,
+           CAST(date_part('dow', o_orderdate) AS INT)           AS dow,
+           CAST(date_part('quarter', o_orderdate) AS INT)       AS oquarter
     FROM orders
     """,
 )
 def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time function family (F2 — ingestion stamps at
-    `consume_items.py:103`, ts handling at `pipeline.py:114`)."""
+    `consume_items.py:103`, ts handling at `pipeline.py:114`) plus the
+    date-arithmetic subfamily (interval addition, month-end, day-of-week,
+    quarter); `date_arith_funcs` stays registered as the standalone
+    variant."""
     cat = Catalog(spark, sf_dir)
+    odate = F.col("o_orderdate").cast("date")
     return cat.orders.select(
         "o_orderkey",
-        F.col("o_orderdate").cast("date").alias("odate"),
+        odate.alias("odate"),
         F.year("o_orderdate").alias("oyear"),
         F.month("o_orderdate").alias("omonth"),
         F.dayofmonth("o_orderdate").alias("oday"),
         F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("omonth_start"),
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
-        ).alias("days_since_epoch"),
+        F.datediff(odate, F.lit("1995-01-01").cast("date")).alias("days_since_epoch"),
+        F.date_add(odate, 30).cast("timestamp_ntz").alias("due_ts"),
+        F.last_day(odate).alias("month_end"),
+        F.add_months(odate, 3).cast("timestamp_ntz").alias("quarter_later"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.quarter("o_orderdate").alias("oquarter"),
     )
 
 
@@ -224,13 +248,20 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            greatest(l_quantity, 25.0)               AS q_floor25,
            least(l_tax, l_discount)                 AS min_rate,
            CAST(floor(l_quantity) AS BIGINT)        AS q_floor,
-           CAST(ceil(l_extendedprice) AS BIGINT)    AS price_ceil
+           CAST(ceil(l_extendedprice) AS BIGINT)    AS price_ceil,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS price_per_disc,
+           TRY_CAST(l_returnflag AS DOUBLE)           AS flag_num,
+           COALESCE(TRY_CAST(l_returnflag AS DOUBLE), -1.0) AS flag_num_dflt
     FROM lineitem
     """,
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function family (F3 — float casts and default-0 arithmetic,
-    `pipeline.py:115-125`; per-100g ratio `README.md:42`)."""
+    `pipeline.py:115-125`; per-100g ratio `README.md:42`) plus the
+    error-safe try_divide/try_cast subfamily (F7, the reference's
+    try/except defaults at `pipeline.py:115-129`); `try_funcs` stays
+    registered as the standalone variant."""
     cat = Catalog(spark, sf_dir)
     return cat.lineitem.select(
         "l_orderkey",
@@ -247,6 +278,13 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("l_tax"), F.col("l_discount")).alias("min_rate"),
         F.floor(F.col("l_quantity")).alias("q_floor"),
         F.ceil(F.col("l_extendedprice")).cast("bigint").alias("price_ceil"),
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_disc"
+        ),
+        F.col("l_returnflag").try_cast("double").alias("flag_num"),
+        F.coalesce(F.col("l_returnflag").try_cast("double"), F.lit(-1.0)).alias(
+            "flag_num_dflt"
+        ),
     )
 
 

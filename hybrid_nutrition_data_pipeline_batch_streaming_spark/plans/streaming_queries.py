@@ -134,8 +134,20 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (T7/U4): applyInPandasWithState per-user
-    accumulation. AvailableNow drains the source in one pass, so the final
-    update per user equals the exact batch aggregate (fsum keeps the float
-    total correctly rounded) — stateful-stream/batch parity, value-checked."""
+    accumulation (integer-cents state, so the total is exact regardless of
+    accumulation order). In update output mode the memory sink appends one
+    row per user per micro-batch; the final reduction below keeps only each
+    user's LAST update (max event_cnt — the count is monotonic per key), so
+    the result equals the exact batch aggregate even if the AvailableNow
+    drain takes multiple micro-batches — stateful-stream/batch parity,
+    value-checked."""
+    from pyspark.sql.window import Window
+
     stream = read_events_stream(spark, sf_dir)
-    return run_to_memory(stateful_user_totals(stream), output_mode="update")
+    sunk = run_to_memory(stateful_user_totals(stream), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_cnt"))
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

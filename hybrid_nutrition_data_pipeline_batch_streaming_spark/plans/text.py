@@ -42,33 +42,6 @@ def wordcloud_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_stats",
-    oracle="""
-    SELECT doc_id, n_chars,
-           CAST(len(string_split(text, ' ')) AS INT)                AS n_tokens,
-           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_tokens,
-           CAST(length(replace(text, ' ', '')) AS DOUBLE)
-             / len(string_split(text, ' '))                         AS avg_token_len
-    FROM documents
-    """,
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document length statistics (X3)."""
-    cat = Catalog(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    return cat.documents.select(
-        "doc_id",
-        "n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
-        (
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
-            / F.size(toks)
-        ).alias("avg_token_len"),
-    )
-
-
 def _occurrences(text: Column, marker: str) -> Column:
     """Count non-overlapping occurrences of ``marker`` in ``text`` via the
     length-difference trick — pure string arithmetic, identical in any SQL
@@ -126,6 +99,83 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORDS = ("the", "a", "and", "of", "is")
 _STOP_LIST_SQL = "['" + "', '".join(_STOPWORDS) + "']"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(len(toks) AS INT)                AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_uniq_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(toks)                         AS avg_token_len,
+           CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                                x -> x <> '')) AS INT) AS re_tokens,
+           CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x)))
+                AS DOUBLE) / len(toks)           AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+           CASE
+               WHEN {_EN_SCORE_SQL} >= {_ES_SCORE_SQL}
+                    AND {_EN_SCORE_SQL} > 0 THEN 'en'
+               WHEN {_ES_SCORE_SQL} > 0 THEN 'es'
+               ELSE 'und'
+           END AS pred_lang,
+           CAST(CASE WHEN len(toks) BETWEEN 20 AND 400 THEN 1 ELSE 0 END
+                + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+                       THEN 1 ELSE 0 END
+                + CASE WHEN CAST(len(list_filter(toks, x ->
+                            list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE) / len(toks)
+                            BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END AS INT) AS quality
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile (X3, north-star): length statistics,
+    whitespace + regex token counts, stopword/lexical-diversity ratios,
+    marker-based language ID, and the 0-3 quality score — ONE map-only
+    projection, zero shuffle, linear at 100 TB. The standalone variants
+    (`lang_id`, `quality_score`, `token_count`) stay registered; this
+    composite carries the driver correctness row for the family."""
+    cat = Catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    re_toks = F.filter(F.split(F.col("text"), "[^a-z0-9]+"), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / n
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    en = sum((_occurrences(padded, m) for m in _EN_MARKERS), F.lit(0))
+    es = sum((_occurrences(padded, m) for m in _ES_MARKERS), F.lit(0))
+    quality = (
+        F.when(n.between(20, 400), 1).otherwise(0)
+        + F.when(uniq_ratio > 0.3, 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+    )
+    return cat.documents.select(
+        "doc_id",
+        "n_chars",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n
+        ).alias("avg_token_len"),
+        F.size(re_toks).alias("re_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        F.when((en >= es) & (en > 0), F.lit("en"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        quality.cast("int").alias("quality"),
+    )
 
 
 @query(

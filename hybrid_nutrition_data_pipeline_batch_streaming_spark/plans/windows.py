@@ -51,15 +51,25 @@ def dedup_last_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
            LAG(CAST(ts AS TIMESTAMP)) OVER w  AS prev_ts,
            LEAD(CAST(ts AS TIMESTAMP)) OVER w AS next_ts,
-           LAG(value) OVER w                  AS prev_value
+           LAG(value) OVER w                  AS prev_value,
+           FIRST_VALUE(value) OVER wf         AS first_value_seen,
+           LAST_VALUE(value) OVER wf          AS final_value,
+           NTH_VALUE(value, 2) OVER wf        AS second_value
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
 def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic lag/lead over per-user event time (W2)."""
+    """Analytic navigation functions over per-user event time (W2): lag/lead
+    plus first/last/nth over the full-partition frame. Both window specs
+    share the (user_id) partitioning, so Catalyst computes them over ONE
+    shuffle/sort; `window_first_last` stays registered as the standalone
+    variant."""
     cat = Catalog(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return cat.events.select(
         "event_id",
         "user_id",
@@ -67,6 +77,9 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("ts").over(w).alias("prev_ts"),
         F.lead("ts").over(w).alias("next_ts"),
         F.lag("value").over(w).alias("prev_value"),
+        F.first("value").over(wf).alias("first_value_seen"),
+        F.last("value").over(wf).alias("final_value"),
+        F.nth_value("value", 2).over(wf).alias("second_value"),
     )
 
 
@@ -77,24 +90,39 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_value
+           ) AS DOUBLE) AS running_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                PARTITION BY user_id ORDER BY value
+                RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS nearby_value_sum
     FROM events
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-spec running aggregate (W3), decimal-exact so the cumulative sum
-    is order-stable across engines."""
+    """Frame-spec windowed aggregates (W3), decimal-exact: a ROWS running
+    sum over event time plus a RANGE frame over the value domain (all
+    events within 100 below the current value). Both windows partition by
+    user_id — the scale-safe form: no global-order single-task window
+    anywhere in the plan."""
     cat = Catalog(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("value")
+        .rangeBetween(-100, Window.currentRow)
+    )
     return cat.events.select(
         "event_id",
         "user_id",
         "ts",
         F.sum(F.col("value").cast(MONEY)).over(w).cast("double").alias("running_value"),
+        F.sum(F.col("value").cast(MONEY)).over(wr).cast("double").alias(
+            "nearby_value_sum"
+        ),
     )
 
 
@@ -157,22 +185,29 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_range_frame",
     oracle="""
-    SELECT o_orderkey, o_totalprice,
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_orderpriority
                ORDER BY o_totalprice
                RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS nearby_price_sum
     FROM orders
-    WHERE o_orderkey < 1000
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame windowed aggregate (W3 variant): value-based frame bounds
-    (all orders within $1000 below the current price), decimal-exact."""
+    (all same-priority orders within $1000 below the current price),
+    decimal-exact. Partitioned by o_orderpriority so the window never
+    degenerates into a single global-order task — the scale-safe form."""
     cat = Catalog(spark, sf_dir)
-    w = Window.orderBy("o_totalprice").rangeBetween(-1000, Window.currentRow)
-    return cat.orders.where(F.col("o_orderkey") < 1000).select(
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return cat.orders.select(
         "o_orderkey",
+        "o_orderpriority",
         "o_totalprice",
         F.sum(F.col("o_totalprice").cast(MONEY)).over(w).cast("double").alias(
             "nearby_price_sum"
