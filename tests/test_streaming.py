@@ -155,3 +155,77 @@ def test_foreachbatch_upsert_lww(spark, tmp_path):
 
     final = {r.item_name: r.data for r in store.read().collect()}
     assert final == {"a": "v2", "b": "v1", "c": "v1"}
+
+
+def test_upsert_store_rewrites_only_touched_buckets(spark, tmp_path):
+    """The bucketed store's merge must be O(micro-batch), not O(store):
+    buckets the batch doesn't touch keep byte-identical files."""
+    import hashlib
+    import os
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    def snapshot(path):
+        state = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    state[os.path.relpath(p, path)] = hashlib.md5(fh.read()).hexdigest()
+        return state
+
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="item_name", ts_col="ingestion_ts",
+        n_buckets=8,
+    )
+    ts0 = datetime.datetime(2024, 1, 1)
+    seed = spark.createDataFrame(
+        [(f"item{i}", ts0, "v1") for i in range(40)],
+        "item_name string, ingestion_ts timestamp, data string",
+    )
+    store.merge(seed)
+    before = snapshot(store.path)
+    n_buckets_before = len(store._live_buckets())
+    assert n_buckets_before > 1  # the point of the test needs >1 bucket
+
+    update = spark.createDataFrame(
+        [("item0", ts0 + datetime.timedelta(hours=1), "v2")],
+        "item_name string, ingestion_ts timestamp, data string",
+    )
+    store.merge(update)
+    after = snapshot(store.path)
+
+    changed_dirs = {
+        os.path.dirname(p)
+        for p in (set(before) ^ set(after))
+        | {p for p in before if p in after and before[p] != after[p]}
+        if os.path.dirname(p).startswith("bucket=")
+    }
+    assert len(changed_dirs) == 1, f"expected 1 touched bucket, got {changed_dirs}"
+
+    final = {r.item_name: r.data for r in store.read().collect()}
+    assert final["item0"] == "v2"
+    assert len(final) == 40
+
+
+def test_upsert_store_read_raises_on_corrupt_store(spark, tmp_path):
+    """A readable-but-broken store must surface the error, never be treated
+    as empty (which would let the next merge overwrite all history)."""
+    import os
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="item_name", ts_col="ingestion_ts"
+    )
+    assert store.read() is None  # genuinely absent → None
+
+    bucket_dir = tmp_path / "store" / "bucket=0"
+    os.makedirs(bucket_dir)
+    (bucket_dir / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        store.read().collect()
