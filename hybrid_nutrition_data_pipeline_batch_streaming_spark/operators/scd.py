@@ -40,7 +40,26 @@ def scd2_apply(
     (key, tracked..., update_ts). Returns the new history: changed keys get
     their current row closed at update_ts and a new open version appended;
     unchanged/unknown keys pass through untouched.
+
+    A batch may carry several updates for one key (CDC replays do); they are
+    pre-reduced to the LATEST row per key (last-write-wins on update_ts,
+    tracked columns as a deterministic tiebreaker) before merging —
+    otherwise each differing update would open its own version and the
+    superseded current row would be closed once per update, corrupting
+    history with overlapping/duplicate rows (a Delta ``MERGE INTO`` would
+    instead fail on multiple matches). Intermediate same-batch versions are
+    intentionally not preserved, matching LWW upsert semantics.
     """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.desc(update_ts_col), *[F.desc(t) for t in tracked]
+    )
+    updates = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     current = history.where(F.col(end_ts).isNull())
     closed_history = history.where(F.col(end_ts).isNotNull())
 

@@ -33,7 +33,24 @@ def salted_join(
     [0, n_salts); small is exploded n_salts×; the join key becomes
     (key, salt). Exact same rows as ``big.join(small, key)`` — only the
     partitioning changes.
+
+    Only ``how`` in {'inner', 'left'} preserves that row-equivalence: with
+    the small side exploded n_salts×, any join that can emit UNMATCHED
+    small-side rows ('right'/'full'/'left_semi' from small's perspective…)
+    would emit each of them once per salt. Other modes raise rather than
+    silently multiply rows.
+
+    Limitation (documented, inherent to a deterministic salt): rows on the
+    big side that are bit-identical across ALL columns hash to the same salt
+    bucket and are not spread; dedup first, or add a disambiguating column
+    (e.g. a file/offset id) if fully-duplicate hot rows are the skew source.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "exploded small side would replicate unmatched small-side rows "
+            f"{n_salts}x under outer/semi modes"
+        )
     salt = F.pmod(F.xxhash64(*[big[c] for c in big.columns]), F.lit(n_salts)).cast("int")
     big_s = big.withColumn("__salt", salt)
     small_s = small.withColumn(

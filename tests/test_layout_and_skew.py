@@ -143,3 +143,59 @@ def test_scd2_merge_semantics(spark):
     # Idempotence: re-applying the same updates changes nothing.
     again = scd2_apply(out, updates, key="custkey", tracked=["segment"])
     assert {(r.custkey, r.segment, r.valid_from, r.valid_to) for r in again.collect()} == rows
+
+
+def test_scd2_multiple_updates_same_key_lww(spark):
+    """A CDC batch replaying several updates for one key must pre-reduce to
+    the latest (LWW): exactly one open version per key, the superseded
+    current row closed exactly once."""
+    import datetime
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.scd import (
+        scd2_apply,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    t2 = datetime.datetime(2024, 3, 1)
+    history = spark.createDataFrame(
+        [(1, "BUILDING", t0, None)],
+        "custkey bigint, segment string, valid_from timestamp_ntz, valid_to timestamp_ntz",
+    )
+    updates = spark.createDataFrame(
+        [(1, "MACHINERY", t1), (1, "AUTOMOBILE", t2)],
+        "custkey bigint, segment string, update_ts timestamp_ntz",
+    )
+    out = scd2_apply(history, updates, key="custkey", tracked=["segment"])
+    rows = {(r.custkey, r.segment, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, "BUILDING", t0, t2),      # closed once, at the LATEST update
+        (1, "AUTOMOBILE", t2, None),  # single open version
+    }
+    open_rows = [r for r in out.collect() if r.valid_to is None]
+    assert len(open_rows) == 1
+
+
+def test_salted_join_rejects_row_multiplying_modes(spark):
+    """Outer/semi modes would emit unmatched small-side rows once per salt —
+    salted_join must refuse them."""
+    import pytest as _pytest
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    small = spark.createDataFrame([(1, "d"), (2, "d2")], "k bigint, tag string")
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with _pytest.raises(ValueError):
+            salted_join(big, small, "k", n_salts=4, how=how)
+    # left join IS supported and row-equivalent.
+    plain = sorted(tuple(r) for r in big.join(small, "k", "left").collect())
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(big, small, "k", n_salts=4, how="left")
+        .select("k", "v", "tag")
+        .collect()
+    )
+    assert plain == salted
