@@ -38,12 +38,17 @@ HEADLINE = [
     "dedup_last_write",
     "json_flatten",
     "wordcloud_tokens",
+    "text_stats",
+    "dq_checks",
     "dedup_exact_text",
     "dedup_minhash",
+    "dedup_minhash_banded",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "pipeline_text_curation",
     "similarity_topk",
     "similarity_ann_lsh",
+    "dedup_embedding",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
 ]
@@ -71,13 +76,14 @@ def main() -> None:
         F.pandas_udf(lambda s: s + 1, "long")(F.col("id"))
     ).collect()
 
-    # Best-of-2 per query: the minimum is the standard noise-floor estimator
-    # on shared hosts (each run still executes the full plan end-to-end).
+    # Best-of-3 per query: the minimum is the standard noise-floor estimator
+    # on shared hosts (each run still executes the full plan end-to-end;
+    # NOTES.md documents ±3 s host noise at sf0.1).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = plans.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -82,6 +82,41 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.2, f"ANN recall collapsed: {recall}"
 
 
+def test_ann_mllib_recall_vs_exact(spark):
+    """The BRP-LSH library path must recover ≥0.8 of the exact top-5 with
+    its tuned (bucketLength=0.5, numHashTables=4) configuration — measured
+    0.98 at sf0.01; this pins the floor so param drift is caught."""
+    import pytest as _pytest
+
+    try:
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in plans.QUERIES["similarity_ann_mllib"](spark, SF).collect()
+        }
+    except NotImplementedError:
+        _pytest.skip("pyspark.ml unavailable")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in plans.QUERIES["similarity_topk"](spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"BRP-LSH recall regressed: {recall}"
+
+
+def test_minhash_banded_recall_dominates_single_band(spark):
+    """OR-amplified banding (b=2, r=2) must find every pair the AND-of-4
+    single band finds, and its verified pairs must all clear the exact
+    Jaccard threshold (no unverified false positives)."""
+    single = {
+        (r.doc_a, r.doc_b) for r in plans.QUERIES["dedup_minhash"](spark, SF).collect()
+    }
+    banded_rows = plans.QUERIES["dedup_minhash_banded"](spark, SF).collect()
+    banded = {(r.doc_a, r.doc_b) for r in banded_rows}
+    assert single <= banded  # banding can only widen the candidate set
+    assert all(r.jaccard >= 0.5 for r in banded_rows)
+    assert all(r.doc_a < r.doc_b for r in banded_rows)
+
+
 def test_sampling_contracts(spark):
     """Seeded samplers: reproducible, right expected size, valid strata."""
     s1 = plans.QUERIES["sample_bernoulli"](spark, SF)
