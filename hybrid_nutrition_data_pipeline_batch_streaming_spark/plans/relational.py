@@ -88,8 +88,9 @@ def sql_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboards through Superset-generated SQL against ClickHouse
     (`superset/superset_config.py:1-3`); here the SAME SQL text runs through
     ``spark.sql`` over registered views — one dialect for BI tools and the
-    DataFrame API (a Thrift/Connect server exposes this socket in
-    production)."""
+    DataFrame API. The live socket form is ``serving.start_sql_endpoint``
+    (embedded Thrift JDBC/ODBC server, wire-tested in
+    tests/test_contract_and_sources.py)."""
     cat = Catalog(spark, sf_dir)
     cat.register_views()
     return spark.sql(_ENDPOINT_SQL)

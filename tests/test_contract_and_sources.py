@@ -130,6 +130,36 @@ def test_kafka_sink_builder_plan(spark):
             writer.start()
 
 
+def test_thrift_sql_endpoint_round_trip(spark):
+    """S9 production form (the reference's ClickHouse/Superset socket,
+    `superset_config.py:1-5`): start the embedded Thrift JDBC server, run a
+    dashboard aggregate THROUGH the socket with the bundled Hive JDBC
+    driver, and check it equals the same query run directly on the session."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.serving import (
+        jdbc_query,
+        register_global_views,
+        start_sql_endpoint,
+    )
+
+    register_global_views(spark, "/root/testdata/sf0.001")
+    port = 10871
+    server = start_sql_endpoint(spark, port=port)
+    try:
+        sql = (
+            "SELECT o_orderpriority, COUNT(*) AS order_cnt "
+            "FROM global_temp.orders GROUP BY o_orderpriority "
+            "ORDER BY order_cnt DESC, o_orderpriority"
+        )
+        over_wire = jdbc_query(spark, sql, port=port)
+        direct = [
+            (r.o_orderpriority, str(r.order_cnt)) for r in spark.sql(sql).collect()
+        ]
+        assert over_wire == direct
+        assert len(over_wire) == 5
+    finally:
+        server.stop()
+
+
 def test_read_parquet_prunes_columns(spark):
     from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.readers import (
         read_parquet,
