@@ -1,0 +1,319 @@
+"""Corpus-curation operators beyond the X2/X3 core (north-star extensions):
+PII redaction, repetition-based quality filtering, TF-IDF term scoring,
+benchmark-contamination detection, deterministic train/val/test splitting.
+
+These are the remaining table-stakes ops of a large-scale training-data
+pipeline. All are map-only or blocked equi-joins — no all-pairs work, no
+Python in the hot path — and every one carries a DuckDB oracle. They
+register AFTER the driver's 50-query window (plans/__init__.PRIORITY);
+the local differential harness verifies them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Catalog
+from .dedup import _SHINGLES_SQL, _shingles
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Deterministically inject PII so the redaction path has something to hit at
+# any SF (the fixture corpus is synthetic prose): doc_id % 4 picks an email,
+# a US-style phone number, an IPv4 address, or nothing.
+_PII_SQL = """
+        SELECT doc_id,
+               text || CASE doc_id % 4
+                   WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                   WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                   WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 logged'
+                   ELSE ''
+               END AS text
+        FROM documents
+"""
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+_IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def _occ(expr: str, pat: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH raw AS ({_PII_SQL})
+    SELECT doc_id,
+           CAST({_occ('text', _EMAIL_RE)} AS INT) AS n_emails,
+           CAST({_occ('text', _PHONE_RE)} AS INT) AS n_phones,
+           CAST({_occ('text', _IP_RE)} AS INT)    AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IP_RE}', '<IP>', 'g') AS redacted
+    FROM raw
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (north-star curation op): count and mask
+    emails / phone numbers / IPv4 addresses with JVM-side regexes — the
+    pre-training privacy scrub. Map-only, zero shuffle, linear at 100 TB.
+    Patterns stay in the Java∩RE2 subset; production swaps in a richer
+    pattern bank (SSNs, IBANs, street addresses) the same way."""
+    cat = Catalog(spark, sf_dir)
+    injected = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                     F.lit(" today")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit(".7 logged")),
+        )
+        .otherwise(F.lit(""))
+    )
+    raw = cat.documents.select(
+        "doc_id", F.concat(F.col("text"), injected).alias("text")
+    )
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return raw.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(_IP_RE), F.lit(0))).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter (Gopher-rule family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "repetition_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               greatest(len(string_split(text, ' ')) - 2, 0) AS total_3grams,
+               len({_SHINGLES_SQL}) AS distinct_3grams
+        FROM documents
+    )
+    SELECT doc_id, CAST(total_3grams AS INT) AS total_3grams,
+           CAST(distinct_3grams AS INT) AS distinct_3grams,
+           CASE WHEN total_3grams > 0
+                THEN 1.0 - CAST(distinct_3grams AS DOUBLE) / total_3grams
+                ELSE 0.0 END AS rep_ratio,
+           total_3grams > 0
+             AND 1.0 - CAST(distinct_3grams AS DOUBLE) / total_3grams > 0.2
+               AS is_repetitive
+    FROM t
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram fraction (the Gopher repetition rule): share of word
+    3-grams that are duplicates within the document; docs above 0.2 are
+    flagged as boilerplate/spam-like. Map-only column arithmetic over the
+    same shingle machinery the dedup family uses."""
+    cat = Catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    total = F.greatest(F.size(toks) - 2, F.lit(0))
+    distinct = F.size(_shingles(F.col("text")))
+    rep = F.when(
+        total > 0, F.lit(1.0) - distinct.cast("double") / total
+    ).otherwise(F.lit(0.0))
+    return cat.documents.select(
+        "doc_id",
+        total.cast("int").alias("total_3grams"),
+        distinct.cast("int").alias("distinct_3grams"),
+        rep.alias("rep_ratio"),
+        ((total > 0) & (rep > 0.2)).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style term scoring
+# ---------------------------------------------------------------------------
+
+TOP_TERMS = 3
+
+
+@query(
+    "tfidf_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, rank FROM (
+        SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_TERMS}
+    """,
+)
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top distinguishing terms per document by tf·(N/df) — the TF-IDF
+    shape with an exact rational weight instead of ln(N/df), so the score
+    is bit-identical across engines (production uses the log form; swap one
+    expression). Two aggregations (term frequency, document frequency) on
+    the same exploded tokens, a broadcast-sized scalar N, and a per-doc
+    top-k window — the inverted-index build every corpus indexer runs."""
+    cat = Catalog(spark, sf_dir)
+    tok = cat.documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = cat.documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check
+# ---------------------------------------------------------------------------
+
+BENCHMARK_MAX_ID = 25  # fixture stand-in for an eval benchmark's documents
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+    ), bench AS (
+        SELECT doc_id AS bench_id, unnest(shingles) AS s
+        FROM sh WHERE doc_id < {BENCHMARK_MAX_ID}
+    ), corpus AS (
+        SELECT doc_id, unnest(shingles) AS s
+        FROM sh WHERE doc_id >= {BENCHMARK_MAX_ID}
+    )
+    SELECT corpus.doc_id,
+           COUNT(DISTINCT bench.bench_id) AS n_benchmarks_hit,
+           COUNT(DISTINCT bench.s)        AS n_shared_3grams
+    FROM corpus JOIN bench ON corpus.s = bench.s
+    GROUP BY corpus.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection (north-star curation op): corpus
+    documents sharing any word-3-gram with a benchmark/eval set (here: the
+    first {BENCHMARK_MAX_ID} doc_ids as the stand-in benchmark), via the
+    inverted-index equi-join on the shingle — the de-contamination pass
+    every pre-training pipeline runs before training. The benchmark side is
+    small (an eval suite), so at 100 TB this is a broadcast-able semi-join
+    keyed on shingle hashes; no document pair is ever enumerated."""
+    cat = Catalog(spark, sf_dir)
+    sh = cat.documents.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    bench = (
+        sh.where(F.col("doc_id") < BENCHMARK_MAX_ID)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s"))
+    )
+    corpus = (
+        sh.where(F.col("doc_id") >= BENCHMARK_MAX_ID)
+        .select("doc_id", F.explode("shingles").alias("s"))
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_benchmarks_hit"),
+            F.countDistinct("s").alias("n_shared_3grams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus split / shuffle key
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_split",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1 AS INT) * 16
+             + CAST(strpos('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1 AS INT)
+               AS bucket,
+           CASE
+               WHEN (strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1 < 230
+                    THEN 'train'
+               WHEN (strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1 < 243
+                    THEN 'val'
+               ELSE 'test'
+           END AS split
+    FROM keyed
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + global shuffle key
+    (north-star curation op): bucket = first byte of md5(doc_id) → ~90/5/5
+    split (230/13/13 of 256); sorting by shuffle_key IS the reproducible
+    corpus shuffle (no RNG state, stable under reruns and repartitioning —
+    the property that makes 100 TB dataset builds resumable). Map-only."""
+    cat = Catalog(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string"))
+    bucket = (
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    )
+    return cat.documents.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        bucket.alias("bucket"),
+        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
