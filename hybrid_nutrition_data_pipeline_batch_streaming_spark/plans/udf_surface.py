@@ -22,7 +22,8 @@ from .registry import query
     "json_map",
     oracle="""
     SELECT event_id,
-           json_keys(props)                                 AS prop_keys,
+           array_to_string(json_keys(props), ',')            AS prop_keys,
+           CAST(len(json_keys(props)) AS INT)                AS n_keys,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
     FROM events
     """,
@@ -30,12 +31,14 @@ from .registry import query
 def json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed JSON access (F6): the reference's dynamic key iteration
     (`pipeline.py:54-57`) without a fixed struct — parse to MapType, expose
-    keys and a value."""
+    the key set (joined to a scalar: the driver canonicalizer cannot hash
+    array columns), key count, and a value lookup."""
     cat = Catalog(spark, sf_dir)
     m = F.from_json(F.col("props"), "map<string,bigint>")
     return cat.events.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_keys"),
         m.getItem("k").alias("k_val"),
     )
 
