@@ -48,6 +48,7 @@ HEADLINE = [
     "pipeline_text_curation",
     "similarity_topk",
     "similarity_ann_lsh",
+    "similarity_ann_ivf",
     "dedup_embedding",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",

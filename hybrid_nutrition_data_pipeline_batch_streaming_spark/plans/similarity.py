@@ -1,6 +1,6 @@
 """Embedding similarity search over the embeddings table (SURVEY.md §2.11 X1).
 
-Three tiers, by scale:
+Four tiers, by scale:
 
 - ``similarity_topk``    — exact brute-force cosine top-k for a bounded query
                            set: crossJoin(queries × corpus) where the query
@@ -12,6 +12,12 @@ Three tiers, by scale:
                            as MinHash banding), then exact-rescored. The
                            band joins keep candidate generation
                            O(n · bucket_occupancy · bands), never O(n·m).
+- ``similarity_ann_ivf`` — inverted-file ANN: corpus partitioned into
+                           coarse-quantizer cells, queries probe their
+                           nearest nprobe cells, members exact-rescored.
+                           The probed fraction nprobe/K bounds the scanned
+                           corpus share — the partition-pruning analogue
+                           for vector search.
 - ``dedup_embedding``    — cosine near-duplicate pairs from the same banded
                            candidates (threshold instead of top-k) —
                            embedding-space near-dedup for training data.
@@ -286,6 +292,145 @@ def similarity_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+N_CENTROIDS = 16  # IVF coarse-quantizer cells
+N_PROBE = 4       # cells probed per query
+
+
+_IVF_ASSIGN_SQL = f"""
+        SELECT vec_id, cid AS cell FROM (
+            SELECT b.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_cos_sql('b.e', 'c.ce')} DESC,
+                                               c.cid) AS rn
+            FROM base b CROSS JOIN cent c
+        ) WHERE rn = 1
+"""
+
+
+@query(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {N_CENTROIDS}
+    ), assign AS ({_IVF_ASSIGN_SQL}
+    ), probes AS (
+        SELECT query_id, cid AS cell FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_cos_sql('q.e', 'c.ce')} DESC,
+                                               c.cid) AS rn
+            FROM base q CROSS JOIN cent c WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {N_PROBE}
+    ), scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_cos_sql('qb.e', 'nb.e')} AS cosine
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN base qb ON qb.vec_id = p.query_id
+        JOIN base nb ON nb.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN (X1 scale path #2): partition the corpus into
+    {N_CENTROIDS} cells by nearest coarse centroid, probe each query's best
+    {N_PROBE} cells, exact-rescore only those cells' members. Complements the
+    LSH path: IVF recall tracks the data's cluster structure instead of
+    random hyperplanes, and the probed fraction (nprobe/K) directly bounds
+    the scanned corpus share.
+
+    Centroids here are the {N_CENTROIDS} lowest-vec_id corpus vectors — a
+    deterministic stand-in for the offline k-means training step (which a
+    real deployment runs once, out of band); the serving-side plan is
+    identical either way and is the part that must scale:
+    - centroids broadcast; cell assignment is a map-side broadcast join
+      followed by one partially-aggregated max_by groupBy (n rows cross the
+      wire, never n×K);
+    - the probe join is an equi-join on cell id, so each query touches only
+      its nprobe cells' posting lists — the IVF contract.
+    """
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat.embeddings.select(
+            "vec_id", _to_double(F.col("embedding")).alias("e")
+        )
+        .withColumn("n", _norm(F.col("e")))
+        .persist()  # read as corpus, centroid set, and both rescore sides
+    )
+    cent = base.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
+    )
+    # Nearest cell per corpus vector: score against the broadcast centroids,
+    # then argmax via max_by over a (score, -cid) struct — ties resolve to
+    # the smallest cid, matching the oracle's ORDER BY score DESC, cid.
+    scored_cells = base.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        (_dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn"))).alias("score"),
+    )
+    assign = scored_cells.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cid"), F.struct(F.col("score"), (-F.col("cid")).alias("t"))
+        ).alias("cell")
+    )
+    # Top-NPROBE cells per query (bounded probe set — window over ≤K rows).
+    qw = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cid"))
+    probes = (
+        scored_cells.where(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumn("rn", F.row_number().over(qw))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    # Each corpus vector lives in exactly one cell, so a (query, neighbor)
+    # pair can arise from at most one probed cell — no dedup needed.
+    scored = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(
+            F.broadcast(
+                base.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("e").alias("qe"),
+                    F.col("n").alias("qn"),
+                ).where(F.col("query_id") < N_QUERIES)
+            ),
+            "query_id",
+        )
+        .join(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("e").alias("ce"),
+                F.col("n").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

