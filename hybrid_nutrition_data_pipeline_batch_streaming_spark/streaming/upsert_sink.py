@@ -6,24 +6,33 @@ Structured Streaming's file sinks are append-only, so keyed upserts go
 through ``foreachBatch``: each micro-batch is merged into the keyed store
 with LWW semantics.
 
-Store layout: hash-bucketed hive partitions (``bucket=N/``,
-N = pmod(xxhash64(key), n_buckets)) so a merge
+Store layout — a manifest-committed snapshot store (the Delta-log commit
+pattern over plain parquet, dependency-free)::
 
-- reads ONLY the buckets the micro-batch touches (partition pruning on the
-  bucket column — O(touched buckets), not O(store));
-- rewrites only those buckets, each promoted from a staging directory via
-  an atomic directory rename (never a second overwrite of the live copy);
-- leaves untouched buckets' files byte-identical.
+    path/data/b{N}-v{V}/part-*.parquet   immutable bucket snapshots
+    path/_manifest/v{V:06d}.json         {"version": V, "buckets": {N: dir}}
 
-In production the store is a Delta/Iceberg table and the merge is
-``MERGE INTO`` (transactional across buckets, which a per-bucket rename is
-not — a crash mid-promotion can leave some buckets new and some old, though
-never lost); this implementation keeps the same call shape over plain
-parquet so the engine runs dependency-free.
+Buckets are hash partitions of the key space (N = pmod(xxhash64(key),
+n_buckets)), so a merge
+
+- reads ONLY the buckets the micro-batch touches (the manifest maps bucket
+  id → current snapshot dir — O(touched buckets), not O(store));
+- writes new immutable snapshot dirs for those buckets, leaving every other
+  bucket's files byte-identical;
+- COMMITS by renaming one complete manifest file into place — the single
+  atomic visibility point. A crash anywhere before the rename leaves the
+  previous manifest (and therefore a fully consistent store) in effect;
+  orphaned data dirs are garbage-collected by later merges. This is
+  transactional ACROSS buckets, which round 1's per-bucket dir promotion
+  was not.
+
+Single writer assumed (foreachBatch serializes micro-batches); in
+production the same semantics come from a Delta/Iceberg ``MERGE INTO``.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -36,8 +45,9 @@ BUCKET_COL = "bucket"
 
 
 class ParquetUpsertStore:
-    """A keyed store with last-write-wins merge semantics, hash-bucketed so
-    merges scale with the micro-batch, not the store."""
+    """A keyed store with last-write-wins merge semantics: hash-bucketed so
+    merges scale with the micro-batch, manifest-committed so every reader
+    sees a single consistent snapshot."""
 
     def __init__(
         self,
@@ -53,44 +63,91 @@ class ParquetUpsertStore:
         self.ts_col = ts_col
         self.n_buckets = n_buckets
 
+    # -- layout helpers -----------------------------------------------------
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifest")
+
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
 
-    def _live_buckets(self) -> list[int]:
-        if not os.path.isdir(self.path):
-            return []
-        return sorted(
-            int(name.split("=", 1)[1])
-            for name in os.listdir(self.path)
-            if name.startswith(f"{BUCKET_COL}=")
+    def _current_manifest(self) -> tuple[int, dict[int, str]]:
+        """(version, bucket id → snapshot dir name). (0, {}) before the
+        first commit. Manifests are written whole and renamed into place,
+        so any file present here is complete."""
+        if not os.path.isdir(self._manifest_dir):
+            return 0, {}
+        versions = sorted(
+            int(name[1:-5])
+            for name in os.listdir(self._manifest_dir)
+            if name.startswith("v") and name.endswith(".json")
         )
+        if not versions:
+            return 0, {}
+        with open(os.path.join(self._manifest_dir, f"v{versions[-1]:06d}.json")) as fh:
+            doc = json.load(fh)
+        return doc["version"], {int(b): d for b, d in doc["buckets"].items()}
+
+    def _commit_manifest(self, version: int, buckets: dict[int, str]) -> None:
+        """The atomic commit point: write the complete manifest to a temp
+        name, fsync, rename into place."""
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        final = os.path.join(self._manifest_dir, f"v{version:06d}.json")
+        tmp = os.path.join(self._manifest_dir, f".tmp-v{version:06d}.json")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": version, "buckets": {str(b): d for b, d in buckets.items()}},
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, final)  # atomic on POSIX
+
+    def _gc_unreferenced(self, referenced: set[str]) -> None:
+        """Drop data dirs no manifest-current bucket points at (left by
+        pre-commit crashes or superseded by this commit). Best-effort — a
+        failure here never affects correctness, only disk usage."""
+        if not os.path.isdir(self._data_dir):
+            return
+        for name in os.listdir(self._data_dir):
+            if name not in referenced:
+                shutil.rmtree(os.path.join(self._data_dir, name), ignore_errors=True)
+
+    # -- public API ---------------------------------------------------------
 
     def exists(self) -> bool:
-        return bool(self._live_buckets())
+        return bool(self._current_manifest()[1])
+
+    def _bucket_paths(self, buckets: dict[int, str], ids: list[int] | None = None) -> list[str]:
+        wanted = buckets if ids is None else {b: buckets[b] for b in ids if b in buckets}
+        return [os.path.join(self._data_dir, d) for d in wanted.values()]
 
     def read(self) -> DataFrame | None:
-        """The merged store, or None if no merge has committed yet.
+        """The committed snapshot, or None if no merge has committed yet.
 
-        Existence is checked explicitly (never inferred from a swallowed
+        Existence comes from the manifest (never inferred from a swallowed
         read error — a transient/corruption failure must surface, not
         silently reset the store to empty)."""
-        if not self.exists():
+        _, buckets = self._current_manifest()
+        if not buckets:
             return None
-        return self.spark.read.parquet(self.path).drop(BUCKET_COL)
+        return self.spark.read.parquet(*self._bucket_paths(buckets))
 
-    def _read_buckets(self, buckets: list[int]) -> DataFrame | None:
-        live = [b for b in buckets if b in set(self._live_buckets())]
-        if not live:
+    def _read_buckets(self, ids: list[int]) -> DataFrame | None:
+        _, buckets = self._current_manifest()
+        paths = self._bucket_paths(buckets, ids)
+        if not paths:
             return None
-        return (
-            self.spark.read.parquet(self.path)
-            .where(F.col(BUCKET_COL).isin(live))  # prunes to bucket=N dirs
-            .drop(BUCKET_COL)
-        )
+        return self.spark.read.parquet(*paths)
 
     def merge(self, batch: DataFrame) -> None:
         """LWW-merge one micro-batch: read touched buckets, union, dedup,
-        rewrite touched buckets via staging + atomic rename."""
+        write new snapshot dirs, commit one manifest."""
         with_bucket = batch.withColumn(BUCKET_COL, self._bucket())
         # Driver-side list of touched bucket ids — bounded by n_buckets,
         # never by data volume.
@@ -101,31 +158,36 @@ class ParquetUpsertStore:
         )
         if not touched:
             return
+        version, buckets = self._current_manifest()
         current = self._read_buckets(touched)
         merged = batch if current is None else current.unionByName(batch)
         deduped = dedup_last_write_wins(merged, key=self.key, ts=self.ts_col)
-        staging = self.path + "__staging"
-        shutil.rmtree(staging, ignore_errors=True)
+        new_version = version + 1
+        stage = os.path.join(self._data_dir, f".stage-v{new_version:06d}")
+        shutil.rmtree(stage, ignore_errors=True)
         (
             deduped.withColumn(BUCKET_COL, self._bucket())
             .repartition(len(touched), BUCKET_COL)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
-            .parquet(staging)
+            .parquet(stage)
         )
-        os.makedirs(self.path, exist_ok=True)
+        new_buckets = dict(buckets)
         for b in touched:
-            stage_dir = os.path.join(staging, f"{BUCKET_COL}={b}")
+            stage_dir = os.path.join(stage, f"{BUCKET_COL}={b}")
             if not os.path.isdir(stage_dir):
-                continue  # key hashed here had no surviving rows (can't happen under LWW)
-            live_dir = os.path.join(self.path, f"{BUCKET_COL}={b}")
-            old_dir = live_dir + "__old"
-            shutil.rmtree(old_dir, ignore_errors=True)
-            if os.path.isdir(live_dir):
-                os.rename(live_dir, old_dir)
-            os.rename(stage_dir, live_dir)  # atomic promote on POSIX
-            shutil.rmtree(old_dir, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+                continue  # no surviving rows for this bucket (can't happen under LWW)
+            snap = f"b{b}-v{new_version:06d}"
+            dst = os.path.join(self._data_dir, snap)
+            # A dir already at this (bucket, version) can only be the orphan
+            # of a crashed attempt at this same uncommitted version — the
+            # manifest never references it, so replacing it is safe.
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(stage_dir, dst)
+            new_buckets[b] = snap
+        self._commit_manifest(new_version, new_buckets)  # ← visibility point
+        shutil.rmtree(stage, ignore_errors=True)
+        self._gc_unreferenced(set(new_buckets.values()))
 
 
 def upsert_stream(

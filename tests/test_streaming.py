@@ -186,28 +186,74 @@ def test_upsert_store_rewrites_only_touched_buckets(spark, tmp_path):
         "item_name string, ingestion_ts timestamp, data string",
     )
     store.merge(seed)
-    before = snapshot(store.path)
-    n_buckets_before = len(store._live_buckets())
-    assert n_buckets_before > 1  # the point of the test needs >1 bucket
+    before = snapshot(os.path.join(store.path, "data"))
+    _, buckets_before = store._current_manifest()
+    assert len(buckets_before) > 1  # the point of the test needs >1 bucket
 
     update = spark.createDataFrame(
         [("item0", ts0 + datetime.timedelta(hours=1), "v2")],
         "item_name string, ingestion_ts timestamp, data string",
     )
     store.merge(update)
-    after = snapshot(store.path)
+    after = snapshot(os.path.join(store.path, "data"))
+    _, buckets_after = store._current_manifest()
 
-    changed_dirs = {
-        os.path.dirname(p)
-        for p in (set(before) ^ set(after))
-        | {p for p in before if p in after and before[p] != after[p]}
-        if os.path.dirname(p).startswith("bucket=")
-    }
-    assert len(changed_dirs) == 1, f"expected 1 touched bucket, got {changed_dirs}"
+    # Exactly one bucket got a new snapshot dir; every other bucket's
+    # manifest entry AND on-disk files are unchanged byte-for-byte.
+    repointed = {b for b in buckets_after if buckets_before.get(b) != buckets_after[b]}
+    assert len(repointed) == 1, f"expected 1 touched bucket, got {repointed}"
+    untouched_dirs = {d for b, d in buckets_before.items() if b not in repointed}
+    for p in set(before) & set(after):
+        assert before[p] == after[p], f"untouched file rewritten: {p}"
+    surviving = {p.split(os.sep)[0] for p in after}
+    assert untouched_dirs <= surviving  # old snapshots of untouched buckets remain live
 
     final = {r.item_name: r.data for r in store.read().collect()}
     assert final["item0"] == "v2"
     assert len(final) == 40
+
+
+def test_upsert_store_commit_is_atomic_across_buckets(spark, tmp_path):
+    """The manifest rename is the only visibility point: a merge that dies
+    before the commit leaves the previous snapshot fully intact (no bucket
+    mixes old and new), and a retry converges."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="item_name", ts_col="ingestion_ts",
+        n_buckets=8,
+    )
+    ts0 = datetime.datetime(2024, 1, 1)
+    seed = spark.createDataFrame(
+        [(f"item{i}", ts0, "v1") for i in range(40)],
+        "item_name string, ingestion_ts timestamp, data string",
+    )
+    store.merge(seed)
+
+    update = spark.createDataFrame(
+        [(f"item{i}", ts0 + datetime.timedelta(hours=1), "v2") for i in range(40)],
+        "item_name string, ingestion_ts timestamp, data string",
+    )
+    real_commit = store._commit_manifest
+    store._commit_manifest = lambda *a, **k: (_ for _ in ()).throw(OSError("crash"))
+    with pytest.raises(OSError):
+        store.merge(update)  # dies between data write and commit
+    # Every row still reads at v1 — not a partial mix.
+    assert {r.data for r in store.read().collect()} == {"v1"}
+
+    store._commit_manifest = real_commit
+    store.merge(update)  # retry converges; orphaned dirs were GC'd or ignored
+    rows = store.read().collect()
+    assert {r.data for r in rows} == {"v2"}
+    assert len(rows) == 40
+    # GC: all current data dirs are manifest-referenced (orphans removed).
+    import os as _os
+
+    _, buckets = store._current_manifest()
+    on_disk = set(_os.listdir(_os.path.join(store.path, "data")))
+    assert on_disk == set(buckets.values())
 
 
 def test_upsert_store_read_raises_on_corrupt_store(spark, tmp_path):
@@ -224,8 +270,17 @@ def test_upsert_store_read_raises_on_corrupt_store(spark, tmp_path):
     )
     assert store.read() is None  # genuinely absent → None
 
-    bucket_dir = tmp_path / "store" / "bucket=0"
-    os.makedirs(bucket_dir)
-    (bucket_dir / "part-00000.parquet").write_bytes(b"not a parquet file")
+    ts0 = datetime.datetime(2024, 1, 1)
+    store.merge(
+        spark.createDataFrame(
+            [("a", ts0, "v1")],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+    # Corrupt a manifest-referenced data file in place.
+    _, buckets = store._current_manifest()
+    snap_dir = tmp_path / "store" / "data" / next(iter(buckets.values()))
+    part = next(p for p in os.listdir(snap_dir) if p.endswith(".parquet"))
+    (snap_dir / part).write_bytes(b"not a parquet file")
     with pytest.raises(Exception):
         store.read().collect()
