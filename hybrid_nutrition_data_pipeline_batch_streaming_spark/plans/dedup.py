@@ -464,3 +464,105 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.4)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard via positional prefix filtering (PPJoin-style, exact)
+# ---------------------------------------------------------------------------
+
+JACCARD_T = 0.4
+
+
+@query(
+    "dedup_ngram_prefix",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {JACCARD_T}
+    """,
+)
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup via positional prefix filtering (X2 — the
+    skew-proof exact form). Same semantics and oracle as
+    ``dedup_ngram_jaccard``; only the candidate generation changes:
+
+    Each doc's shingles are ordered by a global (document-frequency ASC,
+    shingle) total order, and the posting join runs ONLY over each doc's
+    first ``n - ceil(t*n) + 1`` shingles. The prefix-filtering lemma
+    (Chaudhuri/Xiao, PPJoin) guarantees any pair with Jaccard >= t shares a
+    prefix shingle under a consistent global order, so no pair is lost —
+    provably lossless, contract-tested for equality with the plain
+    inverted-index query.
+
+    Why it scales where the plain posting join doesn't: a shingle shared by
+    L docs costs L² candidate rows. Ordering by ascending df puts hot
+    shingles LAST, so they fall outside almost every doc's prefix and the
+    join runs on rare-shingle posting lists — the structural answer to
+    hot-shingle skew, instead of salting around it."""
+    cat = Catalog(spark, sf_dir)
+    sh = cat.documents.select(
+        "doc_id", "source", _shingles(F.col("text")).alias("shingles")
+    ).persist()  # feeds postings, prefix build, and the verification join
+    ex = sh.select("doc_id", "source", F.explode("shingles").alias("s"))
+    # Global order key: document frequency within the block (shingles are
+    # distinct per doc, so count(*) counts documents), ties by shingle text.
+    df_tab = ex.groupBy("source", "s").agg(F.count("*").alias("df"))
+    ranked = (
+        ex.join(df_tab, ["source", "s"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"),
+            F.count("*").alias("n"),
+        )
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_T)) + F.lit(1)
+    ).cast("int")
+    pref = ranked.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.slice(F.col("ordered"), F.lit(1), prefix_len), lambda x: x["s"]
+            )
+        ).alias("s"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()  # a pair may share several prefix shingles
+    )
+    # Exact verification on the (small) candidate set — array intersection
+    # over the full shingle lists, same integer ratio as the oracle.
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_T)
+    )

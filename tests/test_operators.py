@@ -144,6 +144,21 @@ def test_minhash_banded_recall_dominates_single_band(spark):
     assert all(r.doc_a < r.doc_b for r in banded_rows)
 
 
+def test_ngram_prefix_filter_is_lossless(spark):
+    """Prefix filtering (PPJoin) must return EXACTLY the pairs of the plain
+    inverted-index Jaccard join — the lemma guarantees losslessness, this
+    pins it against off-by-one prefix-length regressions."""
+    plain = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in plans.QUERIES["dedup_ngram_jaccard"](spark, SF).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in plans.QUERIES["dedup_ngram_prefix"](spark, SF).collect()
+    }
+    assert pref == plain
+
+
 def test_sampling_contracts(spark):
     """Seeded samplers: reproducible, right expected size, valid strata."""
     s1 = plans.QUERIES["sample_bernoulli"](spark, SF)
