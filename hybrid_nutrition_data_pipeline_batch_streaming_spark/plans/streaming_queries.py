@@ -55,10 +55,41 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped)
 
 
-@query("stream_session_windows")
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP))
+                            - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS event_cnt
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user with a 30-minute inactivity gap (T6) —
-    variable-length event-time state, watermark-bounded."""
+    variable-length event-time state, watermark-bounded.
+
+    Value-checked: session boundaries depend only on event time (never on
+    arrival order), so the drained complete-mode result equals batch
+    gaps-and-islands sessionization. Spark merges an event into a session
+    while ``ts < window_end``, so a new session starts at gap >= 30 min
+    exactly; ``session_end`` is last event ts + gap."""
     stream = read_events_stream(spark, sf_dir)
     return run_to_memory(session_windows(stream), output_mode="complete")
 

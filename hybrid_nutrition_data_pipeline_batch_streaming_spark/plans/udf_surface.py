@@ -56,13 +56,43 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("enrich_rest_stub")
+@query(
+    "enrich_rest_stub",
+    oracle="""
+    WITH names AS (
+        SELECT p_name || ' #' || CAST(p_partkey AS VARCHAR) AS item_name FROM part
+    ), hx AS (
+        SELECT item_name,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(item_name)),
+                   i -> ascii(item_name[i]))) AS BIGINT) AS h
+        FROM names
+    ), payload AS (
+        SELECT item_name, h,
+               '[{"name": "' || item_name || '", "calories": ' ||
+               CAST(CAST((h % 900) / 2.0 + 50 AS DECIMAL(10,1)) AS VARCHAR) ||
+               ', "serving_size_g": 100.0, "fat_total_g": ' ||
+               CAST(h % 40 AS VARCHAR) || '.5, "protein_g": ' ||
+               CAST(h % 30 AS VARCHAR) || '.2, "sodium_mg": ' ||
+               CAST(h % 500 AS VARCHAR) || '.0, "carbohydrates_total_g": ' ||
+               CAST(h % 80 AS VARCHAR) || '.1}]' AS data
+        FROM hx
+    )
+    SELECT item_name,
+           CAST(len(data) AS INT) AS payload_len,
+           CAST((h % 900) / 2.0 + 50 AS DOUBLE) AS calories
+    FROM payload
+    """,
+)
 def enrich_rest_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-batched REST enrichment (S7/U2): mapInPandas with an injectable
     lookup (deterministic stub here; batched HTTP client in production) —
     the reference's one-blocking-call-per-message loop
     (`consume_items.py:66-80,108`) turned into per-partition batch I/O.
-    Python-side → rows-only."""
+
+    The stub is a pure function of the item name (char-code sum → modular
+    fields), so the oracle rebuilds the exact payload in SQL and the whole
+    Python boundary is value-checked, not just row-counted."""
     cat = Catalog(spark, sf_dir)
     names = cat.part.select(
         F.concat(F.col("p_name"), F.lit(" #"), F.col("p_partkey")).alias("item_name")
