@@ -1,0 +1,117 @@
+"""Connected-components dedup clustering (SURVEY.md §2.11 X2 — the step
+after pair generation).
+
+Every near-dup detector in plans/dedup.py emits PAIRS; a real training-data
+pipeline must then pick one canonical document per duplicate CLUSTER (pairs
+(a,b),(b,c) must collapse to one survivor, not two). That grouping is
+connected components over the pair graph — an iterative algorithm, computed
+here with Pregel-style min-label propagation in plain DataFrame ops:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint. Each round is one equi-join (edges × labels) plus one
+groupBy-min — both shuffle on doc_id, and AQE handles the skew of a giant
+cluster's hub. Rounds needed = the graph diameter; near-dup clusters are
+shallow (duplicates of a common source), so convergence is a handful of
+rounds. At extreme scale the same loop upgrades to the large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce"), which
+bounds rounds at O(log n) with the identical per-round plan shape.
+
+The per-round convergence check is one driver-side count — the canonical
+exception to "no driver actions": iterative fixpoints need a loop condition.
+The oracle computes the same components with a recursive CTE (transitive
+closure → min reachable id), so even this iterative operator is
+value-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from .registry import ORACLE, query
+from .dedup import dedup_minhash_banded
+
+MAX_ROUNDS = 15  # >> near-dup cluster diameter; loop exits early on fixpoint
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
+) -> DataFrame:
+    """(doc_id, cluster_rep): min doc_id reachable from each node over the
+    undirected edge set. ``nodes`` must have column doc_id; ``edges``
+    columns doc_a/doc_b."""
+    und = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    und = und.persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(max_rounds):
+        prop = und.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+        ).persist()
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "doc_id"
+            )
+            .where(F.col("label") != F.col("old"))
+            .limit(1)  # existence check, not a full count
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.withColumnRenamed("label", "cluster_rep")
+
+
+def _cc_oracle() -> str:
+    edges_sql = ORACLE["dedup_minhash_banded"].strip()
+    return f"""
+    WITH RECURSIVE edges AS (
+        SELECT doc_a, doc_b FROM ({edges_sql}) pairs
+    ), und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM edges
+    ), comp(doc, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT c.doc, u.dst FROM comp c JOIN und u ON u.src = c.reach
+    ), labels AS (
+        SELECT doc, MIN(reach) AS rep FROM comp GROUP BY doc
+    )
+    SELECT l.doc AS doc_id, l.rep AS cluster_rep,
+           CAST(s.cnt AS BIGINT) AS cluster_size,
+           l.doc = l.rep AS keep
+    FROM labels l
+    JOIN (SELECT rep, COUNT(*) AS cnt FROM labels GROUP BY rep) s
+      ON s.rep = l.rep
+    """
+
+
+@query("dedup_connected_components", oracle=_cc_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization (X2): connected components over the
+    verified MinHash-banded pair graph; every document maps to its cluster's
+    min doc_id. ``keep`` marks the one survivor per cluster — the actual
+    keep/drop decision a dedup pipeline ships. Singletons (no near-dup) keep
+    themselves, so this is a total map over the corpus."""
+    cat = Catalog(spark, sf_dir)
+    edges = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(cat.documents.select("doc_id"), edges)
+    sizes = labels.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_rep")
+        .select(
+            "doc_id",
+            "cluster_rep",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_rep")).alias("keep"),
+        )
+    )

@@ -159,6 +159,28 @@ def test_ngram_prefix_filter_is_lossless(spark):
     assert pref == plain
 
 
+def test_connected_components_contract(spark):
+    """Cluster canonicalization: every edge's endpoints share a rep, the rep
+    is the component minimum, exactly one keep per cluster, total coverage."""
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in plans.QUERIES["dedup_minhash_banded"](spark, SF).collect()
+    ]
+    rows = plans.QUERIES["dedup_connected_components"](spark, SF).collect()
+    rep = {r.doc_id: r.cluster_rep for r in rows}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rep) == n_docs  # total map, singletons included
+    for a, b in edges:
+        assert rep[a] == rep[b], f"edge ({a},{b}) split across clusters"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_rep, []).append(r)
+    for c, members in by_cluster.items():
+        assert c == min(m.doc_id for m in members)  # rep is the min id
+        assert sum(m.keep for m in members) == 1  # one survivor
+        assert all(m.cluster_size == len(members) for m in members)
+
+
 def test_sampling_contracts(spark):
     """Seeded samplers: reproducible, right expected size, valid strata."""
     s1 = plans.QUERIES["sample_bernoulli"](spark, SF)
