@@ -317,3 +317,82 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+MAX_SEQ_TOKENS = 256  # training-sequence capacity (tokens)
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, source, n_tok, rn,
+               CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+               CAST(n_tok AS BIGINT) AS filled
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.doc_id, d.source, d.n_tok, d.rn,
+               CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
+                    THEN p.seq_id ELSE p.seq_id + 1 END,
+               CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
+                    THEN p.filled ELSE CAST(0 AS BIGINT) END,
+               CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
+                    THEN p.filled + d.n_tok ELSE CAST(d.n_tok AS BIGINT) END
+        FROM packed p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, source, n_tok, seq_id, seq_offset
+    FROM packed
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing (north-star curation op): concatenate
+    consecutive documents (per source, doc_id order) into training sequences
+    of ≤ {MAX_SEQ_TOKENS} tokens; a doc that would overflow starts the next
+    sequence, and an oversized doc gets one to itself. Emits each doc's
+    (seq_id, seq_offset) placement — the map a dataloader needs to build
+    packed batches without padding waste.
+
+    Running-sum-with-reset is inherently sequential per group (not a window
+    frame), so this is the textbook applyInPandas case: one Arrow batch per
+    source, a linear pass inside pandas, no Python in any other stage. At
+    100 TB the group key becomes (source, shard) so each Arrow batch stays
+    bounded; packing then has shard-boundary seams — the standard trade.
+    The oracle replays the identical next-fit recurrence as a recursive CTE,
+    so the Python loop is value-checked row-for-row."""
+    import pandas as pd
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, filled = 1, 0
+        for n in pdf["n_tok"]:
+            if filled > 0 and filled + n > MAX_SEQ_TOKENS:
+                seq += 1
+                filled = 0
+            seq_ids.append(seq)
+            offsets.append(filled)
+            filled += n
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf[["doc_id", "source", "n_tok", "seq_id", "seq_offset"]]
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        schema="doc_id bigint, source string, n_tok int, seq_id bigint, seq_offset bigint",
+    )
