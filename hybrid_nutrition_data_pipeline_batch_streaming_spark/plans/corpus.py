@@ -1,0 +1,228 @@
+"""The full corpus-build pipeline: every north-star curation stage composed
+end-to-end into ONE query (SURVEY.md §2.11 — the engine's flagship
+demonstration that the training-data operators compose).
+
+    quality gate → language gate → exact dedup → near-dup clustering
+    (MinHash bands → connected components, one survivor per cluster) →
+    deterministic train/val/test split → sequence packing
+
+Stage order is the scale argument: the map-only gates run first and shrink
+everything downstream; exact dedup (one window shuffle) runs before the
+much costlier near-dup stage; the pair graph and its components are built
+only over gate+exact survivors; packing — the one Python boundary — sees
+only canonical documents. At 100 TB each arrow is the same plan shape as
+its standalone query (same helpers, same shuffles), so the standalone plan
+audits transfer.
+
+The oracle replays all six stages in one DuckDB statement (two recursive
+CTEs: transitive closure for components, the next-fit recurrence for
+packing), so the whole composition is value-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Catalog
+from .registry import query
+from .dedup import _SHINGLES_SQL, _MINHASH_SIG_SQL, banded_minhash_pairs
+from .graph import connected_components
+from .text import (
+    _EN_MARKERS,
+    _ES_MARKERS,
+    _EN_SCORE_SQL,
+    _ES_SCORE_SQL,
+    _STOP_LIST_SQL,
+    _STOPWORDS,
+    _occurrences,
+)
+from .curation import MAX_SEQ_TOKENS
+
+
+@query(
+    "pipeline_corpus_build",
+    oracle=f"""
+    WITH RECURSIVE scored AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+               md5(lower(trim(text))) AS text_hash,
+               CASE WHEN {_EN_SCORE_SQL} >= {_ES_SCORE_SQL}
+                         AND {_EN_SCORE_SQL} > 0 THEN 'en'
+                    WHEN {_ES_SCORE_SQL} > 0 THEN 'es'
+                    ELSE 'und' END AS pred_lang
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, source, text, text_hash, pred_lang,
+               CAST(len(toks) AS INT) AS n_tok,
+               CASE WHEN len(toks) BETWEEN 20 AND 400 THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(len(list_filter(toks, x ->
+                             list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE) / len(toks)
+                             BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END AS quality
+        FROM scored
+    ), kept AS (
+        SELECT doc_id, source, text, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        FROM quality
+        WHERE quality >= 2 AND pred_lang = 'en'
+    ), k AS (
+        SELECT doc_id, source, text, n_tok FROM kept WHERE rn = 1
+    ), sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM k
+    ), sig AS (
+        SELECT doc_id, shingles,
+           {_MINHASH_SIG_SQL}
+        FROM sh
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+    ), und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM edges
+    ), comp(doc, reach) AS (
+        SELECT doc_id, doc_id FROM k
+        UNION
+        SELECT c.doc, u.dst FROM comp c JOIN und u ON u.src = c.reach
+    ), labels AS (
+        SELECT doc, MIN(reach) AS rep FROM comp GROUP BY doc
+    ), canon AS (
+        SELECT k.doc_id, k.source, k.n_tok
+        FROM k JOIN labels l ON l.doc = k.doc_id AND l.rep = k.doc_id
+    ), docs2 AS (
+        SELECT doc_id, source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM canon
+    ), packed AS (
+        SELECT doc_id, source, n_tok, rn,
+               CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+               CAST(n_tok AS BIGINT) AS filled
+        FROM docs2 WHERE rn = 1
+        UNION ALL
+        SELECT d.doc_id, d.source, d.n_tok, d.rn,
+               CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
+                    THEN p.seq_id ELSE p.seq_id + 1 END,
+               CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
+                    THEN p.filled ELSE CAST(0 AS BIGINT) END,
+               CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
+                    THEN p.filled + d.n_tok ELSE CAST(d.n_tok AS BIGINT) END
+        FROM packed p JOIN docs2 d ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, source, n_tok, seq_id, seq_offset,
+           CASE WHEN (strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 < 230
+                     THEN 'train'
+                WHEN (strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 < 243
+                     THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM packed
+    """,
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six curation stages in one pass (see module docstring): emits the
+    dataloader-ready map (doc_id, source, n_tok, seq_id, seq_offset, split)
+    for every surviving canonical document."""
+    cat = Catalog(spark, sf_dir)
+
+    # Stage 1-2: map-only quality + language gates (plans/text.py exprs).
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    en = sum((_occurrences(padded, m) for m in _EN_MARKERS), F.lit(0))
+    es = sum((_occurrences(padded, m) for m in _ES_MARKERS), F.lit(0))
+    pred_lang = (
+        F.when((en >= es) & (en > 0), F.lit("en"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / n
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = (
+        F.when(n.between(20, 400), 1).otherwise(0)
+        + F.when(uniq_ratio > 0.3, 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+    )
+    gated = cat.documents.select(
+        "doc_id",
+        "source",
+        "text",
+        n.alias("n_tok"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"),
+    ).where((quality >= 2) & (pred_lang == "en"))
+
+    # Stage 3: exact dedup — one window shuffle on the content hash.
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    k = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "text", "n_tok")
+        .persist()  # feeds pair generation, component seeding, and packing
+    )
+
+    # Stage 4: near-dup clusters over survivors; keep each cluster's min id.
+    edges = banded_minhash_pairs(k).select("doc_a", "doc_b")
+    labels = connected_components(k.select("doc_id"), edges)
+    canon = (
+        labels.where(F.col("doc_id") == F.col("cluster_rep"))
+        .join(k, "doc_id")
+        .select("doc_id", "source", "n_tok")
+    )
+
+    # Stage 5-6: deterministic split + next-fit packing (plans/curation.py).
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, filled = 1, 0
+        for tok_cnt in pdf["n_tok"]:
+            if filled > 0 and filled + tok_cnt > MAX_SEQ_TOKENS:
+                seq += 1
+                filled = 0
+            seq_ids.append(seq)
+            offsets.append(filled)
+            filled += tok_cnt
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf[["doc_id", "source", "n_tok", "seq_id", "seq_offset"]]
+
+    packed = canon.groupBy("source").applyInPandas(
+        pack,
+        schema="doc_id bigint, source string, n_tok int, seq_id bigint, seq_offset bigint",
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "seq_id",
+        "seq_offset",
+        F.when(bucket < 230, "train")
+        .when(bucket < 243, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -228,8 +228,15 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join (never O(n²)); the union + distinct dedups cross-band
     candidates before the verify join, so no pair is rescored twice."""
     cat = Catalog(spark, sf_dir)
+    return banded_minhash_pairs(cat.documents.select("doc_id", "text"))
+
+
+def banded_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Verified near-dup pairs (Jaccard ≥ 0.5) from b=2×r=2 banded minhash
+    over any (doc_id, text, ...) DataFrame — the reusable core of
+    ``dedup_minhash_banded``, also consumed by the corpus-build pipeline."""
     sig = (
-        cat.documents.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
         .withColumn("digests", F.transform(F.col("shingles"), F.md5))
         .select(
             "doc_id",
