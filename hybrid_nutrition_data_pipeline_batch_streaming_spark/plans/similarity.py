@@ -500,3 +500,168 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") > NEAR_DUP_COS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (storage-side vector compression)
+# ---------------------------------------------------------------------------
+
+_Q_SCALE_SQL = "list_max(list_transform(e, x -> abs(x))) / 127"
+
+# Portable round-half-up: floor(x + 0.5) ties-break identically in Spark and
+# DuckDB (plain round() does not — HALF_UP vs banker's).
+_QUANT_SQL = (
+    "CASE WHEN scale = 0 THEN list_transform(e, x -> 0) "
+    "ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT)) END"
+)
+
+
+def _deq_sql(q: str, scale: str) -> str:
+    return f"list_transform({q}, x -> x * {scale})"
+
+
+@query(
+    "embedding_quantize",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, e, {_Q_SCALE_SQL} AS scale FROM base
+    ), quant AS (
+        SELECT vec_id, e, scale, {_QUANT_SQL} AS q FROM scaled
+    )
+    SELECT vec_id, scale,
+           array_to_string(q, ',') AS q_str,
+           list_max(list_transform(generate_series(1, len(e)),
+                    i -> abs(e[i] - q[i] * scale))) AS max_abs_err,
+           list_reduce(list_transform(generate_series(1, len(e)),
+                    i -> (e[i] - q[i] * scale) * (e[i] - q[i] * scale)),
+                    (a, b) -> a + b) / len(e) AS mse
+    FROM quant
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization (X1 storage path): per-vector
+    scale = max|x|/127, q = round-half-up(x/scale) — 4× smaller vectors at
+    <1% cosine error, the standard first compression step for a 100 TB
+    embedding corpus. Map-only (zero shuffle); emits the quantized codes
+    (joined to a string for the hash harness) plus exact reconstruction
+    error stats. floor(x+0.5) keeps rounding portable across engines
+    (round() tie-breaks differ)."""
+    cat = Catalog(spark, sf_dir)
+    e = _to_double(F.col("embedding"))
+    scaled = cat.embeddings.select("vec_id", e.alias("e")).withColumn(
+        "scale", F.array_max(F.transform(F.col("e"), F.abs)) / 127
+    )
+    quant = scaled.withColumn(
+        "q",
+        F.when(
+            F.col("scale") == 0, F.transform(F.col("e"), lambda x: F.lit(0))
+        ).otherwise(
+            F.transform(
+                F.col("e"),
+                lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"),
+            )
+        ),
+    )
+    err = F.zip_with(
+        F.col("e"),
+        F.col("q"),
+        lambda x, qv: x - qv.cast("double") * F.col("scale"),
+    )
+    return quant.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("q"), ",").alias("q_str"),
+        F.array_max(F.transform(err, F.abs)).alias("max_abs_err"),
+        (
+            F.aggregate(
+                F.transform(err, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(F.col("e"))
+        ).alias("mse"),
+    )
+
+
+@query(
+    "similarity_topk_int8",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, e, {_Q_SCALE_SQL} AS scale FROM base
+    ), deq AS (
+        SELECT vec_id, {_deq_sql(_QUANT_SQL, 'scale')} AS d FROM scaled
+    ), q AS (
+        SELECT vec_id AS query_id, d AS qe FROM deq WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, d AS ce FROM deq
+    ), scored AS (
+        SELECT query_id, neighbor_id, {_cos_sql('qe', 'ce')} AS cosine
+        FROM q JOIN c ON query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over int8-DEQUANTIZED vectors (X1): the serving-side half
+    of ``embedding_quantize`` — scan the 4×-smaller codes, dequantize on the
+    fly, rank by cosine. A contract test pins its recall against the fp64
+    exact top-k, quantifying the compression/accuracy trade; the oracle
+    replays quantize→dequantize→rank bit-exactly."""
+    cat = Catalog(spark, sf_dir)
+    e = _to_double(F.col("embedding"))
+    scaled = cat.embeddings.select("vec_id", e.alias("e")).withColumn(
+        "scale", F.array_max(F.transform(F.col("e"), F.abs)) / 127
+    )
+    deq = scaled.select(
+        "vec_id",
+        F.when(
+            F.col("scale") == 0,
+            F.transform(F.col("e"), lambda x: F.lit(0.0)),
+        )
+        .otherwise(
+            F.transform(
+                F.col("e"),
+                lambda x: F.floor(x / F.col("scale") + 0.5).cast("int").cast("double")
+                * F.col("scale"),
+            )
+        )
+        .alias("d"),
+    ).withColumn("n", _norm(F.col("d")))
+    qs = deq.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("d").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    cs = deq.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("d").alias("ce"),
+        F.col("n").alias("cn"),
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(cs, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -144,6 +144,23 @@ def test_minhash_banded_recall_dominates_single_band(spark):
     assert all(r.doc_a < r.doc_b for r in banded_rows)
 
 
+def test_int8_topk_recall_vs_exact(spark):
+    """Int8 scalar quantization must barely perturb the cosine ranking:
+    dequantized top-5 recovers >=0.9 of the fp64 exact top-5, and every
+    reported cosine is within 0.02 of the exact value for that pair."""
+    exact_rows = plans.QUERIES["similarity_topk"](spark, SF).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    q_rows = plans.QUERIES["similarity_topk_int8"](spark, SF).collect()
+    quant = {(r.query_id, r.neighbor_id) for r in q_rows}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"int8 ranking drifted: recall {recall}"
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact_rows}
+    for r in q_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert abs(r.cosine - exact_cos[key]) < 0.02
+
+
 def test_ngram_prefix_filter_is_lossless(spark):
     """Prefix filtering (PPJoin) must return EXACTLY the pairs of the plain
     inverted-index Jaccard join — the lemma guarantees losslessness, this
