@@ -328,11 +328,9 @@ _EXPANDED_SQL = """
         FROM bits, generate_series(0, 63) t(j)
 """
 
-
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH tok AS (
+# The shared signature CTE chain (token → digest → per-bit votes → two
+# 32-bit words), used by both simhash oracles.
+_SIG_CTES_SQL = f"""tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ), bits AS (
         SELECT doc_id, md5(token) AS h FROM tok WHERE token <> ''
@@ -347,28 +345,15 @@ _EXPANDED_SQL = """
                              THEN CAST(pow(2, j - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS w1
         FROM votes
         GROUP BY doc_id
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INT) AS hamming
-    FROM sig a JOIN sig b
-      ON (a.w0 // {_BLOCK_DIV}) = (b.w0 // {_BLOCK_DIV}) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= {HAMMING_MAX}
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate detection (X2): 64-bit signature from token
-    digests (per-bit ±1 votes over all tokens); candidate pairs generated by
-    equality on the top 8 signature bits (an LSH block — equi-join, never
-    O(n²)), verified by Hamming distance ≤ {HAMMING_MAX}.
+    )"""
 
-    100 TB shape: multi-probe re-joins on several bit-blocks (rotations of
-    the signature) to recover near-dups whose differing bits fall inside the
-    block; each probe is this same plan with a different block key."""
-    cat = Catalog(spark, sf_dir)
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """Persisted (doc_id, w0, w1) 64-bit simhash signature table over any
+    (doc_id, text, ...) DataFrame — shared by the single-block and
+    multi-probe pair generators."""
     tok = (
-        cat.documents.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-        )
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
         .where(F.col("token") != "")
         .select("doc_id", F.md5(F.col("token")).alias("h"))
     )
@@ -383,12 +368,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = F.col("wa") if j < _WORD_BITS else F.col("wb")
         bit = F.shiftright(src, 31 - (j % _WORD_BITS)).bitwiseAND(F.lit(1))
         bit_votes.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
-    sig = (
+    return (
         words.groupBy("doc_id")
         .agg(*bit_votes)
         .select("doc_id", _word("s", 0).alias("w0"), _word("s", 32).alias("w1"))
-        .persist()  # both self-join sides read the materialized signatures
+        .persist()  # every self-join probe reads the materialized signatures
     )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIG_CTES_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INT) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.w0 // {_BLOCK_DIV}) = (b.w0 // {_BLOCK_DIV}) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= {HAMMING_MAX}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate detection (X2): 64-bit signature from token
+    digests (per-bit ±1 votes over all tokens); candidate pairs generated by
+    equality on the top 8 signature bits (an LSH block — equi-join, never
+    O(n²)), verified by Hamming distance ≤ {HAMMING_MAX}. Single-probe, so a
+    pair whose differing bits land in the top byte is missed — see
+    ``dedup_simhash_multiprobe`` for the complete-recall form."""
+    cat = Catalog(spark, sf_dir)
+    sig = simhash_signatures(cat.documents.select("doc_id", "text"))
     a, b = sig.alias("a"), sig.alias("b")
     hamming = (
         F.bit_count(F.expr("a.w0 ^ b.w0")) + F.bit_count(F.expr("a.w1 ^ b.w1"))
@@ -404,6 +411,67 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
+        .where(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+@query(
+    "dedup_simhash_multiprobe",
+    oracle=f"""
+    WITH {_SIG_CTES_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= {HAMMING_MAX}
+    """,
+)
+def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-index SimHash join (X2 — the complete-recall production form,
+    Manku et al.'s web-dedup construction): probe ALL 8 disjoint byte-blocks
+    of the 64-bit signature with one equi-join each. Pigeonhole guarantees
+    completeness — {HAMMING_MAX} differing bits cannot touch all 8 blocks,
+    so every pair within the Hamming radius collides on at least one probe.
+    The oracle is therefore the brute-force all-pairs Hamming join: this
+    blocked plan must reproduce it EXACTLY, and the equality is the
+    completeness proof run as a test. Each probe stays an equi-join
+    (O(n · block-occupancy), never O(n²)); candidates are deduped across
+    probes before the single verification pass."""
+    cat = Catalog(spark, sf_dir)
+    sig = simhash_signatures(cat.documents.select("doc_id", "text"))
+
+    def block(word: str, k: int) -> Column:
+        # Byte k (0 = most significant) of a 32-bit word.
+        return F.shiftright(F.col(word), 24 - 8 * k).bitwiseAND(F.lit(255))
+
+    probes = [("w0", k) for k in range(4)] + [("w1", k) for k in range(4)]
+    cand = None
+    for word, k in probes:
+        a = sig.select(F.col("doc_id").alias("doc_a"), block(word, k).alias("blk"))
+        b = sig.select(F.col("doc_id").alias("doc_b"), block(word, k).alias("blk"))
+        pairs = (
+            a.alias("a")
+            .join(
+                b.alias("b"),
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("w0").alias("a0"), F.col("w1").alias("a1")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("w0").alias("b0"), F.col("w1").alias("b1")
+    )
+    hamming = (
+        F.bit_count(F.expr("a0 ^ b0")) + F.bit_count(F.expr("a1 ^ b1"))
+    ).cast("int")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= HAMMING_MAX)
     )
 

@@ -130,6 +130,20 @@ def test_ann_ivf_recall_and_probe_contract(spark):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_simhash_multiprobe_complete_and_dominates(spark):
+    """Multi-index probing must find every pair the single-block probe
+    finds (superset), and its oracle equality (brute-force all-pairs) is
+    the pigeonhole completeness proof — here we just pin the dominance."""
+    single = {
+        (r.doc_a, r.doc_b)
+        for r in plans.QUERIES["dedup_simhash"](spark, SF).collect()
+    }
+    multi_rows = plans.QUERIES["dedup_simhash_multiprobe"](spark, SF).collect()
+    multi = {(r.doc_a, r.doc_b) for r in multi_rows}
+    assert single <= multi
+    assert all(r.hamming <= 6 for r in multi_rows)
+
+
 def test_minhash_banded_recall_dominates_single_band(spark):
     """OR-amplified banding (b=2, r=2) must find every pair the AND-of-4
     single band finds, and its verified pairs must all clear the exact
