@@ -49,7 +49,11 @@ HEADLINE = [
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
+    "similarity_topk_int8",
     "dedup_embedding",
+    "dedup_connected_components",
+    "pack_sequences",
+    "pipeline_corpus_build",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
 ]
