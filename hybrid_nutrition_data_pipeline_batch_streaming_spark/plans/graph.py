@@ -47,6 +47,14 @@ def connected_components(
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     und = und.persist()
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).persist()
+    # Min-label propagation only ever DECREASES labels, so the label sum
+    # strictly decreases until the fixpoint — comparing sums is a complete
+    # convergence test and costs one aggregation per round (no join against
+    # the previous labels). decimal(38,0) keeps the sum exact at any corpus
+    # size where sum(doc_id)·rounds could overflow a bigint.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0][0]
     for _ in range(max_rounds):
         prop = und.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
@@ -54,18 +62,14 @@ def connected_components(
         new_labels = (
             labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
         ).persist()
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "doc_id"
-            )
-            .where(F.col("label") != F.col("old"))
-            .limit(1)  # existence check, not a full count
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     und.unpersist()
     return labels.withColumnRenamed("label", "cluster_rep")
 
