@@ -111,3 +111,56 @@ def decode_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (video-style 1 → N row expansion)
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 100   # stand-in frame size
+FRAME_STRIDE = 3    # keep every 3rd frame
+MAX_FRAMES = 8      # per-payload output cap
+FRAME_MS = 40       # fake 25 fps timestamping
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Video-style frame sampling plumbing (X4): each payload expands to ≤
+    MAX_FRAMES rows — every FRAME_STRIDE-th FRAME_BYTES-sized slice, stamped
+    with a frame index and a fake capture timestamp. This is the 1→N
+    mapInPandas expansion a real video pipeline runs (demux → keyframe
+    sample), with a deterministic byte-slicer standing in for the codec:
+    swap the slicing for an ffmpeg/pyav call and the plan, schema, batching
+    and output cap all stay. Emits the frame HASH, not the bytes — at 100 TB
+    the sampled frames land in object storage and only references flow on.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "ts_ms", "frame_len", "frame_hash")}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                n_frames = len(b) // FRAME_BYTES
+                kept = range(0, n_frames, FRAME_STRIDE)
+                for rank, idx in enumerate(kept):
+                    if rank >= MAX_FRAMES:
+                        break
+                    frame = b[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * FRAME_MS)
+                    out["frame_len"].append(len(frame))
+                    out["frame_hash"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -6,7 +6,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..operators.multimodal import attach_payload, decode_features
+from ..operators.multimodal import attach_payload, decode_features, sample_frames
+from ..operators.multimodal import FRAME_BYTES, FRAME_STRIDE, MAX_FRAMES, FRAME_MS
 from .registry import query
 
 
@@ -37,3 +38,39 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     batching are the real thing. Python-side output → rows-only check."""
     cat = Catalog(spark, sf_dir)
     return decode_features(attach_payload(cat.documents))
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id, text,
+               CAST(unnest(generate_series(0,
+                    CAST(len(text) // {FRAME_BYTES} AS BIGINT) - 1,
+                    {FRAME_STRIDE})) AS BIGINT) AS frame_idx
+        FROM documents
+        WHERE len(text) >= {FRAME_BYTES}
+    ), ranked AS (
+        SELECT doc_id, text, frame_idx,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS rnk
+        FROM frames
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * {FRAME_MS} AS ts_ms,
+           CAST({FRAME_BYTES} AS BIGINT) AS frame_len,
+           md5(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                      {FRAME_BYTES})) AS frame_hash
+    FROM ranked
+    WHERE rnk <= {MAX_FRAMES}
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over pseudo-video payloads (X4): mapInPandas 1→N row
+    expansion — every {FRAME_STRIDE}rd {FRAME_BYTES}-byte slice, capped at
+    {MAX_FRAMES} frames, hash-referenced. The payload is the UTF-8 text
+    (ASCII fixture), so the oracle can replay the slicing byte-for-byte with
+    substr+md5 — the expansion boundary is value-checked, unlike the feature
+    stub. Full frames only (a trailing partial slice is dropped), mirroring
+    a demuxer's whole-frame contract."""
+    cat = Catalog(spark, sf_dir)
+    return sample_frames(attach_payload(cat.documents))
