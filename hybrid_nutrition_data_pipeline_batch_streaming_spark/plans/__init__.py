@@ -40,7 +40,7 @@ PRIORITY: tuple[str, ...] = (
     "join_inner",
     "join_broadcast",
     "join_outer",
-    "join_semi",
+    "enrich_rest_stub",  # S7/U2 mapInPandas boundary (J4 semi stays local-checked)
     "incremental_antijoin",
     "join_range",
     "join_asof",
@@ -75,14 +75,14 @@ PRIORITY: tuple[str, ...] = (
     # §2.11 X3 text analysis
     "wordcloud_tokens",
     "text_stats",
-    "pipeline_text_curation",
-    "text_chunking",
+    "dedup_connected_components",
+    "similarity_ann_ivf",
     # §2.11 X2 dedup family
     "dedup_exact_text",
-    "dedup_minhash",
+    "pipeline_corpus_build",
     "dedup_minhash_banded",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "dedup_simhash_multiprobe",
+    "dedup_ngram_prefix",
     "dedup_embedding",
     # §2.11 X1 similarity
     "similarity_topk",
@@ -91,7 +91,7 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
     "stream_stateful_totals",
-    "mm_metadata",
+    "mm_frame_sample",
 )
 
 

@@ -35,12 +35,13 @@ def test_registry_priority_window():
     assert tuple(names[:50]) == plans.PRIORITY
     assert all(n in plans.ORACLE for n in names[:50])
     must_haves = {
-        "dedup_exact_text", "dedup_minhash", "dedup_minhash_banded",
-        "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding",
-        "similarity_topk", "similarity_ann_lsh", "wordcloud_tokens",
-        "text_stats", "pipeline_text_curation", "text_chunking",
+        "dedup_exact_text", "dedup_minhash_banded",
+        "dedup_simhash_multiprobe", "dedup_ngram_prefix", "dedup_embedding",
+        "dedup_connected_components", "pipeline_corpus_build",
+        "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
+        "wordcloud_tokens", "text_stats", "enrich_rest_stub",
         "pipeline_nutrition_e2e", "stream_tumbling_live",
-        "stream_stateful_totals", "mm_metadata", "grouped_udaf_median",
+        "stream_stateful_totals", "mm_frame_sample", "grouped_udaf_median",
     }
     assert must_haves <= set(plans.PRIORITY)
 
