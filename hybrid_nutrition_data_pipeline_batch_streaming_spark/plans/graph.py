@@ -92,7 +92,7 @@ def _cc_oracle() -> str:
     )
     SELECT l.doc AS doc_id, l.rep AS cluster_rep,
            CAST(s.cnt AS BIGINT) AS cluster_size,
-           l.doc = l.rep AS keep
+           CAST(l.doc = l.rep AS INT) AS keep
     FROM labels l
     JOIN (SELECT rep, COUNT(*) AS cnt FROM labels GROUP BY rep) s
       ON s.rep = l.rep
@@ -116,6 +116,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "cluster_rep",
             "cluster_size",
-            (F.col("doc_id") == F.col("cluster_rep")).alias("keep"),
+            (F.col("doc_id") == F.col("cluster_rep")).cast("int").alias("keep"),
         )
     )
