@@ -164,3 +164,54 @@ def sample_frames(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize (image-style fixed-grid downsampling)
+# ---------------------------------------------------------------------------
+
+RESIZE_GRID = 16  # stand-in "thumbnail" side: payload → 16 sampled bytes
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("thumb", ArrayType(DoubleType())),
+        StructField("thumb_hash", StringType()),
+    ]
+)
+
+
+def resize_payloads(df: DataFrame) -> DataFrame:
+    """Image-resize plumbing (X4): each payload downsamples to a fixed
+    RESIZE_GRID-point grid by nearest-neighbor sampling at evenly spaced
+    byte offsets (offset k·n/G for k in 0..G-1) — the access pattern, fixed
+    output shape, and bounded per-row cost of a real thumbnailer, with byte
+    sampling standing in for pixel interpolation. Swap the body for a
+    PIL/libvips resize and the mapInPandas boundary, schema and batching
+    stay. Emits the grid as doubles (model-input-shaped) plus a hash of the
+    sampled bytes for downstream exact dedup of thumbnails."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs, hashes = [], []
+            for buf in pdf["payload"]:
+                b = bytes(buf)
+                n = len(b)
+                if n == 0:
+                    sampled = bytes(RESIZE_GRID)
+                else:
+                    sampled = bytes(b[(k * n) // RESIZE_GRID] for k in range(RESIZE_GRID))
+                thumbs.append([float(x) for x in sampled])
+                hashes.append(hashlib.md5(sampled).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "thumb": thumbs,
+                    "thumb_hash": hashes,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -17,10 +17,11 @@ rounds. At extreme scale the same loop upgrades to the large-star/small-star
 algorithm (Kiveris et al., "Connected Components in MapReduce"), which
 bounds rounds at O(log n) with the identical per-round plan shape.
 
-The per-round convergence check is one driver-side count — the canonical
-exception to "no driver actions": iterative fixpoints need a loop condition.
-The oracle computes the same components with a recursive CTE (transitive
-closure → min reachable id), so even this iterative operator is
+The per-round convergence check is one driver-side aggregation (the exact
+decimal label sum, which strictly decreases until the fixpoint) — the
+canonical exception to "no driver actions": iterative fixpoints need a loop
+condition. The oracle computes the same components with a recursive CTE
+(transitive closure → min reachable id), so even this iterative operator is
 value-checked, not rows-only.
 """
 

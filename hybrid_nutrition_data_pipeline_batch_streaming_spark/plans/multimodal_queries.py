@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..catalog import Catalog
 from ..operators.multimodal import attach_payload, decode_features, sample_frames
 from ..operators.multimodal import FRAME_BYTES, FRAME_STRIDE, MAX_FRAMES, FRAME_MS
+from ..operators.multimodal import RESIZE_GRID, resize_payloads
 from .registry import query
 
 
@@ -74,3 +75,37 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a demuxer's whole-frame contract."""
     cat = Catalog(spark, sf_dir)
     return sample_frames(attach_payload(cat.documents))
+
+
+@query(
+    "mm_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(text) AS BIGINT) AS n_bytes,
+           array_to_string(list_transform(
+               generate_series(0, {RESIZE_GRID} - 1),
+               k -> CAST(ascii(text[CAST((k * len(text)) // {RESIZE_GRID} + 1 AS BIGINT)]) AS VARCHAR)
+           ), ',') AS thumb_str,
+           md5(list_reduce(list_transform(
+               generate_series(0, {RESIZE_GRID} - 1),
+               k -> text[CAST((k * len(text)) // {RESIZE_GRID} + 1 AS BIGINT)]
+           ), (a, b) -> a || b)) AS thumb_hash
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over pseudo-image payloads (X4): mapInPandas
+    nearest-neighbor downsampling to a fixed {RESIZE_GRID}-point grid. The
+    payload is ASCII text bytes, so the oracle replays the exact sampling
+    with char indexing — the resize boundary is value-checked (grid shipped
+    as a joined string: the harness cannot hash array columns)."""
+    cat = Catalog(spark, sf_dir)
+    out = resize_payloads(attach_payload(cat.documents))
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(
+            F.transform(F.col("thumb"), lambda x: x.cast("int").cast("string")), ","
+        ).alias("thumb_str"),
+        "thumb_hash",
+    )
