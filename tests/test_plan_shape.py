@@ -103,3 +103,36 @@ def test_whole_stage_codegen_on_hot_paths(spark):
 def test_flagship_no_cartesian(spark):
     plan = _plan(spark, "flagship_revenue")
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """IVF cell assignment must be a broadcast join against the bounded
+    centroid set plus a partially-aggregated max_by — never a shuffle of
+    n×K scored rows."""
+    plan = _plan(spark, "similarity_ann_ivf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_max_by" in plan.lower() or "max_by" in plan
+
+
+def test_prefix_filter_join_is_equi(spark):
+    """The prefix-filtered candidate join must be an equi-join on the
+    (shingle, block) key — no nested-loop pair generation."""
+    plan = _plan(spark, "dedup_ngram_prefix")
+    assert "CartesianProduct" not in plan
+
+
+def test_multiprobe_simhash_no_cartesian(spark):
+    """All 8 probes must stay equi-joins on the byte-block key."""
+    plan = _plan(spark, "dedup_simhash_multiprobe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_build_python_only_at_packing(spark):
+    """The corpus-build composition may cross into Python exactly once —
+    the applyInPandas packing stage. Gates, dedup, pair generation and
+    clustering must stay JVM-side."""
+    plan = _plan(spark, "pipeline_corpus_build")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
