@@ -47,7 +47,20 @@ def connected_components(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     und = und.persist()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).persist()
+    # Only edge-touched nodes can ever change label — every other node is a
+    # fixpoint at round 0. Iterate over the edge subgraph (near-dup graphs
+    # are a sliver of the corpus at any scale) and union the untouched
+    # nodes back as self-labeled singletons at the end.
+    edge_nodes = und.select(F.col("src").alias("doc_id")).distinct().persist()
+    singletons = nodes.select("doc_id").join(
+        edge_nodes, "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("label"))
+    labels = (
+        nodes.select("doc_id")
+        .join(edge_nodes, "doc_id", "left_semi")
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .persist()
+    )
     # Min-label propagation only ever DECREASES labels, so the label sum
     # strictly decreases until the fixpoint — comparing sums is a complete
     # convergence test and costs one aggregation per round (no join against
@@ -72,7 +85,9 @@ def connected_components(
             break
         prev_sum = new_sum
     und.unpersist()
-    return labels.withColumnRenamed("label", "cluster_rep")
+    return (
+        labels.unionByName(singletons).withColumnRenamed("label", "cluster_rep")
+    )
 
 
 def _cc_oracle() -> str:
