@@ -181,7 +181,13 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", "source", "text", "n_tok")
-        .persist()  # feeds pair generation, component seeding, and packing
+        # localCheckpoint, not persist: k feeds pair generation, component
+        # seeding, AND packing, and the CC loop downstream issues an action
+        # per round — each would re-run Catalyst over the very large gate
+        # expression trees above (~40 marker counters). Truncating lineage
+        # here cut the composed pipeline's driver-side analysis from seconds
+        # per action to milliseconds (see plans/graph.py for the same note).
+        .localCheckpoint()
     )
 
     # Stage 4: near-dup clusters over survivors; keep each cluster's min id.

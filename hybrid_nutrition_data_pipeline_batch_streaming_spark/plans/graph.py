@@ -43,15 +43,24 @@ def connected_components(
     """(doc_id, cluster_rep): min doc_id reachable from each node over the
     undirected edge set. ``nodes`` must have column doc_id; ``edges``
     columns doc_a/doc_b."""
+    # localCheckpoint (not persist): pair generation sits on a DEEP plan
+    # (shingling → minhash → band joins → Jaccard verify, itself over gated
+    # inputs), and an iterative loop re-submits its lineage to Catalyst on
+    # EVERY action. Caching dodges re-execution but not re-analysis — with
+    # the corpus-build gates upstream, each tiny round cost 2-4.5 s of
+    # driver-side plan optimization (measured at sf0.1) vs 0.4 s truncated.
+    # On a cluster this is the GraphFrames pattern (periodic checkpointing
+    # inside iteration); swap for reliable checkpoint() when a fault-tolerant
+    # checkpoint dir is configured.
     und = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    und = und.persist()
+    und = und.localCheckpoint()
     # Only edge-touched nodes can ever change label — every other node is a
     # fixpoint at round 0. Iterate over the edge subgraph (near-dup graphs
     # are a sliver of the corpus at any scale) and union the untouched
     # nodes back as self-labeled singletons at the end.
-    edge_nodes = und.select(F.col("src").alias("doc_id")).distinct().persist()
+    edge_nodes = und.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
     singletons = nodes.select("doc_id").join(
         edge_nodes, "doc_id", "left_anti"
     ).select("doc_id", F.col("doc_id").alias("label"))
@@ -59,7 +68,7 @@ def connected_components(
         nodes.select("doc_id")
         .join(edge_nodes, "doc_id", "left_semi")
         .select("doc_id", F.col("doc_id").alias("label"))
-        .persist()
+        .localCheckpoint()
     )
     # Min-label propagation only ever DECREASES labels, so the label sum
     # strictly decreases until the fixpoint — comparing sums is a complete
@@ -75,16 +84,14 @@ def connected_components(
         ).select(F.col("dst").alias("doc_id"), "label")
         new_labels = (
             labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
-        ).persist()
+        ).localCheckpoint()
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    und.unpersist()
     return (
         labels.unionByName(singletons).withColumnRenamed("label", "cluster_rep")
     )
