@@ -396,3 +396,72 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack,
         schema="doc_id bigint, source string, n_tok int, seq_id bigint, seq_offset bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing (balanced downsampling)
+# ---------------------------------------------------------------------------
+
+
+def _hex_u16_sql(expr: str) -> str:
+    """DuckDB: first 4 hex digits of md5(expr) as an int in [0, 65536)."""
+    digit = "strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1"
+    d = [digit.format(e=expr, i=i + 1) for i in range(4)]
+    return f"((({d[0]}) * 16 + ({d[1]})) * 16 + ({d[2]})) * 16 + ({d[3]})"
+
+
+@query(
+    "corpus_mix_sample",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+    ), p AS (
+        SELECT lang,
+               CAST((SELECT MIN(c) FROM cnt) AS DOUBLE) / CAST(c AS DOUBLE)
+                   AS accept_p
+        FROM cnt
+    )
+    SELECT d.doc_id, d.lang, p.accept_p
+    FROM documents d JOIN p ON p.lang = d.lang
+    WHERE CAST({_hex_u16_sql("'mix:' || CAST(d.doc_id AS VARCHAR)")} AS DOUBLE)
+          < p.accept_p * 65536.0
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing via balanced domain downsampling (north-star curation op):
+    sample each language down to the size of the smallest one, so the output
+    mix is uniform over domains — the deterministic core of the
+    domain-reweighting step every pretraining corpus build runs (general
+    temperature mixing substitutes any weight w_s for c_min; the plan shape
+    is identical). ``lang`` is the domain here because the fixture corpus is
+    deliberately language-skewed (~3.4× en vs fr at sf0.01) while ``source``
+    is uniform.
+
+    Acceptance is hash-gated, not RNG-gated: a doc survives iff the first 16
+    bits of md5('mix:' || doc_id) fall below accept_p · 2¹⁶. That makes the
+    sample a pure function of (doc_id, per-source counts) — reproducible
+    across reruns, partitionings, and engines, which is what lets a 100 TB
+    corpus build resume mid-way. accept_p = c_min/c_s is a single IEEE
+    division of two exact counts, so Spark and DuckDB agree bit-for-bit.
+
+    Scale shape: one partial-aggregated groupBy over the tiny source
+    dimension, the per-source probabilities broadcast back, and the gate is
+    a map-side filter — one scan of the corpus, no full-table shuffle.
+    """
+    cat = Catalog(spark, sf_dir)
+    counts = cat.documents.groupBy("lang").agg(F.count("*").alias("c"))
+    cmin = counts.agg(F.min("c").alias("cmin"))
+    probs = counts.crossJoin(F.broadcast(cmin)).select(
+        "lang",
+        (F.col("cmin").cast("double") / F.col("c").cast("double")).alias("accept_p"),
+    )
+    u16 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    return (
+        cat.documents.join(F.broadcast(probs), "lang")
+        .where(u16.cast("double") < F.col("accept_p") * F.lit(65536.0))
+        .select("doc_id", "lang", "accept_p")
+    )

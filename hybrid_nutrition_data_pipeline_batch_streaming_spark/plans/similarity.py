@@ -665,3 +665,117 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style cluster-then-prune)
+# ---------------------------------------------------------------------------
+
+SEM_CELLS = 32   # coarse clusters; production K scales with n (see docstring)
+SEM_TAU = 0.4    # within-cell cosine above which the higher-id doc is pruned
+
+_SEM_ASSIGN_SQL = f"""
+        SELECT vec_id, cid AS cell FROM (
+            SELECT b.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_cos_sql('b.e', 'c.ce')} DESC,
+                                               c.cid) AS rn
+            FROM base b CROSS JOIN cent c
+        ) WHERE rn = 1
+"""
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {SEM_CELLS}
+    ), assign AS ({_SEM_ASSIGN_SQL}
+    ), dups AS (
+        SELECT ab.vec_id AS vec_id, MIN(aa.vec_id) AS rep
+        FROM assign aa
+        JOIN assign ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+        JOIN base a ON a.vec_id = aa.vec_id
+        JOIN base b ON b.vec_id = ab.vec_id
+        WHERE {_cos_sql('a.e', 'b.e')} >= {SEM_TAU}
+        GROUP BY ab.vec_id
+    )
+    SELECT s.vec_id, s.cell,
+           COALESCE(d.rep, s.vec_id) AS rep_id,
+           CAST(CASE WHEN d.rep IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM assign s LEFT JOIN dups d ON d.vec_id = s.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, cluster-then-prune (X2 scale path; the SemDeDup
+    recipe — Abbas et al. 2023, arXiv:2303.09540): assign every embedding to
+    its nearest coarse centroid, compare pairs ONLY within a cell, and prune
+    any vector that has a lower-id cell-mate with cosine ≥ {SEM_TAU}. Output
+    is a total map: (vec_id, cell, rep_id, keep) — ``keep=0`` rows are the
+    semantic duplicates a training-data build drops.
+
+    Complements ``dedup_embedding`` (LSH-banded candidate pairs): clustering
+    concentrates near-dups into the same cell by construction, so the prune
+    is exhaustive within a cell rather than probabilistic across bands.
+
+    Scale shape (the SemDeDup argument):
+    - centroids are broadcast; assignment is a map-side broadcast join plus
+      one partially-aggregated max_by groupBy — n rows cross the wire once;
+    - the pairwise prune is an equi-join on cell id, so candidate pairs are
+      Σ_cells occ² — bounded by choosing K ∝ n/target_cell_size (production
+      runs k-means offline and scales K with the corpus; {SEM_CELLS}
+      deterministic lowest-id centroids stand in for that offline step, as
+      in ``similarity_ann_ivf``);
+    - dot products stay JVM-side (left-fold ``aggregate``), bit-identical
+      to the DuckDB oracle.
+    """
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat.embeddings.select("vec_id", _to_double(F.col("embedding")).alias("e"))
+        .withColumn("n", _norm(F.col("e")))
+        .persist()  # read as corpus, centroid set, and both pair sides
+    )
+    cent = base.where(F.col("vec_id") < SEM_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
+    )
+    # Nearest cell per vector: argmax via max_by over a (score, -cid) struct —
+    # ties resolve to the smallest cid, matching ORDER BY score DESC, cid.
+    assign = (
+        base.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            (_dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn"))).alias("score"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("score"), (-F.col("cid")).alias("t"))
+            ).alias("cell")
+        )
+    )
+    enr = assign.join(base, "vec_id").persist()  # vec_id, cell, e, n
+    lhs = enr.select(
+        F.col("vec_id").alias("a_id"), "cell", F.col("e").alias("ae"), F.col("n").alias("an")
+    )
+    rhs = enr.select(
+        F.col("vec_id").alias("b_id"), "cell", F.col("e").alias("be"), F.col("n").alias("bn")
+    )
+    dups = (
+        lhs.join(rhs, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            (_dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))) >= SEM_TAU
+        )
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("rep"))
+        .withColumnRenamed("b_id", "vec_id")
+    )
+    return assign.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("rep"), F.col("vec_id")).alias("rep_id"),
+        F.when(F.col("rep").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+    )
