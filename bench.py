@@ -51,6 +51,8 @@ HEADLINE = [
     "similarity_ann_ivf",
     "similarity_topk_int8",
     "dedup_embedding",
+    "dedup_semantic",
+    "corpus_mix_sample",
     "dedup_connected_components",
     "pack_sequences",
     "pipeline_corpus_build",

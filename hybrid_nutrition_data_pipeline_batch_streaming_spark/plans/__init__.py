@@ -28,6 +28,7 @@ from . import udf_surface  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
 from . import corpus  # noqa: F401,E402
+from . import cdc  # noqa: F401,E402
 
 # The driver-checked window: exactly these 50, in this order, all with
 # oracles. One per §2 row + all north-star operators.

@@ -136,3 +136,22 @@ def test_corpus_build_python_only_at_packing(spark):
     plan = _plan(spark, "pipeline_corpus_build")
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_semantic_dedup_broadcasts_centroids_and_joins_on_cell(spark):
+    """SemDeDup shape: centroid scoring is a broadcast join against the
+    bounded centroid set; the pairwise prune is an equi-join on cell id —
+    never an unblocked all-pairs product of the corpus with itself."""
+    plan = _plan(spark, "dedup_semantic")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "max_by" in plan.lower()
+
+
+def test_mix_sample_is_broadcast_gated_scan(spark):
+    """Domain mixing must stay one corpus scan: per-domain probabilities
+    arrive via broadcast and the acceptance test is a map-side filter —
+    no full-table shuffle join."""
+    plan = _plan(spark, "corpus_mix_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
