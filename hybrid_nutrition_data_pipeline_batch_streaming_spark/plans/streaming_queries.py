@@ -182,3 +182,42 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (S7/T6 hybrid — the canonical
+    production shape the reference implements as a per-record REST call,
+    `consumer/consume_items.py:64-88`): a live event stream inner-joins a
+    static dimension and aggregates per segment. The static side is
+    broadcast, so the join is stateless and map-side — no streaming state
+    beyond the final aggregation, and each micro-batch touches only its own
+    files. Value-checked: with complete output mode and AvailableNow, the
+    drained aggregate must equal the batch join+groupBy — stream-batch
+    parity over an enrichment join. Sum is decimal-exact, cast to double
+    only at the edge (the engine's float-parity discipline).
+    """
+    from ..catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    dim = cat.customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("segment").agg(
+        F.count("*").alias("event_cnt"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return run_to_memory(agg, output_mode="complete")
