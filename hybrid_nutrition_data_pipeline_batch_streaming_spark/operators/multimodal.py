@@ -98,7 +98,9 @@ def decode_features(df: DataFrame) -> DataFrame:
                         float(len(set(sample))),
                         float(b[0]) if b else 0.0,
                         float(b[-1]) if b else 0.0,
-                        sum((x - mean) ** 2 for x in s) / len(s),
+                        # multiply, not **2: bit-identical to the SQL oracle's
+                        # (x-mean)*(x-mean) without leaning on pow() rounding
+                        sum((x - mean) * (x - mean) for x in s) / len(s),
                     ]
                 )
             yield pd.DataFrame(

@@ -109,3 +109,61 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("thumb_str"),
         "thumb_hash",
     )
+
+
+@query(
+    "mm_decode_stats",
+    oracle="""
+    WITH sampled AS (
+        SELECT doc_id,
+               CAST(len(text) AS BIGINT) AS n,
+               greatest(len(text) // 64, 1) AS stride
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, n,
+               list_transform(
+                   generate_series(0, least(64, (n + stride - 1) // stride) - 1),
+                   k -> CAST(ascii(d.text[CAST(k * stride + 1 AS BIGINT)]) AS DOUBLE)
+               ) AS s,
+               CAST(ascii(d.text[1]) AS DOUBLE) AS f_first,
+               CAST(ascii(d.text[CAST(n AS BIGINT)]) AS DOUBLE) AS f_last
+        FROM sampled JOIN documents d USING (doc_id)
+    ), m AS (
+        SELECT doc_id, n, s, f_first, f_last,
+               list_reduce(s, (a, b) -> a + b) / len(s) AS f_mean
+        FROM feats
+    )
+    SELECT doc_id,
+           'text' AS modality,
+           n AS n_bytes,
+           CAST(n AS DOUBLE) AS f_len,
+           f_mean,
+           list_aggregate(s, 'min') AS f_min,
+           list_aggregate(s, 'max') AS f_max,
+           CAST(len(list_distinct(s)) AS DOUBLE) AS f_card,
+           f_first,
+           f_last,
+           list_reduce(list_transform(s, x -> (x - f_mean) * (x - f_mean)),
+                       (a, b) -> a + b) / len(s) AS f_var
+    FROM m
+    """,
+)
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode boundary, value-checked (X4): the same Arrow-batched
+    ``decode_features`` pass as ``mm_decode_features``, with the feature
+    vector unpacked into scalar double columns so the harness can hash it
+    (array columns crash its canonicalizer). The payload is ASCII text
+    bytes, so the oracle replays the stride-sampled byte moments exactly:
+    Python's left-fold sums and IEEE divisions are bit-identical to
+    DuckDB's list_reduce folds. This upgrades the whole mapInPandas decode
+    path — batching, stride sampling, moment math — from rows-only to
+    exact-value verification; only the codec call itself remains a stub."""
+    cat = Catalog(spark, sf_dir)
+    out = decode_features(attach_payload(cat.documents))
+    names = ["f_len", "f_mean", "f_min", "f_max", "f_card", "f_first", "f_last", "f_var"]
+    return out.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        *[F.element_at(F.col("features"), i + 1).alias(n) for i, n in enumerate(names)],
+    )
