@@ -29,6 +29,7 @@ from . import curation  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
 from . import corpus  # noqa: F401,E402
 from . import cdc  # noqa: F401,E402
+from . import skew_queries  # noqa: F401,E402
 
 # The driver-checked window: exactly these 50, in this order, all with
 # oracles. One per §2 row + all north-star operators.
