@@ -57,7 +57,9 @@ HEADLINE = [
     "pack_sequences",
     "pipeline_corpus_build",
     "pipeline_nutrition_e2e",
+    "scd2_history",
     "stream_tumbling_live",
+    "stream_static_enrich",
 ]
 
 
