@@ -779,3 +779,93 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("rep"), F.col("vec_id")).alias("rep_id"),
         F.when(F.col("rep").isNull(), 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster centroid update (the k-means / IVF training step)
+# ---------------------------------------------------------------------------
+
+CENTROID_DIMS = 4  # output dims value-checked (of 64); the plan covers all
+
+
+@query(
+    "cluster_centroids",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {SEM_CELLS}
+    ), assign AS ({_SEM_ASSIGN_SQL}
+    )
+    SELECT a.cell,
+           COUNT(*) AS n_members,
+           {", ".join(
+               f"CAST(SUM(CAST(b.e[{d + 1}] AS DECIMAL(25,12))) AS DOUBLE)"
+               f" / COUNT(*) AS c{d}"
+               for d in range(4)
+           )}
+    FROM assign a JOIN base b ON b.vec_id = a.vec_id
+    GROUP BY a.cell
+    """,
+)
+def cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster centroid recomputation — the UPDATE half of a k-means / IVF
+    training iteration (the ASSIGN half is ``similarity_ann_ivf`` /
+    ``dedup_semantic``): per-cell member count and mean embedding.
+
+    The reproducibility problem this solves: a naive double-sum mean is
+    order-dependent, so shuffles/retries/AQE re-plans change the result in
+    the last ulps — poison for resumable 100 TB corpus builds and for
+    cross-engine verification. Accumulating each dimension as DECIMAL(25,12)
+    makes the sum EXACT and therefore order-independent: Spark's partial
+    aggregation (map-side combine, any partitioning) and DuckDB's
+    single-node fold produce the identical decimal, and the final
+    decimal→double cast + one IEEE division agree bit-for-bit. The
+    double→decimal cast itself cannot tie-break differently across engines:
+    a binary fraction's decimal expansion can never terminate in
+    ...5000… at the rounding digit (10^-13 is not a binary fraction), so
+    both engines round to the same nearest decimal.
+
+    Scale shape: broadcast centroid assign (see dedup_semantic), then ONE
+    partially-aggregated groupBy on cell — n rows cross the wire once;
+    {CENTROID_DIMS} of 64 dims are value-checked to keep the result
+    hashable (the plan is identical for all 64)."""
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat.embeddings.select("vec_id", _to_double(F.col("embedding")).alias("e"))
+        .withColumn("n", _norm(F.col("e")))
+        .persist()
+    )
+    cent = base.where(F.col("vec_id") < SEM_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
+    )
+    assign = (
+        base.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            (_dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn"))).alias("score"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("score"), (-F.col("cid")).alias("t"))
+            ).alias("cell")
+        )
+    )
+    cnt = F.count("*")
+    return (
+        assign.join(base.select("vec_id", "e"), "vec_id")
+        .groupBy("cell")
+        .agg(
+            cnt.alias("n_members"),
+            *[
+                (
+                    F.sum(F.element_at(F.col("e"), d + 1).cast("decimal(25,12)"))
+                    .cast("double")
+                    / cnt
+                ).alias(f"c{d}")
+                for d in range(4)
+            ],
+        )
+    )
