@@ -869,3 +869,121 @@ def cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One full Lloyd iteration (assign → update → reassign), value-checked
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+_UPD_MEANS_SQL = ", ".join(
+    f"CAST(SUM(CAST(b.e[{d + 1}] AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*)"
+    for d in range(EMB_DIM)
+)
+
+
+@query(
+    "kmeans_refine",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {SEM_CELLS}
+    ), assign0 AS ({_SEM_ASSIGN_SQL}
+    ), upd AS (
+        SELECT a.cell AS cid, list_value({_UPD_MEANS_SQL}) AS ce
+        FROM assign0 a JOIN base b ON b.vec_id = a.vec_id
+        GROUP BY a.cell
+    ), assign1 AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT b.vec_id, u.cid,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_cos_sql('b.e', 'u.ce')} DESC,
+                                               u.cid) AS rn
+            FROM base b CROSS JOIN upd u
+        ) WHERE rn = 1
+    )
+    SELECT a0.vec_id,
+           a0.cell AS cell_seed,
+           a1.cell AS cell_refined,
+           CAST(a0.cell <> a1.cell AS INT) AS moved
+    FROM assign0 a0 JOIN assign1 a1 USING (vec_id)
+    """,
+)
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd (k-means) iteration, value-checked end-to-end: seed
+    assignment against the deterministic coarse centroids, decimal-exact
+    centroid UPDATE (all {EMB_DIM} dimensions — see ``cluster_centroids``
+    for why exact decimal sums make the mean order-independent), then
+    REASSIGNMENT against the refined centroids. Output is each vector's
+    before/after cell and a moved flag — the convergence signal an
+    iterative clustering loop monitors (sum(moved)=0 ⇒ fixpoint).
+
+    This is the iteration a production IVF/SemDeDup deployment runs offline
+    to train its coarse quantizer; composed from the same two primitives
+    the engine already verifies, it shows the ITERATIVE path itself holds
+    exact cross-engine parity — not just single-pass queries. Per round:
+    one broadcast assign (map-side), one partially-aggregated groupBy
+    (n rows cross the wire once), one broadcast reassign. A multi-round
+    loop adds localCheckpoint per round (plans/graph.py pattern)."""
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat.embeddings.select("vec_id", _to_double(F.col("embedding")).alias("e"))
+        .withColumn("n", _norm(F.col("e")))
+        .persist()
+    )
+
+    def assign_against(cent: DataFrame) -> DataFrame:
+        return (
+            base.join(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "cid",
+                (_dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn"))).alias(
+                    "score"
+                ),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.col("cid"), F.struct(F.col("score"), (-F.col("cid")).alias("t"))
+                ).alias("cell")
+            )
+        )
+
+    cent0 = base.where(F.col("vec_id") < SEM_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
+    )
+    a0 = assign_against(cent0).persist()
+    cnt = F.count("*")
+    upd = (
+        a0.join(base.select("vec_id", "e"), "vec_id")
+        .groupBy("cell")
+        .agg(
+            *[
+                (
+                    F.sum(F.element_at(F.col("e"), d + 1).cast("decimal(25,12)"))
+                    .cast("double")
+                    / cnt
+                ).alias(f"m{d}")
+                for d in range(EMB_DIM)
+            ]
+        )
+        .select(
+            F.col("cell").alias("cid"),
+            F.array(*[F.col(f"m{d}") for d in range(EMB_DIM)]).alias("ce"),
+        )
+        .withColumn("cn", _norm(F.col("ce")))
+    )
+    a1 = assign_against(upd)
+    return (
+        a0.withColumnRenamed("cell", "cell_seed")
+        .join(a1.withColumnRenamed("cell", "cell_refined"), "vec_id")
+        .select(
+            "vec_id",
+            "cell_seed",
+            "cell_refined",
+            (F.col("cell_seed") != F.col("cell_refined")).cast("int").alias("moved"),
+        )
+    )
