@@ -155,3 +155,19 @@ def test_mix_sample_is_broadcast_gated_scan(spark):
     plan = _plan(spark, "corpus_mix_sample")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_centroid_update_partial_aggregates_decimal_sums(spark):
+    """The k-means update must be ONE partially-aggregated groupBy: decimal
+    dimension sums combine map-side, so n rows cross the wire once."""
+    plan = _plan(spark, "cluster_centroids")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_refine_broadcasts_both_assign_rounds(spark):
+    """Both assignment rounds score against BROADCAST centroids; the only
+    join shapes allowed are broadcast (centroids) and equi (vec_id)."""
+    plan = _plan(spark, "kmeans_refine")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
