@@ -52,6 +52,7 @@ HEADLINE = [
     "similarity_topk_int8",
     "dedup_embedding",
     "dedup_semantic",
+    "kmeans_refine",
     "corpus_mix_sample",
     "dedup_connected_components",
     "pack_sequences",
