@@ -439,3 +439,84 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(positions, lambda i: F.md5(F.col("text").substr(i, F.lit(8))))
         ).alias("fp_min_shingle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding generation (feature-hashing stand-in for the model boundary)
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 8  # feature-hash buckets = output embedding dims
+
+
+@query(
+    "embed_feature_hash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), bucketed AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) % {HASH_DIM}
+                   AS bucket
+        FROM toks
+    ), counts AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS DOUBLE)"
+                   f" AS c{i}"
+                   for i in range(HASH_DIM)
+               )}
+        FROM bucketed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {", ".join(
+               f"c{i} / sqrt({' + '.join(f'c{j} * c{j}' for j in range(HASH_DIM))})"
+               f" AS e{i}"
+               for i in range(HASH_DIM)
+           )}
+    FROM counts
+    """,
+)
+def embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding GENERATION (the producer side of the similarity/dedup
+    suite, which elsewhere only consumes the fixture vectors): every token
+    hashes into one of {HASH_DIM} buckets (first md5 hex digit mod
+    {HASH_DIM}), per-doc bucket counts L2-normalize into a unit vector —
+    classic feature hashing (Weinberger et al. 2009), the deterministic
+    stand-in for a model-embedding call. A real deployment swaps this for
+    an Arrow-batched mapInPandas model invocation (same boundary as
+    functions/enrichment.py); the hashing variant keeps the whole path
+    JVM-side and exactly oracle-checkable.
+
+    Float parity: counts are exact integers; the squared-norm is summed in
+    fixed bucket order c0²→c{HASH_DIM - 1}²; sqrt and division are
+    correctly-rounded IEEE ops — so Spark and DuckDB emit bit-identical
+    doubles. Scale shape: explode → ONE partially-aggregated groupBy on
+    doc_id (conditional sums, no pivot shuffle); output is ~n_docs rows of
+    {HASH_DIM} doubles, ready to feed dedup_semantic / similarity_*."""
+    cat = Catalog(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 1), 16, 10).cast("int") % HASH_DIM
+    )
+    counts = (
+        cat.documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("bucket") == i, 1).otherwise(0))
+                .cast("double")
+                .alias(f"c{i}")
+                for i in range(HASH_DIM)
+            ]
+        )
+    )
+    sq_norm = None
+    for i in range(HASH_DIM):
+        term = F.col(f"c{i}") * F.col(f"c{i}")
+        sq_norm = term if sq_norm is None else sq_norm + term
+    norm = F.sqrt(sq_norm)
+    return counts.select(
+        "doc_id", *[(F.col(f"c{i}") / norm).alias(f"e{i}") for i in range(HASH_DIM)]
+    )
