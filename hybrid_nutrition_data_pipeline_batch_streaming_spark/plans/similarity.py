@@ -987,3 +987,91 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell_seed") != F.col("cell_refined")).cast("int").alias("moved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text → embeddings → top-k, composed end-to-end
+# ---------------------------------------------------------------------------
+
+EMBED_QUERIES = 10  # probe docs for the composed pipeline
+EMBED_TOP_K = 3
+
+_EMBED_SQL = f"""
+        SELECT doc_id, list_value({", ".join(f"e{i}" for i in range(8))}) AS e
+        FROM (
+            SELECT doc_id,
+                   {", ".join(
+                       f"c{i} / sqrt({' + '.join(f'c{j} * c{j}' for j in range(8))})"
+                       f" AS e{i}"
+                       for i in range(8)
+                   )}
+            FROM (
+                SELECT doc_id,
+                       {", ".join(
+                           "CAST(SUM(CASE WHEN "
+                           "(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)"
+                           f" % 8 = {i} THEN 1 ELSE 0 END) AS DOUBLE) AS c{i}"
+                           for i in range(8)
+                       )}
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY doc_id
+            )
+        )
+"""
+
+
+@query(
+    "pipeline_embed_topk",
+    oracle=f"""
+    WITH emb AS ({_EMBED_SQL}
+    ), q AS (
+        SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < {EMBED_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, c.doc_id AS neighbor_id,
+               {_dot_sql('q.qe', 'c.e')} AS cosine
+        FROM q JOIN emb c ON c.doc_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {EMBED_TOP_K}
+    """,
+)
+def pipeline_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector pipeline composed end-to-end: documents → feature-hash
+    embeddings (plans/text.py ``embed_feature_hash`` — the producer side) →
+    exact cosine top-{EMBED_TOP_K} for {EMBED_QUERIES} probe docs (the
+    consumer side). Nothing here touches the fixture embeddings table: the
+    engine generates, normalizes, and searches its own vectors in one lazy
+    plan, value-checked end-to-end. Vectors are already unit-norm, so
+    cosine is the plain dot product — no per-pair norm recompute. Scale
+    shape: the embed stage is one explode + partially-aggregated groupBy;
+    the probe set is bounded and broadcast, so search is a linear corpus
+    scan (the exact-baseline shape of ``similarity_topk``)."""
+    from .text import embed_feature_hash
+
+    emb = embed_feature_hash(spark, sf_dir).select(
+        "doc_id", F.array(*[F.col(f"e{i}") for i in range(8)]).alias("e")
+    ).persist()
+    q = emb.where(F.col("doc_id") < EMBED_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            emb.select(F.col("doc_id").alias("neighbor_id"), F.col("e").alias("ce")),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select("query_id", "neighbor_id", _dot(F.col("qe"), F.col("ce")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= EMBED_TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
