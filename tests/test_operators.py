@@ -270,3 +270,33 @@ def test_text_chunking_reconstructs(spark):
         assert covered >= len(toks)  # tail covered
         for cid, c in chunks.items():
             assert c == toks[cid * CHUNK_STRIDE : cid * CHUNK_STRIDE + CHUNK_TOKENS]
+
+
+def test_kmeans_train_objective_monotone_and_reproducible(spark):
+    """Spherical k-means contract: each full round cannot decrease the
+    objective (assignment picks max cosine; the mean maximizes summed
+    cosine for a fixed assignment), and a re-run reproduces the identical
+    assignment — the decimal-exact reduction at work."""
+    from pyspark.sql import functions as F
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.clustering import (
+        kmeans_objective,
+        kmeans_train,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        )
+        .persist()
+    )
+    objs = []
+    for rounds in (0, 1, 2, 3):
+        assign, cent = kmeans_train(base, k=8, dims=64, rounds=rounds)
+        objs.append(kmeans_objective(base, assign, cent))
+    assert all(b >= a - 1e-9 for a, b in zip(objs, objs[1:])), objs
+    assert objs[-1] > objs[0]  # training actually improved the quantizer
+    a1, _ = kmeans_train(base, k=8, dims=64, rounds=3)
+    a2, _ = kmeans_train(base, k=8, dims=64, rounds=3)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
