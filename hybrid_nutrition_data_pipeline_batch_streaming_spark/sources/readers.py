@@ -44,3 +44,36 @@ def read_cassandra(spark: SparkSession, keyspace: str, table: str) -> DataFrame:
         .options(keyspace=keyspace, table=table)
         .load()
     )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """PERMISSIVE CSV reader with corrupt-record quarantine (T8 for the
+    flat-file drop zone every ingestion pipeline grows): rows that fail the
+    schema land in _corrupt_record instead of killing the job. Pass an
+    explicit schema in production — inference is a full extra pass over the
+    data at 100 TB and non-deterministic under sampling."""
+    ensure_runtime_conf(spark)
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC scan with the same pruning contract as read_parquet: column
+    selection and predicates push into the reader's stripe/row-group
+    statistics — the interchange format for Hive-lineage warehouses."""
+    ensure_runtime_conf(spark)
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df

@@ -172,3 +172,68 @@ def test_read_parquet_prunes_columns(spark):
     assert df.columns == ["o_orderkey", "o_totalprice"]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "o_orderpriority" not in plan
+
+
+def test_csv_round_trip_and_quarantine(spark, tmp_path):
+    """CSV drop-zone contract: a clean round trip preserves values exactly,
+    and a malformed row lands in _corrupt_record instead of failing the
+    read (the reference's try/except row skip, as a reader mode)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.readers import read_csv
+
+    src = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    path = str(tmp_path / "csv_clean")
+    src.write.option("header", "true").csv(path)
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_acctbal", DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert sorted(map(tuple, back.select(src.columns).collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+    bad = tmp_path / "csv_bad"
+    bad.mkdir()
+    (bad / "part.csv").write_text(
+        "c_custkey,c_name,c_acctbal\n1,alice,10.5\nnot_a_number,bob\n2,carol,7.25\n"
+    )
+    qschema = StructType(
+        [*schema.fields, StructField("_corrupt_record", StringType())]
+    )
+    rows = read_csv(spark, str(bad), schema=qschema).cache()
+    good = rows.where(rows._corrupt_record.isNull())
+    quarantined = rows.where(rows._corrupt_record.isNotNull())
+    assert good.count() == 2 and quarantined.count() == 1
+    assert "not_a_number" in quarantined.collect()[0]._corrupt_record
+
+
+def test_orc_round_trip_prunes_columns(spark, tmp_path):
+    """ORC interchange contract: values survive a round trip exactly and a
+    projected read reaches the scan (column pruning), matching the parquet
+    reader's behavior."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.readers import read_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "orc")
+    src.write.orc(path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.select(src.columns).collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    pruned = read_orc(spark, path, columns=["n_nationkey", "n_name"])
+    assert pruned.columns == ["n_nationkey", "n_name"]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "n_comment" not in plan  # untouched column never reaches the scan
