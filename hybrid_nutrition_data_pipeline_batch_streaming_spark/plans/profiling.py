@@ -1,0 +1,210 @@
+"""Dataset profiling / corpus statistics / incremental-aggregation algebra.
+
+A 100 TB training-data pipeline begins with a dataset card: per-column
+profiles, value histograms, and n-gram language-model counts — and keeps its
+aggregates fresh by MERGING partial aggregates rather than recomputing full
+scans. Each operator here is a single declarative plan (no driver-side
+loops), with decimal-exact sums (``functions.parity``) so the DuckDB oracle
+hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Catalog
+from ..functions.parity import MONEY, QTY, dsum
+from .registry import query
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT COUNT(*) AS row_cnt,
+           COUNT(DISTINCT l_orderkey) AS orderkey_distinct,
+           COUNT(DISTINCT l_returnflag) AS returnflag_distinct,
+           COUNT(*) - COUNT(l_tax) AS tax_nulls,
+           MIN(l_quantity) AS quantity_min,
+           MAX(l_quantity) AS quantity_max,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(l_quantity) AS quantity_avg,
+           MIN(l_shipdate) AS shipdate_min,
+           MAX(l_shipdate) AS shipdate_max,
+           MIN(l_extendedprice) AS price_min,
+           MAX(l_extendedprice) AS price_max
+    FROM lineitem
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profiler: row count, distinct cardinalities, null
+    counts, numeric min/max/mean (decimal-exact), date range and string
+    length bounds — all in ONE aggregation pass over the fact table (one
+    scan, one reduce; the map side combines partials). The multi-distinct
+    is expanded by Catalyst; at 100 TB swap exact distincts for
+    ``approx_count_distinct`` sketches and this stays a single pass."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    return li.agg(
+        F.count("*").alias("row_cnt"),
+        F.count_distinct("l_orderkey").alias("orderkey_distinct"),
+        F.count_distinct("l_returnflag").alias("returnflag_distinct"),
+        (F.count("*") - F.count("l_tax")).alias("tax_nulls"),
+        F.min("l_quantity").alias("quantity_min"),
+        F.max("l_quantity").alias("quantity_max"),
+        (F.sum(F.col("l_quantity").cast(QTY)).cast("double") / F.count("l_quantity")).alias(
+            "quantity_avg"
+        ),
+        F.min("l_shipdate").alias("shipdate_min"),
+        F.max("l_shipdate").alias("shipdate_max"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+    )
+
+
+@query(
+    "histogram_value",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50.0) AS INT) AS bucket,
+           CAST(FLOOR(value / 50.0) AS INT) * 50.0 AS bucket_lo,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS bucket_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bucket = floor(value/50)): the
+    profiling cut behind every dashboard distribution chart. One shuffle on
+    the bucket id; bucket arithmetic is pure IEEE double ops so both
+    engines compute identical bucket boundaries. Bucket count is bounded by
+    the value domain, not the row count — scale-free output."""
+    cat = Catalog(spark, sf_dir)
+    bucket = F.floor(F.col("value") / 50.0).cast("int")
+    return (
+        cat.events.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 50.0).alias("bucket_lo"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast(MONEY)).cast("double").alias("bucket_value"),
+        )
+    )
+
+
+@query(
+    "ngram_bigram_lm",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ), bi AS (
+        SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS z
+        FROM toks WHERE len(ts) >= 2
+    ), cnts AS (
+        SELECT z[1] AS w1, z[2] AS w2, COUNT(*) AS cnt
+        FROM bi GROUP BY 1, 2
+    ), probs AS (
+        -- window BEFORE the cnt filter (SQL evaluates WHERE before window
+        -- functions, so the filter must live a level up to keep the
+        -- denominator over ALL of w1's continuations)
+        SELECT w1, w2, cnt,
+               CAST(cnt AS DOUBLE)
+                   / SUM(cnt) OVER (PARTITION BY w1) AS cond_prob
+        FROM cnts
+    )
+    SELECT w1, w2, cnt, cond_prob FROM probs WHERE cnt >= 3
+    """,
+)
+def ngram_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts with conditional probabilities
+    P(w2|w1) = c(w1,w2) / Σ_w c(w1,w) — the corpus statistic behind
+    KenLM-style filtering and contamination scoring. Bigrams are built by
+    zipping two shifted slices of the token array (array ops stay inside
+    one projection — the token array never crosses a shuffle; see
+    NOTES.md on why not element_at-in-transform). Then one groupBy on the
+    bigram and one window over w1: the denominator reuses the (w1,w2)
+    aggregate rather than re-scanning the corpus. Integer-count division
+    makes the probability bit-identical in both engines."""
+    cat = Catalog(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != F.lit("")
+    )
+    docs = cat.documents.select(toks.alias("ts")).where(F.size("ts") >= 2)
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("z")
+    )
+    cnts = bigrams.groupBy(
+        F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("w1")
+    return (
+        cnts.select(
+            "w1",
+            "w2",
+            "cnt",
+            (F.col("cnt").cast("double") / F.sum("cnt").over(w)).alias("cond_prob"),
+        )
+        .where(F.col("cnt") >= 3)
+    )
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-aggregation algebra: maintain a grouped aggregate by
+    merging PARTIAL aggregates (count, decimal sum) from an existing
+    snapshot and a new delta batch, instead of rescanning history — the
+    incremental-view-maintenance pattern every warehouse rollup needs at
+    100 TB. Here orders are split at 1997-01-01 into "old" and "delta",
+    each reduced independently, then merged by summing the partials;
+    non-decomposable stats (avg) are derived from the merged primitives.
+    The oracle is the FULL recompute — passing proves the merge algebra is
+    exact (decimal sums are associative; double sums would drift)."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast(MONEY)).alias("sum_dec"),
+        )
+
+    cut = F.lit("1997-01-01").cast("date")
+    old = partial(orders.where(F.col("o_orderdate") < cut))
+    delta = partial(orders.where(F.col("o_orderdate") >= cut))
+    merged = (
+        old.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").alias("order_cnt"),
+            F.sum("sum_dec").alias("merged_sum"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "order_cnt",
+        F.col("merged_sum").cast("double").alias("total_price"),
+        (F.col("merged_sum").cast("double") / F.col("order_cnt")).alias("avg_price"),
+    )

@@ -1,0 +1,293 @@
+"""Time-series / product-analytics operators over the events stream table.
+
+The reference's analytics layer is Superset dashboards over an append-only
+fact table (`README.md:25-64`, DDL `dagster_project/pipeline.py:85-108`);
+funnel, retention, rolling-feature and gap-fill queries are the standard
+dashboard cuts one level up from its bar charts. All are expressed as
+declarative DataFrame plans: per-user work partitions on ``user_id`` (one
+shuffle, reused across window passes), aggregates are decimal-exact
+(``functions.parity``), and nothing collects to the driver — the shapes hold
+unchanged on a date-partitioned 100 TB events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import Catalog
+from ..functions.parity import MONEY, dsum
+from .registry import query
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s2.t2
+        GROUP BY e.user_id
+    ), base AS (SELECT COUNT(*) AS n0 FROM s1)
+    SELECT stage, step, users,
+           CAST(users AS DOUBLE) / (SELECT n0 FROM base) AS conversion
+    FROM (
+        SELECT 'signup' AS stage, 1 AS step, COUNT(*) AS users FROM s1
+        UNION ALL
+        SELECT 'click', 2, COUNT(*) FROM s2
+        UNION ALL
+        SELECT 'purchase', 3, COUNT(*) FROM s3
+    )
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup → click → purchase): each stage keeps
+    only events at-or-after the user's previous-stage timestamp, so
+    out-of-order conversions don't count. Three per-user aggregates chained
+    by ``user_id`` equi-joins — every shuffle is on the same key, and each
+    stage's output is one row per surviving user (monotonically shrinking),
+    so at 100 TB the joins stay co-partitioned and the stage tables are tiny
+    relative to the event scan. The final counts are scalar aggregates."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("user_id", "event_type", F.col("ts").alias("ts"))
+
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def count_stage(df: DataFrame, stage: str, step: int) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(step).alias("step"),
+            F.count("*").alias("users"),
+        )
+
+    stages = (
+        count_stage(s1, "signup", 1)
+        .unionByName(count_stage(s2, "click", 2))
+        .unionByName(count_stage(s3, "purchase", 3))
+    )
+    base = s1.agg(F.count("*").alias("n0"))
+    return stages.crossJoin(F.broadcast(base)).select(
+        "stage",
+        "step",
+        "users",
+        (F.col("users").cast("double") / F.col("n0")).alias("conversion"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('month', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+                   AS cohort_month
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS active_month
+        FROM events
+    )
+    SELECT f.cohort_month,
+           (year(a.active_month) - year(f.cohort_month)) * 12
+               + (month(a.active_month) - month(f.cohort_month))
+               AS months_since,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen month, counted
+    in each subsequent activity month. Two per-user aggregates joined on
+    ``user_id`` (co-partitioned — one logical shuffle key), then a small
+    (cohort × month) matrix aggregation. ``months_since`` uses integer
+    year/month arithmetic, not timestamp differencing, so both engines agree
+    exactly. The per-user firsts table is the only state carried — linear in
+    users, not events, which is what keeps this shape viable at 100 TB."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("user_id", F.col("ts").cast("timestamp"))
+    firsts = ev.groupBy("user_id").agg(
+        F.trunc(F.min("ts"), "month").alias("cohort_month")
+    )
+    activity = ev.select(
+        "user_id", F.trunc("ts", "month").alias("active_month")
+    ).distinct()
+    months_since = (
+        (F.year("active_month") - F.year("cohort_month")) * 12
+        + (F.month("active_month") - F.month("cohort_month"))
+    ).alias("months_since")
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_month", months_since)
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "rolling_7d_features",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           COUNT(*) OVER w7 AS events_7d,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w7 AS DOUBLE)
+               AS value_7d
+    FROM events
+    WINDOW w7 AS (PARTITION BY user_id
+                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_7d_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling features (trailing 7-day event count and spend per
+    user) — the standard training-feature shape for behavioural models. The
+    RANGE frame is over epoch-microseconds so the bound is an exact integer
+    (604_800_000_000 µs = 7 days) in both engines; partitioned by
+    ``user_id`` so no global-order window appears. At 100 TB the same plan
+    holds; the frame state per task is bounded by one user's 7-day slice."""
+    cat = Catalog(spark, sf_dir)
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-604_800_000_000, Window.currentRow)
+    )
+    return cat.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w7).alias("events_7d"),
+        F.sum(F.col("value").cast(MONEY)).over(w7).cast("double").alias("value_7d"),
+    )
+
+
+@query(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, m.med, d.mad
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE abs(e.value - m.med) > 3.5 * d.mad
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: flag values more than
+    3.5 median-absolute-deviations from the per-type median — the classic
+    Iglewicz-Hoaglin rule, immune to the outliers it hunts (unlike
+    mean/stddev z-scores). Exact ``percentile(0.5)`` matches DuckDB's
+    interpolating ``median`` bit-for-bit. The per-type stats tables are
+    5 rows — broadcast back onto the scan, so the event table is read
+    twice but never shuffled. At 100 TB swap the exact median for
+    ``approx_percentile`` (sketch-mergeable, one pass) — the plan shape is
+    otherwise unchanged."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5D)").alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("value") - F.col("med")) > 3.5 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+@query(
+    "gap_fill_forward",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY user_id
+    ), spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                           CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    )
+    SELECT s.user_id, s.d,
+           daily.day_value IS NULL AS filled,
+           LAST_VALUE(daily.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.d) AS day_value
+    FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+    """,
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an irregular per-user daily series: build a dense date
+    spine per user (``sequence`` + ``explode`` — generated where the key
+    lives, never on the driver), left-join the observed daily aggregates,
+    and forward-fill gaps with ``last(..., ignorenulls)``. The spine, join
+    and fill window all partition on ``user_id``, so the whole plan is one
+    shuffle family; spine size is bounded by each key's date span. This is
+    the gap-fill/resample primitive time-series stores ship natively,
+    composed from three relational ops."""
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.events.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(dsum(F.col("value")).alias("day_value"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            F.col("day_value").isNull().alias("filled"),
+            F.last("day_value", ignorenulls=True).over(w).alias("day_value"),
+        )
+    )
