@@ -171,3 +171,63 @@ def test_kmeans_refine_broadcasts_both_assign_rounds(spark):
     plan = _plan(spark, "kmeans_refine")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_stages_no_cartesian_shuffle_on_user(spark):
+    """Funnel stages chain per-user aggregates via user_id equi-joins; the
+    only non-equi join allowed is the broadcast of the 1-row base count."""
+    plan = _plan(spark, "funnel_conversion")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final per stage
+
+
+def test_rolling_features_window_is_partitioned(spark):
+    """The 7-day RANGE frame must partition by user_id — a global-order
+    window would serialize the whole table through one task."""
+    plan = _plan(spark, "rolling_7d_features")
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_gap_fill_stays_on_user_partitioning(spark):
+    """Spine generation, the left join and the fill window all live on
+    user_id — no global window, no cartesian spine."""
+    plan = _plan(spark, "gap_fill_forward")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_anomaly_mad_broadcasts_stats(spark):
+    """Per-type median/MAD tables are 5 rows — they must come back as
+    broadcast joins, never a shuffle of the event scan."""
+    plan = _plan(spark, "anomaly_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_profile_columns_is_single_scan_aggregate(spark):
+    """The dataset profiler is ONE scan + aggregation (Catalyst expands the
+    multi-distinct) — no joins of any kind."""
+    plan = _plan(spark, "profile_columns")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bigram_lm_window_partitioned_no_join(spark):
+    """The denominator reuses the bigram aggregate through a w1-partitioned
+    window — no second corpus scan, no join, no global window."""
+    plan = _plan(spark, "ngram_bigram_lm")
+    assert "windowspecdefinition(w1" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_incremental_merge_unions_partial_aggregates(spark):
+    """Merge algebra shape: two partial grouped aggregates unioned then
+    re-reduced — never a rescan-wide join."""
+    plan = _plan(spark, "agg_incremental_merge")
+    assert "Union" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × (old, delta)
+    assert "SortMergeJoin" not in plan
