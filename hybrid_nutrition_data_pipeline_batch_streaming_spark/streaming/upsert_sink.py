@@ -26,6 +26,12 @@ n_buckets)), so a merge
   transactional ACROSS buckets, which round 1's per-bucket dir promotion
   was not.
 
+Because every manifest is a COMPLETE bucket map, any retained version is
+directly readable — ``read(version=N)`` is snapshot time travel with no log
+replay, ``history()`` lists versions, and ``vacuum(keep_last=K)`` bounds
+disk growth by dropping old manifests plus the snapshot dirs only they
+referenced (the merge-time GC keeps every dir a retained manifest needs).
+
 Single writer assumed (foreachBatch serializes micro-batches); in
 production the same semantics come from a Delta/Iceberg ``MERGE INTO``.
 """
@@ -76,22 +82,35 @@ class ParquetUpsertStore:
     def _bucket(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
 
-    def _current_manifest(self) -> tuple[int, dict[int, str]]:
-        """(version, bucket id → snapshot dir name). (0, {}) before the
-        first commit. Manifests are written whole and renamed into place,
-        so any file present here is complete."""
+    def _versions(self) -> list[int]:
+        """Committed manifest versions, ascending."""
         if not os.path.isdir(self._manifest_dir):
-            return 0, {}
-        versions = sorted(
+            return []
+        return sorted(
             int(name[1:-5])
             for name in os.listdir(self._manifest_dir)
             if name.startswith("v") and name.endswith(".json")
         )
+
+    def _load_manifest(self, version: int) -> dict[int, str]:
+        path = os.path.join(self._manifest_dir, f"v{version:06d}.json")
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"store at {self.path!r} has no committed version {version} "
+                f"(retained: {self._versions()}) — it may have been vacuumed"
+            )
+        with open(path) as fh:
+            doc = json.load(fh)
+        return {int(b): d for b, d in doc["buckets"].items()}
+
+    def _current_manifest(self) -> tuple[int, dict[int, str]]:
+        """(version, bucket id → snapshot dir name). (0, {}) before the
+        first commit. Manifests are written whole and renamed into place,
+        so any file present here is complete."""
+        versions = self._versions()
         if not versions:
             return 0, {}
-        with open(os.path.join(self._manifest_dir, f"v{versions[-1]:06d}.json")) as fh:
-            doc = json.load(fh)
-        return doc["version"], {int(b): d for b, d in doc["buckets"].items()}
+        return versions[-1], self._load_manifest(versions[-1])
 
     def _commit_manifest(self, version: int, buckets: dict[int, str]) -> None:
         """The atomic commit point: write the complete manifest to a temp
@@ -108,12 +127,23 @@ class ParquetUpsertStore:
             os.fsync(fh.fileno())
         os.rename(tmp, final)  # atomic on POSIX
 
-    def _gc_unreferenced(self, referenced: set[str]) -> None:
-        """Drop data dirs no manifest-current bucket points at (left by
-        pre-commit crashes or superseded by this commit). Best-effort — a
-        failure here never affects correctness, only disk usage."""
+    def _referenced_dirs(self) -> set[str]:
+        """Every snapshot dir any RETAINED manifest points at — the live set
+        for GC. Older manifests keep their dirs alive (time travel) until
+        ``vacuum`` drops the manifests themselves."""
+        refs: set[str] = set()
+        for v in self._versions():
+            refs.update(self._load_manifest(v).values())
+        return refs
+
+    def _gc_unreferenced(self) -> None:
+        """Drop data dirs no retained manifest references (left by
+        pre-commit crashes, or stranded when vacuum removed the last
+        manifest that referenced them). Best-effort — a failure here never
+        affects correctness, only disk usage."""
         if not os.path.isdir(self._data_dir):
             return
+        referenced = self._referenced_dirs()
         for name in os.listdir(self._data_dir):
             if name not in referenced:
                 shutil.rmtree(os.path.join(self._data_dir, name), ignore_errors=True)
@@ -127,16 +157,41 @@ class ParquetUpsertStore:
         wanted = buckets if ids is None else {b: buckets[b] for b in ids if b in buckets}
         return [os.path.join(self._data_dir, d) for d in wanted.values()]
 
-    def read(self) -> DataFrame | None:
+    def read(self, version: int | None = None) -> DataFrame | None:
         """The committed snapshot, or None if no merge has committed yet.
 
-        Existence comes from the manifest (never inferred from a swallowed
-        read error — a transient/corruption failure must surface, not
-        silently reset the store to empty)."""
-        _, buckets = self._current_manifest()
+        ``version`` pins a historical snapshot (time travel): each manifest
+        is a complete bucket map, so any retained version reads directly —
+        no log replay. Raises if the version was vacuumed; existence comes
+        from the manifest (never inferred from a swallowed read error — a
+        transient/corruption failure must surface, not silently reset the
+        store to empty)."""
+        if version is None:
+            _, buckets = self._current_manifest()
+        else:
+            buckets = self._load_manifest(version)
         if not buckets:
             return None
         return self.spark.read.parquet(*self._bucket_paths(buckets))
+
+    def history(self) -> list[int]:
+        """Committed versions available to ``read(version=...)``,
+        ascending — the store's ``DESCRIBE HISTORY``."""
+        return self._versions()
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` manifests, then GC
+        snapshot dirs no retained manifest references. Returns the dropped
+        versions. Bounds time-travel disk growth the same way Delta's
+        VACUUM does; the current snapshot is never touched."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the live snapshot)")
+        versions = self._versions()
+        dropped = versions[:-keep_last]
+        for v in dropped:
+            os.remove(os.path.join(self._manifest_dir, f"v{v:06d}.json"))
+        self._gc_unreferenced()
+        return dropped
 
     def _read_buckets(self, ids: list[int]) -> DataFrame | None:
         _, buckets = self._current_manifest()
@@ -187,7 +242,7 @@ class ParquetUpsertStore:
             new_buckets[b] = snap
         self._commit_manifest(new_version, new_buckets)  # ← visibility point
         shutil.rmtree(stage, ignore_errors=True)
-        self._gc_unreferenced(set(new_buckets.values()))
+        self._gc_unreferenced()
 
 
 def upsert_stream(

@@ -248,12 +248,59 @@ def test_upsert_store_commit_is_atomic_across_buckets(spark, tmp_path):
     rows = store.read().collect()
     assert {r.data for r in rows} == {"v2"}
     assert len(rows) == 40
-    # GC: all current data dirs are manifest-referenced (orphans removed).
+    # GC: every surviving data dir is referenced by a RETAINED manifest
+    # (crash orphans removed; time-travel snapshots kept); vacuuming down
+    # to the live snapshot leaves exactly the current manifest's dirs.
     import os as _os
 
+    on_disk = set(_os.listdir(_os.path.join(store.path, "data")))
+    assert on_disk == store._referenced_dirs()
+    store.vacuum(keep_last=1)
     _, buckets = store._current_manifest()
     on_disk = set(_os.listdir(_os.path.join(store.path, "data")))
     assert on_disk == set(buckets.values())
+
+
+def test_upsert_store_time_travel_and_vacuum(spark, tmp_path):
+    """Every committed manifest is a complete, directly-readable snapshot:
+    read(version=N) reproduces the store as of merge N with no log replay,
+    and vacuum drops exactly the versions (and dirs) past retention."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="item_name", ts_col="ingestion_ts",
+        n_buckets=4,
+    )
+    ts0 = datetime.datetime(2024, 1, 1)
+    store.merge(
+        spark.createDataFrame(
+            [(f"item{i}", ts0, "v1") for i in range(10)],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+    store.merge(
+        spark.createDataFrame(
+            [("item0", ts0 + datetime.timedelta(hours=1), "v2"),
+             ("item99", ts0 + datetime.timedelta(hours=1), "v2")],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+    assert store.history() == [1, 2]
+
+    as_of_1 = {r.item_name: r.data for r in store.read(version=1).collect()}
+    assert as_of_1 == {f"item{i}": "v1" for i in range(10)}  # pre-update state
+    latest = {r.item_name: r.data for r in store.read().collect()}
+    assert latest["item0"] == "v2" and latest["item99"] == "v2"
+    assert len(latest) == 11
+
+    assert store.vacuum(keep_last=1) == [1]
+    assert store.history() == [2]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        store.read(version=1)
+    # The live snapshot is untouched by vacuum.
+    assert len(store.read().collect()) == 11
 
 
 def test_upsert_store_read_raises_on_corrupt_store(spark, tmp_path):
