@@ -122,6 +122,121 @@ def _cc_oracle() -> str:
     """
 
 
+#: Fixed-point scale for PageRank micro-units: ranks live in [0, 1], so a
+#: unit of 1e-15 keeps ~15 significant digits while every intermediate
+#: (unit × 85, unit sums over a node's in-edges) stays far inside int64.
+PR_SCALE = 10**15
+PR_ROUNDS = 3
+
+
+def _pagerank_round_sql(i: int) -> str:
+    """One unrolled PageRank round in pure integer arithmetic."""
+    return f"""
+    contrib{i} AS (
+        SELECT u.dst AS node, SUM(r.units // u.deg) AS s
+        FROM und_deg u JOIN r{i - 1} r ON u.src = r.node
+        GROUP BY u.dst
+    ), r{i} AS (
+        SELECT n.node,
+               (15 * {PR_SCALE}::BIGINT) // (100 * (SELECT cnt FROM nn))
+                   + (85 * COALESCE(c.s, 0)) // 100 AS units
+        FROM nodes n LEFT JOIN contrib{i} c ON n.node = c.node
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    rounds = ", ".join(_pagerank_round_sql(i) for i in range(1, PR_ROUNDS + 1))
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), und AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ), deg AS (
+        SELECT src, COUNT(*) AS deg FROM und GROUP BY src
+    ), und_deg AS (
+        SELECT u.src, u.dst, d.deg FROM und u JOIN deg d ON u.src = d.src
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM und
+    ), nn AS (
+        SELECT COUNT(*) AS cnt FROM nodes
+    ), r0 AS (
+        SELECT node, {PR_SCALE}::BIGINT // (SELECT cnt FROM nn) AS units
+        FROM nodes
+    ), {rounds}
+    SELECT node, units AS rank_units,
+           CAST(units AS DOUBLE) / {PR_SCALE} AS rank
+    FROM r{PR_ROUNDS}
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier fulfillment graph (edges from
+    orders⋈lineitem, traversed both ways), three power-iteration rounds
+    with damping 0.85 — in FIXED-POINT integer arithmetic: ranks are int64
+    micro-units (1e-15), per-edge contributions are integer division by
+    out-degree, and damping is ×85 DIV 100. Every operation is exact and
+    associative, so the result is bit-identical under any partitioning, in
+    any engine — the same reproducible-reduction discipline as the
+    integer-cents streaming state, applied to an iterative algorithm
+    (IEEE-double PageRank diverges across engines in the low bits and is
+    the classic irreproducibility trap at cluster scale).
+
+    Plan shape: the degree-annotated edge list is localCheckpoint'd once
+    and re-joined per round; with a FIXED round count there are no
+    per-round convergence actions, so all rounds compose into ONE
+    lazy plan — per-round shuffles are equi-joins and groupBy-sums on the
+    node id, exactly the Pregel schedule."""
+    cat = Catalog(spark, sf_dir)
+    edges = (
+        cat.orders.join(
+            cat.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    und_deg = und.join(deg, "src").localCheckpoint()
+    nodes = und_deg.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = nodes.count()  # scalar graph size — bounded, not a data collect
+
+    base = (15 * PR_SCALE) // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE // n).cast("long").alias("units")
+    )
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            und_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("units DIV deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base) + F.expr("(85 * coalesce(s, 0L)) DIV 100")
+            ).cast("long").alias("units"),
+        )
+    return ranks.select(
+        "node",
+        F.col("units").alias("rank_units"),
+        (F.col("units").cast("double") / PR_SCALE).alias("rank"),
+    )
+
+
 @query("dedup_connected_components", oracle=_cc_oracle())
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster canonicalization (X2): connected components over the

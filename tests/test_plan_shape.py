@@ -231,3 +231,11 @@ def test_incremental_merge_unions_partial_aggregates(spark):
     assert "Union" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final × (old, delta)
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_rounds_are_equi_joins(spark):
+    """Every power-iteration round must be an equi-join + grouped sum on
+    the node id — no cartesian propagation, no single-task bottleneck."""
+    plan = _plan(spark, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
