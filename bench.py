@@ -61,6 +61,10 @@ HEADLINE = [
     "scd2_history",
     "stream_tumbling_live",
     "stream_static_enrich",
+    "funnel_conversion",
+    "rolling_7d_features",
+    "profile_columns",
+    "ngram_bigram_lm",
 ]
 
 
