@@ -11,7 +11,10 @@ prune within files — the two levers that turn a 100 TB scan into a GB read.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -49,6 +52,78 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+#: Bits per dimension in the Z-value. 8 bits = 256 quantile buckets per
+#: column — a 256×256 grid for two dims, far finer than any realistic
+#: file/row-group count, so quantization never limits skipping resolution.
+_Z_BITS = 8
+
+
+def _bucketize(c: Column, boundaries: list[float]) -> Column:
+    """Quantile-bucket index of ``c``: count of boundaries ≤ value — a
+    JVM-side fold over the (bounded, broadcast-literal) boundary array."""
+    bounds = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.aggregate(
+        bounds,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(c.cast("double") >= b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def zorder_value(df: DataFrame, cols: list[str]) -> Column:
+    """Interleaved-bit Z-value over quantile-bucketed columns.
+
+    Each column is mapped to its 8-bit approx-quantile bucket (quantile, not
+    raw value — Z-ordering on skewed raw domains wastes most of the curve on
+    empty space), then the buckets' bits are interleaved LSB-first into one
+    long. Sorting by this value gives every interleaved column locality in
+    the SAME file order, so min/max row-group stats prune scans filtered on
+    ANY of them — the multi-column generalization of single-key clustering
+    (Delta/Iceberg ``OPTIMIZE ZORDER BY``). Boundaries come from the
+    Greenwald-Khanna sketch (``approxQuantile`` — mergeable, one pass, a
+    few-hundred-value list to the driver regardless of table size); bucket
+    assignment is a codegen'd fold over the broadcast boundary literal. No
+    global sort, no UDF, no per-row Python.
+    """
+    n_buckets = 1 << _Z_BITS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    n = len(cols)
+    planes = []
+    for i, name in enumerate(cols):
+        bounds = df.stat.approxQuantile(name, probs, 0.001)
+        q = _bucketize(df[name], bounds)
+        planes.extend(
+            F.shiftleft(F.shiftright(q, bit).bitwiseAND(F.lit(1)), bit * n + i)
+            for bit in range(_Z_BITS)
+        )
+    return reduce(lambda a, b: a.bitwiseOR(b), planes)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet clustered on a Z-order curve over ``zorder_cols`` (numeric).
+
+    ``repartitionByRange`` on the Z-value carves the curve into contiguous
+    per-file segments (each file owns a compact hyper-rectangle of the key
+    space); the within-file sort tightens per-row-group min/max stats, so
+    selective scans on any Z-ordered column skip most files — where a
+    single-key sort only ever helps its leading column.
+    """
+    z = zorder_value(df, zorder_cols).alias("__z")
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode(mode).parquet(path)
 
 
 def read_pruned(spark: SparkSession, path: str, predicate: Column) -> DataFrame:

@@ -199,3 +199,70 @@ def test_salted_join_rejects_row_multiplying_modes(spark):
         .collect()
     )
     assert plain == salted
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """Z-ordering must give BOTH interleaved columns file-level locality:
+    per-file min/max spans shrink on each dimension, where a single-key
+    sort leaves the non-leading column's span at ~the full domain — so a
+    selective filter on either column can skip most files via stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.writers import (
+        write_zordered,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=16)
+    # Baseline: classic single-key clustering on the leading column.
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def mean_span_fraction(path, col):
+        dlo, dhi = None, None
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        assert len(files) >= 8
+        per_file = []
+        for f in files:
+            md = pq.read_metadata(f)
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        fmin = c.statistics.min if fmin is None else min(fmin, c.statistics.min)
+                        fmax = c.statistics.max if fmax is None else max(fmax, c.statistics.max)
+            per_file.append((fmin, fmax))
+            dlo = fmin if dlo is None else min(dlo, fmin)
+            dhi = fmax if dhi is None else max(dhi, fmax)
+        domain = dhi - dlo
+        spans = [(hi - lo) / domain for lo, hi in per_file]
+        return sum(spans) / len(spans)
+
+    # Both layouts keep rows; same data.
+    assert spark.read.parquet(zpath).count() == li.count()
+
+    z_ord = mean_span_fraction(zpath, "l_orderkey")
+    z_part = mean_span_fraction(zpath, "l_partkey")
+    s_ord = mean_span_fraction(spath, "l_orderkey")
+    s_part = mean_span_fraction(spath, "l_partkey")
+
+    # The single-sort baseline is near-perfect on its leading key and
+    # useless on the other (~full domain per file).
+    assert s_ord < 0.2
+    assert s_part > 0.8
+    # Z-order trades a little leading-key locality for locality on BOTH:
+    # each file covers a compact rectangle, so both spans sit well below
+    # the baseline's non-leading span.
+    assert z_ord < 0.6 and z_part < 0.6, (z_ord, z_part)
+    assert z_part < s_part / 2
