@@ -36,17 +36,40 @@ from pyspark.sql.types import (
 
 from ..session import ensure_runtime_conf
 
-#: Parquet-file schema of the events stream (ts is INT64 nanos on disk).
-EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_file_schema(sf_dir: str) -> tuple[StructType, bool]:
+    """(stream schema, ts_is_raw_nanos) for the events file at ``sf_dir``.
+
+    Streams need a declared schema up front, but the fixture generator has
+    shipped ``ts`` both as INT64 nanos (needs ``nanosAsLong`` + integer
+    µs conversion) and as TIMESTAMP(MICROS). One driver-side footer peek of
+    a single file (bounded metadata read, independent of table size) picks
+    the right declaration — the streaming twin of the batch catalog's
+    dtype check.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType
+
+    path = os.path.join(sf_dir, "events.parquet")
+    probe = path
+    if os.path.isdir(path):
+        probe = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    raw_nanos = str(pq.read_schema(probe).field("ts").type) == "int64"
+    ts_type = LongType() if raw_nanos else TimestampNTZType()
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    return schema, raw_nanos
 
 
 def read_events_stream(
@@ -58,18 +81,21 @@ def read_events_stream(
     consumption (T2) without a sleeping loop.
     """
     ensure_runtime_conf(spark)
+    schema, raw_nanos = _events_file_schema(sf_dir)
     # The file stream source requires a directory; stream the table dir with
     # a glob filter selecting just the events file(s).
     reader = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-    )
+    if raw_nanos:
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    return df
 
 
 def kafka_source(spark: SparkSession, brokers: str, topic: str) -> DataFrame:

@@ -37,9 +37,10 @@ def test_stream_matches_batch_tumbling(spark):
     """Hybrid parity: streaming tumbling agg == batch date-bucket agg."""
     stream = read_events_stream(spark, SF)
     got = run_to_memory(tumbling_counts(stream), output_mode="complete")
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.catalog import load_table
+
     batch = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        load_table(spark, SF, "events")  # handles either on-disk ts encoding
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("event_cnt"))
     )
