@@ -465,3 +465,141 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(u16.cast("double") < F.col("accept_p") * F.lit(65536.0))
         .select("doc_id", "lang", "accept_p")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (deterministic linear classifier) + keep-best
+# ---------------------------------------------------------------------------
+
+#: fastText-style linear classifier in integer milli-units: every token
+#: hashes into one of 256 weight buckets; bucket weights are a fixed
+#: pseudo-random projection of the bucket id (Knuth multiplicative hash mod
+#: a prime), so the "model" is a pure function both engines evaluate
+#: identically — the deterministic stand-in for broadcast learned weights.
+_CLS_MULT = 2654435761
+_CLS_MOD = 2003  # weights span [-1001, +1001] milli-units
+
+#: Shared oracle CTE body: (doc_id, n_toks, margin_milli). DuckDB has no
+#: conv(hex→int), so the two md5 hex digits map through strpos arithmetic.
+_CLS_SCORE_SQL = f"""
+        SELECT doc_id, COUNT(*) AS n_toks,
+               CAST(SUM(((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+                    * {_CLS_MULT} % {_CLS_MOD} - 1001) AS BIGINT) AS margin_milli
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id
+"""
+
+
+def _cls_margin_cols(cat: Catalog) -> DataFrame:
+    """(doc_id, n_toks, margin_milli) — one explode + one partial-aggregated
+    groupBy; every arithmetic step is int64-exact."""
+    bucket = F.conv(F.substring(F.md5(F.col("tok")), 1, 2), 16, 10).cast("long")
+    weight = (bucket * _CLS_MULT) % _CLS_MOD - 1001
+    return (
+        cat.documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .select("doc_id", weight.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_toks"), F.sum("w").alias("margin_milli"))
+    )
+
+
+@query(
+    "quality_classifier",
+    oracle=f"""
+    WITH scored AS ({_CLS_SCORE_SQL})
+    SELECT doc_id, n_toks, margin_milli,
+           margin_milli / (1000.0 * n_toks) AS score,
+           CAST(margin_milli > 0 AS INT) AS keep
+    FROM scored
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document quality scoring (the fastText-classifier stage
+    of a curation pipeline): token → 256-bucket feature hash → fixed
+    integer milli-unit weights → per-doc mean margin. The weight lookup is
+    a closed-form expression (no join at all); a learned model swaps in as
+    a broadcast 256-row weight table with the identical plan shape. All
+    accumulation is int64 (exact, associative); the only float op is the
+    final mean, one division on identical operands in both engines.
+
+    Scale: explode → one partially-aggregated groupBy on doc_id — the same
+    single-shuffle shape as every other map-scored gate, so it composes
+    into pipeline_corpus_build-style chains at any corpus size."""
+    cat = Catalog(spark, sf_dir)
+    scored = _cls_margin_cols(cat)
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        "margin_milli",
+        (F.col("margin_milli") / (F.lit(1000.0) * F.col("n_toks"))).alias("score"),
+        (F.col("margin_milli") > 0).cast("int").alias("keep"),
+    )
+
+
+def _keep_best_oracle() -> str:
+    from .registry import ORACLE
+
+    edges_sql = ORACLE["dedup_minhash_banded"].strip()
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({edges_sql}) p
+    ), und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), comp(doc, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT c.doc, u.dst FROM comp c JOIN und u ON u.src = c.reach
+    ), labels AS (
+        SELECT doc, MIN(reach) AS cluster_rep FROM comp GROUP BY doc
+    ), scored AS ({_CLS_SCORE_SQL})
+    SELECT l.doc AS doc_id, l.cluster_rep,
+           s.margin_milli / (1000.0 * s.n_toks) AS score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY l.cluster_rep
+               ORDER BY s.margin_milli / (1000.0 * s.n_toks) DESC, l.doc
+           ) = 1 AS INT) AS keep
+    FROM labels l JOIN scored s ON s.doc_id = l.doc
+    """
+
+
+@query("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster canonicalization: where
+    dedup_connected_components keeps each cluster's MIN doc_id (arbitrary),
+    this keeps the HIGHEST-QUALITY member — the policy real curation
+    pipelines ship (SemDeDup/FineWeb keep-best-of-cluster). Components come
+    from the verified MinHash-banded pair graph; the survivor is picked by
+    a per-cluster row_number over (classifier score DESC, doc_id) — the
+    doc_id tiebreak keeps the choice total and deterministic.
+
+    Scale: component labels are linear in docs, the score join is
+    co-partitioned on doc_id, and the survivor window partitions by
+    cluster_rep — no stage touches pair-count-squared data."""
+    from ..catalog import Catalog as _Cat
+    from .dedup import dedup_minhash_banded
+    from .graph import connected_components
+
+    cat = _Cat(spark, sf_dir)
+    edges = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(cat.documents.select("doc_id"), edges).select(
+        "doc_id", "cluster_rep"
+    )
+    scored = _cls_margin_cols(cat).select(
+        "doc_id",
+        (F.col("margin_milli") / (F.lit(1000.0) * F.col("n_toks"))).alias("score"),
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        labels.join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_rep",
+            "score",
+            (F.row_number().over(w) == 1).cast("int").alias("keep"),
+        )
+    )
