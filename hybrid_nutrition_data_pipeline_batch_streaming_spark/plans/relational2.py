@@ -344,3 +344,45 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_num_dflt"
         ),
     )
+
+
+_RECURSIVE_WALK_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), und AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ), walk(node, hops) AS (
+        SELECT DISTINCT src AS node, 0 AS hops
+        FROM und
+        WHERE src LIKE 's%' AND CAST(substr(src, 2, 10) AS BIGINT) % 5 = 0
+        UNION ALL
+        SELECT u.dst AS node, w.hops + 1 AS hops
+        FROM walk w JOIN und u ON u.src = w.node
+        WHERE w.hops < 2
+    )
+    SELECT node AS reached, hops, COUNT(*) AS n_paths
+    FROM walk
+    WHERE hops > 0
+    GROUP BY node, hops
+"""
+
+
+@query("recursive_path_counts", oracle=_RECURSIVE_WALK_SQL)
+def recursive_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — the SQL-surface capability Spark 4
+    added): hop-bounded path counting over the customer↔supplier
+    fulfillment graph, seeded from every fifth supplier. UNION ALL
+    recursion with a hop guard enumerates paths (Spark's recursive CTEs
+    don't support UNION-distinct yet, so fixpoint closures stay with the
+    DataFrame loop in plans/graph.py — this query covers the declarative
+    acyclic/bounded form). Path counts are exact integers, so the DuckDB
+    oracle — the IDENTICAL statement — matches bit-for-bit. Each recursion
+    level is one equi-join + the level filter; Catalyst unions the bounded
+    levels, all shuffles on the node id."""
+    cat = Catalog(spark, sf_dir)
+    cat.orders.createOrReplaceTempView("orders")
+    cat.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(_RECURSIVE_WALK_SQL)
