@@ -239,3 +239,26 @@ def test_pagerank_rounds_are_equi_joins(spark):
     plan = _plan(spark, "graph_pagerank")
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_quality_classifier_is_joinless_single_shuffle(spark):
+    """The weight lookup is closed-form expression math — the whole scoring
+    pass must be explode → one partially-aggregated groupBy, no join."""
+    plan = _plan(spark, "quality_classifier")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_keep_best_windows_by_cluster(spark):
+    """Survivor selection must partition by cluster_rep — never a global
+    ranking — and the score join stays on doc_id equi-keys."""
+    plan = _plan(spark, "dedup_keep_best")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(cluster_rep" in plan
+
+
+def test_recursive_cte_no_cartesian(spark):
+    """Each recursion level must expand through the node-id equi-join."""
+    plan = _plan(spark, "recursive_path_counts")
+    assert "CartesianProduct" not in plan
