@@ -386,3 +386,56 @@ def recursive_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.orders.createOrReplaceTempView("orders")
     cat.lineitem.createOrReplaceTempView("lineitem")
     return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (A6 beyond rollup/cube): the four explicit
+    aggregation levels a dashboard's total/subtotal tabs ask for, computed
+    in ONE pass (Catalyst expands the sets over a single shuffle rather
+    than unioning four scans), with GROUPING() flags disambiguating real
+    NULL keys from subtotal rows. Identical statement runs as the DuckDB
+    oracle; decimal-exact sums keep the hash stable."""
+    cat = Catalog(spark, sf_dir)
+    cat.orders.createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_NULL_SEMANTICS_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(l_returnflag AS DOUBLE) IS NOT DISTINCT FROM
+               TRY_CAST(l_linestatus AS DOUBLE) AS nsafe_eq_nulls,
+           l_quantity IS NOT DISTINCT FROM l_tax AS nsafe_eq_vals,
+           NULLIF(l_discount, 0.0) AS disc_or_null,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_defaulted,
+           (l_quantity > 30) AND (l_discount > 0.05) AS strict_and,
+           CASE WHEN l_quantity IS NULL THEN 'null'
+                WHEN l_quantity > 30 THEN 'big' ELSE 'small' END AS qty_band
+    FROM lineitem
+"""
+
+
+@query("null_semantics", oracle=_NULL_SEMANTICS_SQL)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface (F7 family): null-safe equality
+    (IS NOT DISTINCT FROM — Spark's <=>), NULLIF null injection with
+    COALESCE recovery, AND over nullable operands, and CASE null guards.
+    The reference handles all of this imperatively with try/except and
+    .get defaults (`pipeline.py:115-129`); declaratively it is pure
+    row-local expression math — map-only, no shuffle at all."""
+    cat = Catalog(spark, sf_dir)
+    cat.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(_NULL_SEMANTICS_SQL)
