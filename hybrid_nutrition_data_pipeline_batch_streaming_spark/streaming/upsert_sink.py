@@ -32,8 +32,11 @@ replay, ``history()`` lists versions, and ``vacuum(keep_last=K)`` bounds
 disk growth by dropping old manifests plus the snapshot dirs only they
 referenced (the merge-time GC keeps every dir a retained manifest needs).
 
-Single writer assumed (foreachBatch serializes micro-batches); in
-production the same semantics come from a Delta/Iceberg ``MERGE INTO``.
+Within one stream, foreachBatch serializes micro-batches; ACROSS writers the
+manifest commit is put-if-absent (``os.link``), so a racing commit raises
+``ConcurrentWriteError`` instead of silently losing an update — optimistic
+concurrency, the contended-commit contract of a Delta log. In production the
+same semantics come from a Delta/Iceberg ``MERGE INTO``.
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +52,13 @@ from pyspark.sql import functions as F
 from ..pipeline import dedup_last_write_wins
 
 BUCKET_COL = "bucket"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this manifest version first. The store is
+    untouched by the losing attempt (its data dirs are unreferenced and
+    will be GC'd); re-invoke ``merge`` to rebase the batch on the winner's
+    snapshot."""
 
 
 class ParquetUpsertStore:
@@ -114,10 +125,14 @@ class ParquetUpsertStore:
 
     def _commit_manifest(self, version: int, buckets: dict[int, str]) -> None:
         """The atomic commit point: write the complete manifest to a temp
-        name, fsync, rename into place."""
+        name, fsync, then ``link`` into place — link (unlike rename) FAILS
+        if the target exists, so racing writers get compare-and-swap
+        semantics instead of a silent lost update (the same contended-commit
+        contract as a Delta log; on object stores this maps to
+        put-if-absent)."""
         os.makedirs(self._manifest_dir, exist_ok=True)
         final = os.path.join(self._manifest_dir, f"v{version:06d}.json")
-        tmp = os.path.join(self._manifest_dir, f".tmp-v{version:06d}.json")
+        tmp = os.path.join(self._manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(
                 {"version": version, "buckets": {str(b): d for b, d in buckets.items()}},
@@ -125,7 +140,15 @@ class ParquetUpsertStore:
             )
             fh.flush()
             os.fsync(fh.fileno())
-        os.rename(tmp, final)  # atomic on POSIX
+        try:
+            os.link(tmp, final)  # atomic put-if-absent on POSIX
+        except FileExistsError as exc:
+            raise ConcurrentWriteError(
+                f"version {version} was committed by another writer; "
+                "re-run merge to rebase on the current snapshot"
+            ) from exc
+        finally:
+            os.unlink(tmp)
 
     def _referenced_dirs(self) -> set[str]:
         """Every snapshot dir any RETAINED manifest points at — the live set

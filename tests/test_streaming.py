@@ -304,6 +304,44 @@ def test_upsert_store_time_travel_and_vacuum(spark, tmp_path):
     assert len(store.read().collect()) == 11
 
 
+def test_upsert_store_concurrent_commit_loses_loudly(spark, tmp_path):
+    """Two writers racing to the same manifest version: the second commit
+    must raise (put-if-absent semantics), never silently overwrite the
+    winner — and a retried merge rebases on the winner's snapshot."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ConcurrentWriteError,
+        ParquetUpsertStore,
+    )
+
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="item_name", ts_col="ingestion_ts",
+        n_buckets=4,
+    )
+    ts0 = datetime.datetime(2024, 1, 1)
+    store.merge(
+        spark.createDataFrame(
+            [("a", ts0, "v1")],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+    # Writer A wins version 2.
+    _, buckets = store._current_manifest()
+    store._commit_manifest(2, buckets)
+    # Writer B raced to the same version and must lose LOUDLY.
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        store._commit_manifest(2, buckets)
+    # A retried merge sees the winner's manifest and commits the next
+    # version on top of it.
+    store.merge(
+        spark.createDataFrame(
+            [("b", ts0, "v2")],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+    assert store.history()[-1] == 3
+    assert {r.item_name for r in store.read().collect()} == {"a", "b"}
+
+
 def test_upsert_store_read_raises_on_corrupt_store(spark, tmp_path):
     """A readable-but-broken store must surface the error, never be treated
     as empty (which would let the next merge overwrite all history)."""
