@@ -197,6 +197,52 @@ class ParquetUpsertStore:
             return None
         return self.spark.read.parquet(*self._bucket_paths(buckets))
 
+    def _changed_buckets(self, v_from: int, v_to: int) -> list[int]:
+        """Bucket ids whose snapshot dir differs between two versions — the
+        manifest diff, no data I/O at all."""
+        mf = self._load_manifest(v_from)
+        mt = self._load_manifest(v_to)
+        return sorted(b for b in mt if mf.get(b) != mt[b])
+
+    def changes(self, v_from: int, v_to: int) -> DataFrame | None:
+        """Row-level change feed between two committed versions (CDF).
+
+        Because a bucket's snapshot dir name changes iff its contents
+        changed, the manifest diff bounds the read to TOUCHED buckets —
+        O(changed data), never O(store), no matter how far apart the
+        versions are. Within those buckets, a left join of the new snapshot
+        against the old on the key classifies each row: ``insert`` (key
+        absent before) or ``update`` (newer ``ts_col``). An LWW upsert
+        store never deletes, so those two cases are total. Returns the
+        post-image plus ``change_type``, or None if nothing changed."""
+        changed = self._changed_buckets(v_from, v_to)
+        if not changed:
+            return None
+        mf = self._load_manifest(v_from)
+        mt = self._load_manifest(v_to)
+        new = self.spark.read.parquet(
+            *[os.path.join(self._data_dir, mt[b]) for b in changed]
+        )
+        old_paths = [
+            os.path.join(self._data_dir, mf[b]) for b in changed if b in mf
+        ]
+        if not old_paths:
+            return new.withColumn("change_type", F.lit("insert"))
+        old = self.spark.read.parquet(*old_paths).select(
+            F.col(self.key).alias("__old_key"),
+            F.col(self.ts_col).alias("__old_ts"),
+        )
+        joined = new.join(
+            old, new[self.key] == old["__old_key"], "left"
+        )
+        return joined.select(
+            *[new[c] for c in new.columns],
+            F.when(F.col("__old_key").isNull(), F.lit("insert"))
+            .when(F.col("__old_ts") != new[self.ts_col], F.lit("update"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+        ).where(F.col("change_type") != "unchanged")
+
     def history(self) -> list[int]:
         """Committed versions available to ``read(version=...)``,
         ascending — the store's ``DESCRIBE HISTORY``."""

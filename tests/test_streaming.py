@@ -304,6 +304,44 @@ def test_upsert_store_time_travel_and_vacuum(spark, tmp_path):
     assert len(store.read().collect()) == 11
 
 
+def test_upsert_store_change_feed_reads_only_touched_buckets(spark, tmp_path):
+    """changes(v1, v2) must classify inserts/updates from the post-image
+    and bound its read to the manifest-diff buckets — O(changed data),
+    not O(store)."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="item_name", ts_col="ingestion_ts",
+        n_buckets=8,
+    )
+    ts0 = datetime.datetime(2024, 1, 1)
+    store.merge(
+        spark.createDataFrame(
+            [(f"item{i}", ts0, "v1") for i in range(40)],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+    store.merge(
+        spark.createDataFrame(
+            [("item0", ts0 + datetime.timedelta(hours=1), "v2"),
+             ("item99", ts0, "new")],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+
+    # The manifest diff bounds the read: at most the 2 buckets the second
+    # micro-batch touched (1 if both keys hashed together), never all 8.
+    assert 1 <= len(store._changed_buckets(1, 2)) <= 2
+
+    feed = {r.item_name: r.change_type for r in store.changes(1, 2).collect()}
+    assert feed == {"item0": "update", "item99": "insert"}
+    # Unchanged keys in the touched buckets are filtered out; a no-op diff
+    # is None.
+    assert store.changes(2, 2) is None
+
+
 def test_upsert_store_concurrent_commit_loses_loudly(spark, tmp_path):
     """Two writers racing to the same manifest version: the second commit
     must raise (put-if-absent semantics), never silently overwrite the
