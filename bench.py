@@ -65,6 +65,8 @@ HEADLINE = [
     "rolling_7d_features",
     "profile_columns",
     "ngram_bigram_lm",
+    "graph_pagerank",
+    "dedup_keep_best",
 ]
 
 

@@ -159,3 +159,36 @@ def test_incremental_pipeline_two_waves(spark, tmp_path):
     got = {tuple(r) for r in final.select(*ENRICHED_COLUMNS).collect()}
     exp = {tuple(r) for r in expected.collect()}
     assert got == exp
+
+
+def test_observed_quality_counters_match_direct_aggregates(raw):
+    """Observation-API counters must equal a direct audit of the same frame
+    — collected as a side effect of the ONE production action, no second
+    scan of the input."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.functions.observability import (
+        observe_nutrition_quality,
+    )
+
+    flat = flatten_nutrition(filter_valid_raw(raw))
+    instrumented, obs = observe_nutrition_quality(flat)
+    rows = instrumented.collect()  # the production action
+    got = obs.get
+
+    expected = {
+        "rows": len(rows),
+        "null_or_zero_calories": sum(
+            1 for r in rows if r.calories is None or r.calories == 0.0
+        ),
+        "negative_macros": sum(
+            1
+            for r in rows
+            if (r.protein_g or 0) < 0
+            or (r.fat_total_g or 0) < 0
+            or (r.carbohydrates_total_g or 0) < 0
+        ),
+        "bad_serving_size": sum(
+            1 for r in rows if r.serving_size_g is None or r.serving_size_g <= 0
+        ),
+    }
+    assert got == expected
+    assert got["rows"] > 0  # the fixture's valid rows actually flowed
