@@ -237,3 +237,47 @@ def test_orc_round_trip_prunes_columns(spark, tmp_path):
     assert pruned.columns == ["n_nationkey", "n_name"]
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "n_comment" not in plan  # untouched column never reaches the scan
+
+
+def test_python_stream_source_offsets_are_exact(spark, tmp_path):
+    """The custom Python stream source must emit each id exactly once
+    across micro-batches (row-counter offsets = the Kafka-offset contract)
+    and stop at totalRows."""
+    import time
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.items_source import (
+        item_name_for,
+        register,
+    )
+
+    register(spark)
+    stream = (
+        spark.readStream.format("nutrition_items")
+        .option("rowsPerBatch", 300)
+        .option("totalRows", 1000)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysource_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) c FROM pysource_stream").first().c >= 1000:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = spark.sql("SELECT item_id, item_name FROM pysource_stream").collect()
+    ids = sorted(r.item_id for r in rows)
+    assert ids == list(range(1000))  # every id exactly once — no gap, no dup
+    # Content equals the deterministic generator (spot-check the ends).
+    by_id = {r.item_id: r.item_name for r in rows}
+    assert by_id[0] == item_name_for(0)
+    assert by_id[999] == item_name_for(999)
