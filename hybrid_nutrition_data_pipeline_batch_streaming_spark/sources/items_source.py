@@ -87,7 +87,13 @@ class _ItemsBatchReader(DataSourceReader):
 class _ItemsStreamReader(DataSourceStreamReader):
     """Offsets are row counters — contiguous id ranges per micro-batch, so
     a replayed batch regenerates the identical rows (exactly-once with any
-    idempotent/transactional sink, the Kafka-offset contract)."""
+    idempotent/transactional sink, the Kafka-offset contract).
+
+    ``latestOffset`` advances by one batch per call: the source keeps
+    "producing" while the query runs, like the reference's looping
+    producer. Consequently ``Trigger.AvailableNow`` drains only the first
+    step (the backlog at query start); use a continuous trigger to consume
+    the whole id space."""
 
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rowsperbatch", 100))

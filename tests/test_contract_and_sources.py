@@ -281,3 +281,72 @@ def test_python_stream_source_offsets_are_exact(spark, tmp_path):
     by_id = {r.item_id: r.item_name for r in rows}
     assert by_id[0] == item_name_for(0)
     assert by_id[999] == item_name_for(999)
+
+
+def test_producer_to_store_full_reference_loop(spark, tmp_path):
+    """The reference's whole transport — producer loop → Kafka → consumer →
+    REST enrich → Cassandra upsert — as ONE Spark streaming pipeline:
+    Python DataSource (producer) → mapInPandas enrichment (consumer) →
+    keyed LWW store (raw layer). Every boundary is the engine's own
+    component; the result must hold one enriched row per produced item."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.functions.enrichment import (
+        enrich_from_api,
+    )
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.items_source import (
+        register,
+    )
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    register(spark)
+    stream = (
+        spark.readStream.format("nutrition_items")
+        .option("rowsPerBatch", 120)
+        .option("totalRows", 240)
+        .load()
+    )
+    ts0 = datetime.datetime(2024, 1, 1)
+    enriched = enrich_from_api(stream, name_col="item_name").withColumn(
+        "ingestion_ts",
+        # Deterministic event time derived from the id — wall clock would
+        # make reruns diverge.
+        F.lit(ts0) + F.make_interval(secs=F.col("item_id")),
+    )
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "raw"), key="item_id", ts_col="ingestion_ts",
+        n_buckets=4,
+    )
+    # The paced source keeps "producing" across micro-batches (one
+    # latestOffset step each), so drive a continuous trigger and stop once
+    # the id space is drained — availableNow would stop after the first
+    # offset step, like a Kafka consumer started with no backlog.
+    import time
+
+    q = (
+        enriched.writeStream.foreachBatch(lambda b, _id: store.merge(b))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            snap = store.read()
+            if snap is not None and snap.count() >= 240:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = store.read().collect()
+    assert len(rows) == 240  # one row per produced id (upsert key = id)
+    sample = {r.item_id: r for r in rows}[7]
+    assert sample.item_name and sample.data.startswith("[{")  # enriched JSON
+    # Two micro-batches were merged; the store is at version 2 with history.
+    assert store.history()[-1] >= 2
