@@ -214,7 +214,10 @@ class ParquetUpsertStore:
         against the old on the key classifies each row: ``insert`` (key
         absent before) or ``update`` (newer ``ts_col``). An LWW upsert
         store never deletes, so those two cases are total. Returns the
-        post-image plus ``change_type``, or None if nothing changed."""
+        post-image plus ``change_type`` and a ``pre_image`` struct (NULL
+        for inserts) — pre-images let a downstream incremental view
+        RETRACT the replaced contribution and add the new one instead of
+        recomputing from the full store. None if nothing changed."""
         changed = self._changed_buckets(v_from, v_to)
         if not changed:
             return None
@@ -223,14 +226,20 @@ class ParquetUpsertStore:
         new = self.spark.read.parquet(
             *[os.path.join(self._data_dir, mt[b]) for b in changed]
         )
+        pre_type = f"struct<{','.join(f'{c}:{t}' for c, t in new.dtypes)}>"
         old_paths = [
             os.path.join(self._data_dir, mf[b]) for b in changed if b in mf
         ]
         if not old_paths:
-            return new.withColumn("change_type", F.lit("insert"))
-        old = self.spark.read.parquet(*old_paths).select(
+            return new.select(
+                "*",
+                F.lit("insert").alias("change_type"),
+                F.lit(None).cast(pre_type).alias("pre_image"),
+            )
+        old_full = self.spark.read.parquet(*old_paths)
+        old = old_full.select(
             F.col(self.key).alias("__old_key"),
-            F.col(self.ts_col).alias("__old_ts"),
+            F.struct(*[F.col(c) for c in old_full.columns]).alias("__pre"),
         )
         joined = new.join(
             old, new[self.key] == old["__old_key"], "left"
@@ -238,9 +247,12 @@ class ParquetUpsertStore:
         return joined.select(
             *[new[c] for c in new.columns],
             F.when(F.col("__old_key").isNull(), F.lit("insert"))
-            .when(F.col("__old_ts") != new[self.ts_col], F.lit("update"))
+            .when(F.col("__pre")[self.ts_col] != new[self.ts_col], F.lit("update"))
             .otherwise(F.lit("unchanged"))
             .alias("change_type"),
+            F.when(F.col("__old_key").isNull(), F.lit(None).cast(pre_type))
+            .otherwise(F.col("__pre"))
+            .alias("pre_image"),
         ).where(F.col("change_type") != "unchanged")
 
     def history(self) -> list[int]:

@@ -408,3 +408,68 @@ def test_upsert_store_read_raises_on_corrupt_store(spark, tmp_path):
     (snap_dir / part).write_bytes(b"not a parquet file")
     with pytest.raises(Exception):
         store.read().collect()
+
+
+def test_change_feed_drives_incremental_view_maintenance(spark, tmp_path):
+    """Pre-images in the change feed let a derived aggregate update by
+    retract-and-add from O(changed rows) — the incremental-view pattern —
+    and must land exactly on the full recompute."""
+    from pyspark.sql import functions as F
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="item_name", ts_col="ingestion_ts",
+        n_buckets=8,
+    )
+    ts0 = datetime.datetime(2024, 1, 1)
+    store.merge(
+        spark.createDataFrame(
+            [(f"item{i}", ts0, "x" * (i % 7 + 1)) for i in range(40)],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+
+    def full_agg(df):
+        return df.groupBy(F.length("data").alias("g")).agg(
+            F.count("*").alias("cnt")
+        )
+
+    view = {(r.g, r.cnt) for r in full_agg(store.read()).collect()}
+    assert view == {(r.g, r.cnt) for r in full_agg(store.read(version=1)).collect()}
+
+    # Batch 2: one update changes item0's group, one insert adds a row.
+    store.merge(
+        spark.createDataFrame(
+            [("item0", ts0 + datetime.timedelta(hours=1), "x" * 5),
+             ("item99", ts0, "x" * 2)],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+
+    feed = store.changes(1, 2)
+    # Delta stream: +1 for every post-image, -1 for every update's
+    # pre-image (retraction); summing deltas onto the old view is the
+    # whole maintenance step.
+    adds = feed.select(F.length("data").alias("g"), F.lit(1).alias("d"))
+    retracts = (
+        feed.where(F.col("change_type") == "update")
+        .select(F.length("pre_image.data").alias("g"), F.lit(-1).alias("d"))
+    )
+    deltas = adds.unionByName(retracts).groupBy("g").agg(F.sum("d").alias("d"))
+
+    old_view = full_agg(store.read(version=1))
+    maintained = {
+        (r.g, r.cnt)
+        for r in old_view.join(deltas, "g", "full")
+        .select(
+            "g",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0))).alias("cnt"),
+        )
+        .where(F.col("cnt") > 0)
+        .collect()
+    }
+    recomputed = {(r.g, r.cnt) for r in full_agg(store.read()).collect()}
+    assert maintained == recomputed
