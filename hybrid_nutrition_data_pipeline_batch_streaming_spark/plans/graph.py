@@ -191,6 +191,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy plan — per-round shuffles are equi-joins and groupBy-sums on the
     node id, exactly the Pregel schedule."""
     cat = Catalog(spark, sf_dir)
+    # Checkpoint the edge list BEFORE fanning it out: und references edges
+    # twice (both directions) and deg/und_deg reference und again — without
+    # the cut, the orders⋈lineitem distinct would execute ~4× inside the
+    # und_deg materialization.
     edges = (
         cat.orders.join(
             cat.lineitem.select("l_orderkey", "l_suppkey"),
@@ -201,6 +205,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        .localCheckpoint()
     )
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
