@@ -266,3 +266,50 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     # the baseline's non-leading span.
     assert z_ord < 0.6 and z_part < 0.6, (z_ord, z_part)
     assert z_part < s_part / 2
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The engine's answer to hot keys WITHOUT manual salting: AQE must
+    detect the skewed shuffle partition at runtime and split it
+    (skew=true on the join node). This is the lever that keeps one
+    1000×-hot key from serializing a fact-fact join at 100 TB."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 400k rows, half of them on ONE key; payload pads bytes so the hot
+        # partition crosses the skew threshold.
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("payload"),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # No keyed aggregation downstream: a consumer that reuses the join
+        # partitioning (e.g. groupBy on the key) makes AQE skip the split
+        # to avoid an extra shuffle. collect() executes THIS DataFrame's
+        # QueryExecution — a write would run a separate one and leave this
+        # plan un-finalized.
+        joined = big.join(small, "k").select(F.length("payload").alias("n"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
