@@ -33,6 +33,7 @@ from . import skew_queries  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
 from . import profiling  # noqa: F401,E402
 from . import pysource  # noqa: F401,E402
+from . import textmatch  # noqa: F401,E402
 
 # The driver-checked window: exactly these 50, in this order, all with
 # oracles. One per §2 row + all north-star operators.
