@@ -300,3 +300,23 @@ def test_kmeans_train_objective_monotone_and_reproducible(spark):
     a1, _ = kmeans_train(base, k=8, dims=64, rounds=3)
     a2, _ = kmeans_train(base, k=8, dims=64, rounds=3)
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_pq_rerank_recall_vs_exact(spark):
+    """Two-stage PQ (ADC shortlist → exact re-rank) must hold most of the
+    exact top-5. The deterministic first-16 codebook bounds recall well
+    below 1.0 — the floor guards against indexing/normalization bugs that
+    collapse it toward random (~0.01)."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.similarity import (
+        similarity_topk,
+        similarity_topk_pq,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in similarity_topk(spark, SF).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id) for r in similarity_topk_pq(spark, SF).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.6, f"PQ re-rank recall regressed: {recall}"
