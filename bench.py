@@ -50,6 +50,7 @@ HEADLINE = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "similarity_topk_int8",
+    "similarity_topk_pq",
     "dedup_embedding",
     "dedup_semantic",
     "kmeans_refine",
