@@ -36,68 +36,76 @@ from . import pysource  # noqa: F401,E402
 from . import textmatch  # noqa: F401,E402
 
 # The driver-checked window: exactly these 50, in this order, all with
-# oracles. One per §2 row + all north-star operators.
+# oracles. Round-3 rotation (VERDICT r2 item 1): rounds 1-2 drove the
+# one-per-§2-row window to 50/50 green twice, so this round keeps TEN core
+# regressions (flagship + one representative per family: join, agg, window/
+# LWW, semi-structured, dedup, similarity, e2e, streaming, multimodal) and
+# fills the other FORTY slots with oracle-backed queries that have never had
+# a driver CORRECTNESS row — the graph/SCD/skew/timeseries/profiling/
+# curation/vector suites. Rotated-out queries stay registered below the
+# window, still verified by the local differential harness
+# (tests/test_oracle_parity.py) at sf0.001 + sf0.01.
 PRIORITY: tuple[str, ...] = (
-    # §2.1-§2.3 relational core
+    # -- 10 core regressions (driver-green in r1+r2) --
     "flagship_revenue",
-    "sql_endpoint",
-    "scan_project",
-    "filter_predicates",
     "join_inner",
-    "join_broadcast",
-    "join_outer",
-    "enrich_rest_stub",  # S7/U2 mapInPandas boundary (J4 semi stays local-checked)
-    "incremental_antijoin",
-    "join_range",
-    "join_asof",
-    # §2.4 aggregation
     "agg_macros",
-    "topk_sodium",
-    "agg_distinct",
-    "agg_rollup_cube",
-    "agg_conditional",
-    "agg_collect_sorted",
-    # §2.6-§2.7 sort / set ops, DQ suite
-    "sort_multikey",
-    "set_ops",
-    "dq_checks",
-    # §2.5 windows + LWW upsert semantics
     "dedup_last_write",
-    "window_lag",
-    "window_running_sum",
-    "window_ntile",
-    # §2.2 / §2.8 semi-structured + function families
-    "filter_nonempty",
-    "filter_corrupt",
     "json_flatten",
-    "cast_defaults",
-    "str_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
-    "json_map",
-    # §2.10 UDF surface
-    "grouped_udaf_median",
-    # §2.11 X3 text analysis
-    "wordcloud_tokens",
-    "text_stats",
-    "dedup_connected_components",
-    "similarity_ann_ivf",
-    # §2.11 X2 dedup family
-    "dedup_exact_text",
-    "pipeline_corpus_build",
     "dedup_minhash_banded",
-    "dedup_simhash_multiprobe",
-    "dedup_ngram_prefix",
-    "dedup_embedding",
-    # §2.11 X1 similarity
-    "similarity_topk",
-    "similarity_ann_lsh",
-    # e2e + §2.9 streaming + §2.11 X4 multimodal
+    "similarity_ann_ivf",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    "stream_stateful_totals",
     "mm_frame_sample",
+    # -- SQL surface depth (E8/E9, never driver-checked) --
+    "recursive_path_counts",
+    "agg_grouping_sets",
+    "null_semantics",
+    "higher_order_funcs",
+    # -- iterative / graph / clustering (E6, X1 trainer) --
+    "graph_pagerank",
+    "cluster_centroids",
+    "kmeans_refine",
+    # -- CDC / skew / custom source (E10, skew ops, E12) --
+    "scd2_history",
+    "join_salted",
+    "agg_two_phase",
+    "pysource_items",
+    # -- product analytics + time series (E1/E2) --
+    "sessionize_batch",
+    "funnel_conversion",
+    "retention_cohorts",
+    "rolling_7d_features",
+    "anomaly_mad",
+    "gap_fill_forward",
+    # -- profiling + LM statistics (E3/E4/E5) --
+    "profile_columns",
+    "histogram_value",
+    "ngram_bigram_lm",
+    "agg_incremental_merge",
+    # -- corpus curation (E7 + curation suite) --
+    "pii_redact",
+    "repetition_score",
+    "tfidf_terms",
+    "contamination_check",
+    "corpus_split",
+    "pack_sequences",
+    "corpus_mix_sample",
+    "quality_classifier",
+    "dedup_keep_best",
+    # -- text / embedding producers (X3 extensions, E15) --
+    "doc_fingerprint",
+    "embed_feature_hash",
+    "fuzzy_match_names",
+    # -- similarity tiers (X1: int8 + PQ + semantic + e2e) --
+    "similarity_topk_int8",
+    "similarity_topk_pq",
+    "dedup_semantic",
+    "pipeline_embed_topk",
+    # -- streaming + multimodal value checks (T6/T7, X4) --
+    "stream_session_windows",
+    "stream_static_enrich",
+    "mm_decode_stats",
 )
 
 

@@ -166,7 +166,9 @@ def _pagerank_oracle() -> str:
         SELECT node, {PR_SCALE}::BIGINT // (SELECT cnt FROM nn) AS units
         FROM nodes
     ), {rounds}
-    SELECT node, units AS rank_units,
+    -- DuckDB's SUM over BIGINT yields HUGEINT, which pandas renders as
+    -- float64 — cast back to BIGINT so the driver sees int64 like Spark.
+    SELECT node, CAST(units AS BIGINT) AS rank_units,
            CAST(units AS DOUBLE) / {PR_SCALE} AS rank
     FROM r{PR_ROUNDS}
     """

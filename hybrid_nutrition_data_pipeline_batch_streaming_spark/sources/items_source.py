@@ -89,32 +89,49 @@ class _ItemsStreamReader(DataSourceStreamReader):
     a replayed batch regenerates the identical rows (exactly-once with any
     idempotent/transactional sink, the Kafka-offset contract).
 
-    ``latestOffset`` advances by one batch per call: the source keeps
-    "producing" while the query runs, like the reference's looping
-    producer. Consequently ``Trigger.AvailableNow`` drains only the first
-    step (the backlog at query start); use a continuous trigger to consume
-    the whole id space."""
+    Pacing (default): ``latestOffset`` advances by ``rowsPerBatch`` per
+    call — the source keeps "producing" while the query runs, like the
+    reference's looping producer. Under ``Trigger.AvailableNow`` only the
+    backlog at query start (one step) drains; use a continuous trigger to
+    consume the whole id space, or set ``drain=all`` to advertise the full
+    ``totalRows`` backlog up front so a single AvailableNow run consumes
+    every offset (the bounded batch-drain mode, T5).
+
+    Restart safety: the paced counter is re-anchored to the engine-supplied
+    offsets in ``partitions``/``commit`` — after a driver restart a fresh
+    reader instance never reports a latest offset BEHIND the checkpointed
+    committed offset (which would stall the query with empty/invalid
+    ranges)."""
 
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rowsperbatch", 100))
         self.total_rows = int(options.get("totalrows", 1000))
+        self.drain_all = str(options.get("drain", "")).lower() == "all"
         self._current = 0
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
+        if self.drain_all:
+            return {"offset": self.total_rows}
         self._current = min(self._current + self.rows_per_batch, self.total_rows)
         return {"offset": self._current}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # Re-anchor the pacing counter to the engine's offset log: on
+        # restart this is called with the checkpointed range before the
+        # next latestOffset, so the counter catches up instead of lagging.
+        self._current = max(self._current, end["offset"])
         return [_IdRange(start["offset"], end["offset"])]
 
     def read(self, partition: _IdRange) -> Iterator[tuple[int, str]]:
         return _gen(partition.start, partition.end)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to clean up: generation is stateless per range
+        # Generation is stateless per range — nothing to clean up; just
+        # keep the pacing counter at or ahead of the committed offset.
+        self._current = max(self._current, end["offset"])
 
 
 class NutritionItemsDataSource(DataSource):

@@ -56,7 +56,18 @@ def _events_file_schema(sf_dir: str) -> tuple[StructType, bool]:
     path = os.path.join(sf_dir, "events.parquet")
     probe = path
     if os.path.isdir(path):
-        probe = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(
+                f"no parquet part files under {path!r} to probe the events "
+                "ts encoding from — is the fixture directory empty?"
+            )
+        probe = parts[0]
+    elif not os.path.exists(path):
+        raise FileNotFoundError(
+            f"events fixture not found at {path!r} — expected a parquet file "
+            "or directory"
+        )
     raw_nanos = str(pq.read_schema(probe).field("ts").type) == "int64"
     ts_type = LongType() if raw_nanos else TimestampNTZType()
     schema = StructType(

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -52,6 +53,10 @@ from pyspark.sql import functions as F
 from ..pipeline import dedup_last_write_wins
 
 BUCKET_COL = "bucket"
+
+#: Snapshot dir name: b{bucket}-v{version}[-{attempt}]. The version component
+#: lets GC distinguish decided versions from in-flight attempts.
+_SNAP_RE = re.compile(r"^b\d+-v(\d+)")
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -104,6 +109,11 @@ class ParquetUpsertStore:
         )
 
     def _load_manifest(self, version: int) -> dict[int, str]:
+        if version == 0:
+            # The pre-commit store: a valid, empty snapshot (read() treats it
+            # the same way), so changes(0, N) diffs the first commit as pure
+            # inserts instead of raising FileNotFoundError.
+            return {}
         path = os.path.join(self._manifest_dir, f"v{version:06d}.json")
         if not os.path.isfile(path):
             raise FileNotFoundError(
@@ -159,17 +169,36 @@ class ParquetUpsertStore:
             refs.update(self._load_manifest(v).values())
         return refs
 
-    def _gc_unreferenced(self) -> None:
+    def _gc_unreferenced(self, include_stages: bool = False) -> None:
         """Drop data dirs no retained manifest references (left by
         pre-commit crashes, or stranded when vacuum removed the last
         manifest that referenced them). Best-effort — a failure here never
-        affects correctness, only disk usage."""
+        affects correctness, only disk usage.
+
+        Concurrency guard: an unreferenced snapshot dir whose version is
+        AHEAD of the current committed version may belong to another
+        writer's in-flight attempt (renamed but not yet committed) — GC
+        skips it; it becomes collectable as soon as that version is decided
+        (the attempt either committed a manifest referencing it, or lost
+        the race and its uniquely-named dirs stay unreferenced).
+        ``.stage-*`` workspaces are owned (and removed) by their attempt;
+        only ``vacuum`` — an administrative call, documented as not
+        concurrent with writers — sweeps crashed leftovers of those."""
         if not os.path.isdir(self._data_dir):
             return
+        current, _ = self._current_manifest()
         referenced = self._referenced_dirs()
         for name in os.listdir(self._data_dir):
-            if name not in referenced:
-                shutil.rmtree(os.path.join(self._data_dir, name), ignore_errors=True)
+            if name in referenced:
+                continue
+            if name.startswith("."):
+                if include_stages:
+                    shutil.rmtree(os.path.join(self._data_dir, name), ignore_errors=True)
+                continue
+            m = _SNAP_RE.match(name)
+            if m is not None and int(m.group(1)) > current:
+                continue  # possibly an in-flight attempt at the next version
+            shutil.rmtree(os.path.join(self._data_dir, name), ignore_errors=True)
 
     # -- public API ---------------------------------------------------------
 
@@ -212,8 +241,12 @@ class ParquetUpsertStore:
         O(changed data), never O(store), no matter how far apart the
         versions are. Within those buckets, a left join of the new snapshot
         against the old on the key classifies each row: ``insert`` (key
-        absent before) or ``update`` (newer ``ts_col``). An LWW upsert
-        store never deletes, so those two cases are total. Returns the
+        absent before) or ``update`` (the stored row changed — a NULL-SAFE
+        comparison of the full pre/post structs, so value changes that
+        carry an equal or NULL timestamp still surface). An LWW upsert
+        store never deletes, so those two cases are total. ``changes(0,
+        N)`` diffs against the empty pre-commit store — the first commit
+        reads as pure inserts. Returns the
         post-image plus ``change_type`` and a ``pre_image`` struct (NULL
         for inserts) — pre-images let a downstream incremental view
         RETRACT the replaced contribution and add the new one instead of
@@ -237,17 +270,20 @@ class ParquetUpsertStore:
                 F.lit(None).cast(pre_type).alias("pre_image"),
             )
         old_full = self.spark.read.parquet(*old_paths)
+        # Field order matches the post struct — struct comparison is
+        # positional.
         old = old_full.select(
             F.col(self.key).alias("__old_key"),
-            F.struct(*[F.col(c) for c in old_full.columns]).alias("__pre"),
+            F.struct(*[F.col(c) for c in new.columns]).alias("__pre"),
         )
         joined = new.join(
             old, new[self.key] == old["__old_key"], "left"
         )
+        post = F.struct(*[new[c] for c in new.columns])
         return joined.select(
             *[new[c] for c in new.columns],
             F.when(F.col("__old_key").isNull(), F.lit("insert"))
-            .when(F.col("__pre")[self.ts_col] != new[self.ts_col], F.lit("update"))
+            .when(~post.eqNullSafe(F.col("__pre")), F.lit("update"))
             .otherwise(F.lit("unchanged"))
             .alias("change_type"),
             F.when(F.col("__old_key").isNull(), F.lit(None).cast(pre_type))
@@ -271,7 +307,7 @@ class ParquetUpsertStore:
         dropped = versions[:-keep_last]
         for v in dropped:
             os.remove(os.path.join(self._manifest_dir, f"v{v:06d}.json"))
-        self._gc_unreferenced()
+        self._gc_unreferenced(include_stages=True)
         return dropped
 
     def _read_buckets(self, ids: list[int]) -> DataFrame | None:
@@ -283,7 +319,15 @@ class ParquetUpsertStore:
 
     def merge(self, batch: DataFrame) -> None:
         """LWW-merge one micro-batch: read touched buckets, union, dedup,
-        write new snapshot dirs, commit one manifest."""
+        write new snapshot dirs, commit one manifest.
+
+        Every on-disk name this attempt creates is ATTEMPT-UNIQUE
+        (``.stage-{attempt}`` workspace, ``b{b}-v{V}-{attempt}`` snapshot
+        dirs), and nothing pre-existing is ever deleted before the commit —
+        so two merges racing from the same base version never touch each
+        other's files; the put-if-absent manifest link alone decides the
+        winner, and the loser's dirs (removed on the spot, or by later GC)
+        were never visible to any reader."""
         with_bucket = batch.withColumn(BUCKET_COL, self._bucket())
         # Driver-side list of touched bucket ids — bounded by n_buckets,
         # never by data volume.
@@ -299,30 +343,38 @@ class ParquetUpsertStore:
         merged = batch if current is None else current.unionByName(batch)
         deduped = dedup_last_write_wins(merged, key=self.key, ts=self.ts_col)
         new_version = version + 1
-        stage = os.path.join(self._data_dir, f".stage-v{new_version:06d}")
-        shutil.rmtree(stage, ignore_errors=True)
-        (
-            deduped.withColumn(BUCKET_COL, self._bucket())
-            .repartition(len(touched), BUCKET_COL)
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(stage)
-        )
-        new_buckets = dict(buckets)
-        for b in touched:
-            stage_dir = os.path.join(stage, f"{BUCKET_COL}={b}")
-            if not os.path.isdir(stage_dir):
-                continue  # no surviving rows for this bucket (can't happen under LWW)
-            snap = f"b{b}-v{new_version:06d}"
-            dst = os.path.join(self._data_dir, snap)
-            # A dir already at this (bucket, version) can only be the orphan
-            # of a crashed attempt at this same uncommitted version — the
-            # manifest never references it, so replacing it is safe.
-            shutil.rmtree(dst, ignore_errors=True)
-            os.rename(stage_dir, dst)
-            new_buckets[b] = snap
-        self._commit_manifest(new_version, new_buckets)  # ← visibility point
-        shutil.rmtree(stage, ignore_errors=True)
+        attempt = uuid.uuid4().hex[:8]
+        stage = os.path.join(self._data_dir, f".stage-{attempt}")
+        renamed: list[str] = []
+        try:
+            (
+                deduped.withColumn(BUCKET_COL, self._bucket())
+                .repartition(len(touched), BUCKET_COL)
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(stage)
+            )
+            new_buckets = dict(buckets)
+            for b in touched:
+                stage_dir = os.path.join(stage, f"{BUCKET_COL}={b}")
+                if not os.path.isdir(stage_dir):
+                    continue  # no surviving rows for this bucket (can't happen under LWW)
+                snap = f"b{b}-v{new_version:06d}-{attempt}"
+                dst = os.path.join(self._data_dir, snap)
+                os.rename(stage_dir, dst)
+                renamed.append(dst)
+                new_buckets[b] = snap
+            try:
+                self._commit_manifest(new_version, new_buckets)  # ← visibility point
+            except ConcurrentWriteError:
+                # Lost the race: the winner's store state is untouched (our
+                # names are unique); drop our never-visible dirs and let the
+                # caller rebase.
+                for d in renamed:
+                    shutil.rmtree(d, ignore_errors=True)
+                raise
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         self._gc_unreferenced()
 
 

@@ -34,16 +34,21 @@ def test_registry_priority_window():
     assert len(set(plans.PRIORITY)) == 50
     assert tuple(names[:50]) == plans.PRIORITY
     assert all(n in plans.ORACLE for n in names[:50])
-    must_haves = {
-        "dedup_exact_text", "dedup_minhash_banded",
-        "dedup_simhash_multiprobe", "dedup_ngram_prefix", "dedup_embedding",
-        "dedup_connected_components", "pipeline_corpus_build",
-        "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
-        "wordcloud_tokens", "text_stats", "enrich_rest_stub",
-        "pipeline_nutrition_e2e", "stream_tumbling_live",
-        "stream_stateful_totals", "mm_frame_sample", "grouped_udaf_median",
+    # Round-3 rotation: ten core regressions (one per family) stay pinned;
+    # the other slots burn down queries that never had a driver row.
+    core_regressions = {
+        "flagship_revenue", "join_inner", "agg_macros", "dedup_last_write",
+        "json_flatten", "dedup_minhash_banded", "similarity_ann_ivf",
+        "pipeline_nutrition_e2e", "stream_tumbling_live", "mm_frame_sample",
     }
-    assert must_haves <= set(plans.PRIORITY)
+    assert core_regressions <= set(plans.PRIORITY)
+    rotated_in = {
+        "graph_pagerank", "dedup_keep_best", "scd2_history", "pysource_items",
+        "recursive_path_counts", "agg_grouping_sets", "kmeans_refine",
+        "quality_classifier", "pack_sequences", "funnel_conversion",
+        "profile_columns", "similarity_topk_pq",
+    }
+    assert rotated_in <= set(plans.PRIORITY)
 
 
 def test_json_lines_permissive_quarantine(spark, tmp_path):
@@ -350,3 +355,115 @@ def test_producer_to_store_full_reference_loop(spark, tmp_path):
     assert sample.item_name and sample.data.startswith("[{")  # enriched JSON
     # Two micro-batches were merged; the store is at version 2 with history.
     assert store.history()[-1] >= 2
+
+
+def test_python_stream_source_available_now_full_drain(spark, tmp_path):
+    """drain=all advertises the whole totalRows backlog at query start, so a
+    single Trigger.AvailableNow run consumes EVERY offset — the bounded
+    batch-drain mode (T5). The default paced mode stops after one
+    rowsPerBatch step under the same trigger (the backlog at start)."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.items_source import (
+        item_name_for,
+        register,
+    )
+
+    register(spark)
+    full = (
+        spark.readStream.format("nutrition_items")
+        .option("rowsPerBatch", 100)
+        .option("totalRows", 750)
+        .option("drain", "all")
+        .load()
+    )
+    q = (
+        full.writeStream.format("memory")
+        .queryName("pysource_drain_all")
+        .option("checkpointLocation", str(tmp_path / "ckpt_all"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT item_id, item_name FROM pysource_drain_all").collect()
+    assert sorted(r.item_id for r in rows) == list(range(750))  # full drain, no dup
+    assert {r.item_name for r in rows if r.item_id == 0} == {item_name_for(0)}
+
+    paced = (
+        spark.readStream.format("nutrition_items")
+        .option("rowsPerBatch", 100)
+        .option("totalRows", 750)
+        .load()
+    )
+    q2 = (
+        paced.writeStream.format("memory")
+        .queryName("pysource_paced")
+        .option("checkpointLocation", str(tmp_path / "ckpt_paced"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    n = spark.sql("SELECT COUNT(*) c FROM pysource_paced").first().c
+    assert n == 100  # paced: one offset step was the backlog at start
+
+
+def test_python_stream_source_restart_resumes_from_checkpoint(spark, tmp_path):
+    """ADVICE r2: after a restart the fresh reader's in-memory pacing
+    counter starts at 0 — behind the checkpointed committed offset. The
+    counter is re-anchored from the engine-supplied offsets, so the resumed
+    query continues producing NEW ids instead of stalling on empty/invalid
+    ranges. (Parquet sink: the memory sink cannot recover a checkpoint.)"""
+    import time
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.items_source import (
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "out")
+
+    def read_ids():
+        try:
+            return sorted(
+                r.item_id for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    def run_until(target):
+        stream = (
+            spark.readStream.format("nutrition_items")
+            .option("rowsPerBatch", 100)
+            .option("totalRows", 600)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if len(read_ids()) >= target:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return read_ids()
+
+    got_first = run_until(200)
+    assert len(got_first) >= 200 and got_first[0] == 0
+
+    # Restart against the same checkpoint: a FRESH reader instance must pick
+    # up AFTER the committed offset (producing ids we never saw), not stall
+    # on empty/invalid ranges or replay committed ones.
+    high_water = got_first[-1]
+    got_second = run_until(len(got_first) + 100)
+    assert len(got_second) > len(got_first), (
+        "restarted query produced nothing — latestOffset stalled behind the "
+        "checkpointed offset"
+    )
+    assert got_second[-1] > high_water  # strictly new ids were produced
+    assert got_second == list(range(len(got_second)))  # no gap, no dup

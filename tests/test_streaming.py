@@ -473,3 +473,151 @@ def test_change_feed_drives_incremental_view_maintenance(spark, tmp_path):
     }
     recomputed = {(r.g, r.cnt) for r in full_agg(store.read()).collect()}
     assert maintained == recomputed
+
+
+def test_upsert_store_racing_full_merges_never_clobber(spark, tmp_path):
+    """ADVICE r2 (high): two merges racing from the SAME base version must
+    not share on-disk names — the loser's rename path previously deleted the
+    winner's already-committed snapshot dirs before its manifest link
+    failed, leaving the committed manifest pointing at the loser's data (a
+    silent lost update). Now every attempt's dirs are attempt-unique and
+    nothing pre-existing is deleted pre-commit, so only the manifest link
+    decides the winner and the loser leaves no mark."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ConcurrentWriteError,
+        ParquetUpsertStore,
+    )
+
+    path = str(tmp_path / "store")
+    ts0 = datetime.datetime(2024, 1, 1)
+    writer_a = ParquetUpsertStore(
+        spark, path, key="item_name", ts_col="ingestion_ts", n_buckets=4
+    )
+    writer_a.merge(
+        spark.createDataFrame(
+            [(f"item{i}", ts0, "v1") for i in range(8)],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+
+    # Writer B reads the base manifest BEFORE writer A commits on top of it
+    # (the race interleaving, made deterministic by pinning B's view).
+    writer_b = ParquetUpsertStore(
+        spark, path, key="item_name", ts_col="ingestion_ts", n_buckets=4
+    )
+    stale = writer_a._current_manifest()
+    writer_b._current_manifest = lambda: stale
+
+    # A wins version 2 with a full rewrite of every row.
+    writer_a.merge(
+        spark.createDataFrame(
+            [(f"item{i}", ts0 + datetime.timedelta(hours=1), "winner") for i in range(8)],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+    # B raced to the same version: its data is written and renamed, then the
+    # commit must lose loudly...
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        writer_b.merge(
+            spark.createDataFrame(
+                [(f"item{i}", ts0 + datetime.timedelta(hours=2), "loser") for i in range(8)],
+                "item_name string, ingestion_ts timestamp, data string",
+            )
+        )
+    # ...and the WINNER's committed data must be exactly what readers see:
+    # every manifest-referenced dir still exists and every row reads "winner".
+    import os
+
+    _, buckets = writer_a._current_manifest()
+    for d in buckets.values():
+        assert os.path.isdir(os.path.join(path, "data", d)), f"committed dir {d} was clobbered"
+    rows = writer_a.read().collect()
+    assert {r.data for r in rows} == {"winner"}
+    assert len(rows) == 8
+    # The loser's attempt-unique dirs are gone (cleaned on the spot or by GC).
+    _, live = writer_a._current_manifest()
+    on_disk = set(os.listdir(os.path.join(path, "data")))
+    assert set(live.values()) <= on_disk
+    assert not any(d.startswith(".stage-") for d in on_disk)
+
+
+def test_upsert_store_change_feed_catches_equal_ts_value_change(spark, tmp_path):
+    """ADVICE r2: an upsert that changes values but carries an EQUAL
+    timestamp was classified 'unchanged' (ts-only, null-unsafe compare) and
+    silently dropped from the CDF. The feed now compares the full pre/post
+    structs null-safely: whenever the stored row actually changed, the feed
+    says 'update'; when the old row survived LWW, the feed stays silent."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="item_name", ts_col="ingestion_ts",
+        n_buckets=2,
+    )
+    ts0 = datetime.datetime(2024, 1, 1)
+    store.merge(
+        spark.createDataFrame(
+            [("a", ts0, "old")],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+    # Same key, SAME timestamp, different payload — the LWW row_number tie
+    # is nondeterministic, so assert feed ⇔ stored-state consistency.
+    store.merge(
+        spark.createDataFrame(
+            [("a", ts0, "new")],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+    stored = store.read().collect()[0].data
+    feed = store.changes(1, 2)
+    if stored == "new":
+        rows = feed.collect()
+        assert len(rows) == 1
+        assert rows[0].change_type == "update"
+        assert rows[0].pre_image.data == "old"
+    else:
+        assert feed is None or feed.count() == 0
+
+
+def test_upsert_store_change_feed_from_version_zero(spark, tmp_path):
+    """ADVICE r2: changes(0, 1) must diff the first commit against the
+    empty pre-commit store (pure inserts), not raise FileNotFoundError."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="item_name", ts_col="ingestion_ts",
+        n_buckets=4,
+    )
+    ts0 = datetime.datetime(2024, 1, 1)
+    store.merge(
+        spark.createDataFrame(
+            [(f"item{i}", ts0, "v1") for i in range(5)],
+            "item_name string, ingestion_ts timestamp, data string",
+        )
+    )
+    feed = store.changes(0, 1).collect()
+    assert len(feed) == 5
+    assert {r.change_type for r in feed} == {"insert"}
+    assert all(r.pre_image is None for r in feed)
+    # read(version=0) is the same empty snapshot changes() diffs against.
+    assert store.read(version=0) is None
+
+
+def test_events_schema_probe_raises_descriptive_error(tmp_path):
+    """ADVICE r2: an events.parquet directory with no part files must raise
+    a descriptive FileNotFoundError, not a bare IndexError."""
+    import os
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.ingest import (
+        _events_file_schema,
+    )
+
+    os.makedirs(tmp_path / "events.parquet")
+    with pytest.raises(FileNotFoundError, match="no parquet part files"):
+        _events_file_schema(str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="not found"):
+        _events_file_schema(str(tmp_path / "missing_dir"))
