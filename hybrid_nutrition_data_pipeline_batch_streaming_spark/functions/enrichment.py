@@ -124,6 +124,82 @@ def nutrition_lookup_stub(names: pd.Series) -> pd.Series:
     return names.map(payload)
 
 
+def http_nutrition_lookup(
+    base_url: str,
+    timeout_s: float = 10.0,
+    retries: int = 2,
+    param: str = "query",
+):
+    """A REAL-protocol lookup for ``enrich_from_api`` — the operational half
+    of the reference's consumer call (`consumer/consume_items.py:66-80`),
+    with its exact failure semantics, over actual sockets:
+
+    - per-request timeout (the reference's ``timeout=10``,
+      `consume_items.py:71`) — a hung upstream can't wedge the executor;
+    - non-200 → the row's ``data`` becomes None (dropped by the pipeline's
+      empty-filter, P3), exactly the reference's status check
+      (`consume_items.py:73-77`) — the server answered, so no retry;
+    - timeout / connection errors → bounded retry (the reference producer's
+      ≤5-attempt loop, `produce_items.py:53-56`), then None;
+    - any single row's failure NEVER kills the stage — the rest of the
+      Arrow batch still enriches (T8 error-row-skip, at the HTTP boundary).
+
+    One ``HTTPConnection`` is reused across a batch (keep-alive), re-opened
+    on error. The returned callable is picklable and runs executor-side:
+    each Arrow batch does its own socket I/O, so throughput scales with
+    partitions — the design the deterministic stub stands in for.
+    """
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(base_url)
+    host, port = parts.hostname, parts.port
+    path_prefix = parts.path.rstrip("/")
+
+    def lookup(names: pd.Series) -> pd.Series:
+        import http.client
+        from urllib.parse import quote
+
+        conn: http.client.HTTPConnection | None = None
+
+        def close():
+            nonlocal conn
+            if conn is not None:
+                try:
+                    conn.close()
+                finally:
+                    conn = None
+
+        def fetch_once(name: str) -> str | None:
+            """One request. Returns payload, None for a definitive
+            non-200 answer, raises on transport errors (retryable)."""
+            nonlocal conn
+            if conn is None:
+                conn = http.client.HTTPConnection(host, port, timeout=timeout_s)
+            conn.request("GET", f"{path_prefix}?{param}={quote(name)}")
+            resp = conn.getresponse()
+            body = resp.read()  # always drain so the connection is reusable
+            if resp.status != 200:
+                return None
+            return body.decode("utf-8")
+
+        def fetch(name: str) -> str | None:
+            for attempt in range(retries + 1):
+                try:
+                    return fetch_once(name)
+                except Exception:
+                    close()  # stale/broken socket — next attempt reconnects
+                    if attempt == retries:
+                        return None
+            return None
+
+        try:
+            return names.map(fetch)
+        finally:
+            close()
+
+    return lookup
+
+
 def enrich_from_api(df, name_col: str = "item_name", lookup=nutrition_lookup_stub):
     """mapInPandas-style enrichment: one HTTP-batch per Arrow batch.
 
