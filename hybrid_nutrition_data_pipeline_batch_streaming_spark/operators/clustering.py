@@ -11,7 +11,9 @@ Engineering notes (the two levers that make the loop production-shaped):
 - per-dimension DECIMAL(25,12) accumulation makes the mean exact and
   order-independent — partial aggregation under any partitioning yields the
   identical centroid, so training is reproducible and resumable;
-- every round's centroids are localCheckpoint'ed: an iterative loop
+- every round's centroids get a lineage cut (checkpoint_truncate —
+  reliable checkpoint() when a checkpoint dir is configured, else
+  localCheckpoint): an iterative loop
   re-submits its lineage to Catalyst on every action, and without
   truncation each round pays driver-side re-analysis of all prior rounds
   (see plans/graph.py for the measured pathology).
@@ -21,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..session import checkpoint_truncate
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -92,8 +96,8 @@ def kmeans_train(
                 F.array(*[F.col(f"m{d}") for d in range(dims)]).alias("ce"),
             )
             .withColumn("cn", _norm(F.col("ce")))
-            .localCheckpoint()  # truncate per-round lineage (see module doc)
         )
+        cent = checkpoint_truncate(cent)  # per-round lineage cut (module doc)
     return assign_against(cent), cent
 
 

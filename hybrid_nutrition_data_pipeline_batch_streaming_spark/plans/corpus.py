@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Catalog
+from ..session import checkpoint_truncate
 from .registry import query
 from .dedup import _SHINGLES_SQL, _MINHASH_SIG_SQL, banded_minhash_pairs
 from .graph import connected_components
@@ -181,14 +182,14 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", "source", "text", "n_tok")
-        # localCheckpoint, not persist: k feeds pair generation, component
+        # Lineage cut, not persist: k feeds pair generation, component
         # seeding, AND packing, and the CC loop downstream issues an action
         # per round — each would re-run Catalyst over the very large gate
         # expression trees above (~40 marker counters). Truncating lineage
         # here cut the composed pipeline's driver-side analysis from seconds
         # per action to milliseconds (see plans/graph.py for the same note).
-        .localCheckpoint()
     )
+    k = checkpoint_truncate(k)
 
     # Stage 4: near-dup clusters over survivors; keep each cluster's min id.
     edges = banded_minhash_pairs(k).select("doc_a", "doc_b")

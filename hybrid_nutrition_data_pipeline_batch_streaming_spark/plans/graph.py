@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..session import checkpoint_truncate
 from .registry import ORACLE, query
 from .dedup import dedup_minhash_banded
 
@@ -43,7 +44,7 @@ def connected_components(
     """(doc_id, cluster_rep): min doc_id reachable from each node over the
     undirected edge set. ``nodes`` must have column doc_id; ``edges``
     columns doc_a/doc_b."""
-    # localCheckpoint (not persist): pair generation sits on a DEEP plan
+    # Lineage cut (not persist): pair generation sits on a DEEP plan
     # (shingling → minhash → band joins → Jaccard verify, itself over gated
     # inputs), and an iterative loop re-submits its lineage to Catalyst on
     # EVERY action. Caching dodges re-execution but not re-analysis — with
@@ -55,20 +56,21 @@ def connected_components(
     und = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    und = und.localCheckpoint()
+    und = checkpoint_truncate(und)
     # Only edge-touched nodes can ever change label — every other node is a
     # fixpoint at round 0. Iterate over the edge subgraph (near-dup graphs
     # are a sliver of the corpus at any scale) and union the untouched
     # nodes back as self-labeled singletons at the end.
-    edge_nodes = und.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
+    edge_nodes = checkpoint_truncate(
+        und.select(F.col("src").alias("doc_id")).distinct()
+    )
     singletons = nodes.select("doc_id").join(
         edge_nodes, "doc_id", "left_anti"
     ).select("doc_id", F.col("doc_id").alias("label"))
-    labels = (
+    labels = checkpoint_truncate(
         nodes.select("doc_id")
         .join(edge_nodes, "doc_id", "left_semi")
         .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
     )
     # Min-label propagation only ever DECREASES labels, so the label sum
     # strictly decreases until the fixpoint — comparing sums is a complete
@@ -82,9 +84,9 @@ def connected_components(
         prop = und.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
+        new_labels = checkpoint_truncate(
             labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        )
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
@@ -187,7 +189,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IEEE-double PageRank diverges across engines in the low bits and is
     the classic irreproducibility trap at cluster scale).
 
-    Plan shape: the degree-annotated edge list is localCheckpoint'd once
+    Plan shape: the degree-annotated edge list is lineage-cut once
     and re-joined per round; with a FIXED round count there are no
     per-round convergence actions, so all rounds compose into ONE
     lazy plan — per-round shuffles are equi-joins and groupBy-sums on the
@@ -207,14 +209,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
-        .localCheckpoint()
     )
+    edges = checkpoint_truncate(edges)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
-    und_deg = und.join(deg, "src").localCheckpoint()
-    nodes = und_deg.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    und_deg = checkpoint_truncate(und.join(deg, "src"))
+    nodes = checkpoint_truncate(
+        und_deg.select(F.col("src").alias("node")).distinct()
+    )
     n = nodes.count()  # scalar graph size — bounded, not a data collect
 
     base = (15 * PR_SCALE) // (100 * n)

@@ -117,17 +117,43 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_stratified")
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ((strpos('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1
+          < CASE WHEN lang = 'en' THEN 204 ELSE 2048 END
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling by language (`sampleBy`): per-stratum keep rates —
-    the rebalancing step of corpus curation (e.g. downsample English,
-    keep all low-resource languages)."""
+    """Stratified sampling by language (per-stratum keep rates — the
+    rebalancing step of corpus curation, e.g. downsample English ~5%, keep
+    half of everything else).
+
+    Expressed as a POLICY, not an enumeration: the keep rate is a column
+    expression over the stratum, decided row-side against a deterministic
+    md5 draw — the `sampleBy` semantics with no driver-side
+    `distinct().collect()` to enumerate strata first (a data-dependent
+    table scan in the query path, flagged in VERDICT r2). Unseen languages
+    at any scale just take the default rate, and the md5 gate makes the
+    sample a pure function of doc_id — reproducible across engines, which
+    also upgrades this query from rows-only to oracle-backed. Map-only:
+    the gate evaluates in the scan stage, no shuffle, no RNG state."""
     cat = Catalog(spark, sf_dir)
-    langs = [r.lang for r in cat.documents.select("lang").distinct().collect()]
-    fractions = {lang: (0.05 if lang == "en" else 0.5) for lang in langs}
-    return cat.documents.sampleBy("lang", fractions, seed=42).select(
-        "doc_id", "lang", "n_chars"
-    )
+    # First 3 md5 hex digits of 'strat:'||doc_id = a uniform draw in
+    # [0, 4096); keep when draw < rate·4096 (en: 204/4096 ≈ 5%, else 50%).
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 3
+        ),
+        16,
+        10,
+    ).cast("int")
+    rate = F.when(F.col("lang") == "en", F.lit(204)).otherwise(F.lit(2048))
+    return cat.documents.where(draw < rate).select("doc_id", "lang", "n_chars")
 
 
 @query("agg_approx_percentile")

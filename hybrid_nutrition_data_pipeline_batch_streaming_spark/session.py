@@ -90,6 +90,32 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def checkpoint_truncate(df):
+    """Truncate a DataFrame's lineage for iterative loops — the one conf
+    switch between dev-grade and cluster-grade checkpointing.
+
+    Iterative operators (connected components, multi-round k-means,
+    corpus-build fan-out) MUST cut their lineage per round: Catalyst
+    re-analyzes the full plan on every action, and caching dodges
+    re-execution but not re-analysis (measured 2-4.5 s/round uncut at
+    sf0.1 — see plans/graph.py). Two ways to cut it:
+
+    - ``sc.setCheckpointDir(...)`` configured → reliable ``checkpoint()``:
+      blocks are written to the fault-tolerant dir (HDFS/object store on a
+      cluster), so a lost executor replays from the checkpoint instead of
+      from the start of the loop — the production setting;
+    - no checkpoint dir → ``localCheckpoint()``: blocks stay in executor
+      storage (fast, but lost-executor = recompute-from-scratch) — the
+      right default for local/test runs.
+
+    One call site, flipped by session configuration, never by code edits.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def ensure_runtime_conf(spark: SparkSession) -> None:
     """Apply runtime-settable engine configs to a foreign session.
 

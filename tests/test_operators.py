@@ -320,3 +320,42 @@ def test_pq_rerank_recall_vs_exact(spark):
     }
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.6, f"PQ re-rank recall regressed: {recall}"
+
+
+def test_checkpoint_truncate_flips_to_reliable_with_conf(spark, tmp_path):
+    """VERDICT r2 item 6: ONE session conf (sc.setCheckpointDir) must flip
+    every iterative lineage cut from localCheckpoint (dev) to reliable
+    checkpoint() (cluster fault tolerance) — no code edits. Proven on the
+    connected-components loop: with a checkpoint dir set, the loop writes
+    real checkpoint files there and still converges to the right clusters."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.graph import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # engine default: localCheckpoint
+    ckpt = str(tmp_path / "reliable")
+    sc.setCheckpointDir(ckpt)
+    try:
+        nodes = spark.range(8).select(F.col("id").alias("doc_id"))
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+        )
+        labels = {
+            r.doc_id: r.cluster_rep
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert labels == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+        # The cuts went to the RELIABLE dir (checkpoint(), not local blocks).
+        written = [
+            f for root, _, fs in os.walk(ckpt) for f in fs if f.startswith("part-")
+        ]
+        assert written, "no checkpoint files written under the configured dir"
+    finally:
+        # Restore the no-dir default so later tests keep localCheckpoint.
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
