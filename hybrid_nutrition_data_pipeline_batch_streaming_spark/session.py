@@ -87,7 +87,24 @@ def get_spark(
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _apply_checkpoint_dir(spark)
+    return spark
+
+
+def _apply_checkpoint_dir(spark: SparkSession) -> None:
+    """Honor SPARK_GRAFT_CHECKPOINT_DIR: when set, iterative lineage cuts
+    (checkpoint_truncate) become RELIABLE checkpoints to this directory.
+
+    Measured motivation (M=100 scale study, NOTES.md): localCheckpoint
+    stores its blocks in the executor storage pool, and at 120 M edge rows
+    on an 8 g heap that pool squeezes execution until hash aggregation
+    can't acquire pages (AGGREGATE_OUT_OF_MEMORY); the same plan with a
+    reliable on-disk checkpoint dir completes. On a cluster, point this at
+    HDFS/object storage."""
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt)
 
 
 def checkpoint_truncate(df):
@@ -130,3 +147,4 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
             # have explicit fallbacks for the load-bearing ones.
             pass
     _size_shuffle_partitions(spark)
+    _apply_checkpoint_dir(spark)

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Generate scale-study fixtures: the sf0.1 tables' shape at M× the rows.
+
+Usage:  python tools/make_scale_data.py M OUTDIR  (e.g. 10 /tmp/scale_m10)
+
+The driver's testdata stops at sf0.1; substantiating the "same plan holds at
+10× / 100×" claims needs bigger inputs (VERDICT r2 item 3). This generator
+reproduces the sf0.1 tables' schemas, cardinality ratios and value
+distributions at a chosen multiplier, deterministically (every value is a
+pure function of the row id via xxhash64/md5 — no RNG state, identical
+bytes on regeneration), and entirely JVM-side (spark.range + column
+expressions, no Python in the loop) so generating M=10 takes seconds.
+
+Only the tables the heavy-five scale queries read are produced:
+  documents  (5 000·M)  — vocab word-salad text, ~5% near-dup pairs
+                          (one-token edit of the previous doc), lang/source
+                          distributions like the fixtures
+  embeddings (2 000·M)  — 64-dim float vectors with 10 planted clusters
+  orders     (150 000·M), lineitem (600 000·M) — the pagerank edge source
+  part       (20 000·M) — synth_items_raw's base for the nutrition e2e
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan a hash "
+    "slow group agg filter query big key window row table stream join shuffle "
+    "plan stage task broadcast"
+).split()
+
+LANGS = ["en", "zh", "es", "de", "fr"]  # ~44% en, rest ~even (fixture shape)
+
+
+def _h(*cols):
+    return F.xxhash64(*cols)
+
+
+def _pm(col, n):
+    return F.pmod(col, F.lit(n))
+
+
+def gen_documents(spark, m, out):
+    n = 5000 * m
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    # ~5% near-dups: doc_id % 20 == 7 re-generates the PREVIOUS doc's token
+    # stream with one token substituted — a one-edit near-duplicate pair,
+    # the structure the minhash/simhash/CC operators exist to find.
+    is_dup = _pm(F.col("doc_id"), 20) == 7
+    seed = F.when(is_dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    n_tok = (_pm(_h(seed, F.lit(0)), 60) + 15).cast("int")  # 15..74 tokens
+    tok = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: F.when(is_dup & (i == 2), F.lit("dupedit")).otherwise(
+            F.element_at(vocab, (_pm(_h(seed, i), len(VOCAB)) + 1).cast("int"))
+        ),
+    )
+    lang_draw = _pm(_h(F.col("doc_id"), F.lit(1)), 100)
+    lang = (
+        F.when(lang_draw < 44, F.lit("en"))
+        .when(lang_draw < 58, F.lit("zh"))
+        .when(lang_draw < 72, F.lit("es"))
+        .when(lang_draw < 86, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    (
+        df.select(
+            "doc_id",
+            F.array_join(tok, " ").alias("text"),
+            lang.alias("lang"),
+            F.concat(F.lit("src"), _pm(_h(F.col("doc_id"), F.lit(2)), 18)).alias(
+                "source"
+            ),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+
+
+def gen_embeddings(spark, m, out):
+    n = 2000 * m
+    df = spark.range(n).withColumnRenamed("id", "vec_id")
+    label = _pm(_h(F.col("vec_id"), F.lit(3)), 10).cast("int")
+    # centroid(label, d) in [-1, 1] plus per-vector noise at 0.4 amplitude:
+    # 10 separable clusters, the geometry k-means/IVF training expects.
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: (
+            (_pm(_h(label, d), 2001) - 1000) / 1000.0
+            + ((_pm(_h(F.col("vec_id"), d), 2001) - 1000) / 1000.0) * 0.4
+        ).cast("float"),
+    )
+    df.select("vec_id", emb.alias("embedding"), label.alias("label")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "embeddings.parquet"))
+
+
+def gen_graph_tables(spark, m, out):
+    n_ord, n_li = 150_000 * m, 600_000 * m
+    n_cust, n_supp = 15_000 * m, 1_000 * m
+    (
+        spark.range(n_ord)
+        .select(
+            F.col("id").alias("o_orderkey"),
+            _pm(_h(F.col("id"), F.lit(4)), n_cust).alias("o_custkey"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "orders.parquet"))
+    )
+    (
+        spark.range(n_li)
+        .select(
+            _pm(F.col("id"), n_ord).alias("l_orderkey"),
+            _pm(_h(F.col("id"), F.lit(5)), n_supp).alias("l_suppkey"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "lineitem.parquet"))
+    )
+
+
+def gen_part(spark, m, out):
+    n = 20_000 * m
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    name = F.concat_ws(
+        " ",
+        F.element_at(vocab, (_pm(_h(F.col("id"), F.lit(6)), len(VOCAB)) + 1).cast("int")),
+        F.element_at(vocab, (_pm(_h(F.col("id"), F.lit(7)), len(VOCAB)) + 1).cast("int")),
+    )
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("p_partkey"),
+            name.alias("p_name"),
+            F.lit("BrandX").alias("p_brand"),
+            F.lit("TYPE").alias("p_type"),
+            (_pm(_h(F.col("id"), F.lit(8)), 50) + 1).cast("int").alias("p_size"),
+            (900.0 + _pm(_h(F.col("id"), F.lit(9)), 110000) / 100.0).alias(
+                "p_retailprice"
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "part.parquet"))
+    )
+
+
+def main():
+    m = int(sys.argv[1])
+    out = sys.argv[2]
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .appName(f"make-scale-data-m{m}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    gen_documents(spark, m, out)
+    gen_embeddings(spark, m, out)
+    gen_graph_tables(spark, m, out)
+    gen_part(spark, m, out)
+    print(f"wrote M={m} tables to {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Scale study (VERDICT r2 item 3): time the heaviest queries at M=1 vs
+M=10 generated data (tools/make_scale_data.py) and report the wall-time
+growth ratio. A plan whose cost is dominated by per-row work should grow
+≲linearly (ratio ≲ 10 on 10× rows, usually well under on local[32] where
+small runs are overhead-bound); anything super-linear names a stage to fix.
+
+Usage: python tools/scale_bench.py [m1_dir m10_dir]
+Prints one JSON line: {"queries": {name: {"m1": s, "m10": s, "ratio": r}}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    "graph_pagerank",
+    "pipeline_corpus_build",
+    "kmeans_refine",
+    "dedup_keep_best",
+    "pipeline_nutrition_e2e",
+]
+
+
+def main():
+    m1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_m1"
+    m10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_m10"
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.session import get_spark
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+
+    spark = get_spark("scale-bench")
+    out = {}
+    for name in HEAVY:
+        fn = plans.QUERIES[name]
+        times = {}
+        for label, d in (("m1", m1), ("m10", m10)):
+            best = float("inf")
+            for _ in range(2):  # best-of-2: first run pays JIT/readahead
+                t0 = time.perf_counter()
+                n = fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            times[label] = round(best, 3)
+            times[f"{label}_rows"] = n
+        times["ratio"] = round(times["m10"] / times["m1"], 2)
+        out[name] = times
+        print(f"  {name}: m1={times['m1']}s m10={times['m10']}s "
+              f"ratio={times['ratio']} rows {times['m1_rows']}→{times['m10_rows']}",
+              file=sys.stderr)
+    print(json.dumps({"queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
