@@ -319,6 +319,49 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_quota_split",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS pick_rank
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(pick_rank AS BIGINT) AS pick_rank,
+           (pick_rank <= CASE WHEN lang = 'en' THEN 60 ELSE 80 END)
+               AS selected
+    FROM ranked
+    """,
+)
+def corpus_quota_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-stratum quotas (vs sample_stratified's per-row keep
+    rates): take precisely N docs per language — the contract dataset
+    builds actually publish ("60 k English, 80 k per low-resource
+    language"), where fractional sampling only lands near the target.
+    Each doc is ranked within its language by a seeded md5 draw (pure
+    function of doc_id — reproducible, resumable, no RNG state) and
+    selected iff its rank is inside the language's quota.
+
+    One shuffle (the per-language window). Skew note for 100 TB: the
+    dominant language's partition is the straggler; the production form
+    pre-filters with an approximate per-lang threshold on the md5 key
+    (computed from counts) so the exact window only ranks ~quota + ε rows
+    per language, not the full corpus."""
+    cat = Catalog(spark, sf_dir)
+    draw = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(draw, F.col("doc_id"))
+    quota = F.when(F.col("lang") == "en", F.lit(60)).otherwise(F.lit(80))
+    return cat.documents.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("long").alias("pick_rank"),
+        (F.row_number().over(w) <= quota).alias("selected"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------

@@ -160,6 +160,102 @@ def ngram_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "perplexity_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ), bi AS (
+        SELECT doc_id, i AS pos, ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+        WHERE len(ts) >= 2
+    ), cnts AS (
+        SELECT w1, w2, COUNT(*) AS cnt FROM bi GROUP BY 1, 2
+    ), probs AS (
+        SELECT w1, w2,
+               CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY w1) AS p
+        FROM cnts
+    ), folded AS (
+        SELECT b.doc_id,
+               COUNT(*) AS n_bigrams,
+               list_reduce(list_prepend(0.0, list(pr.p ORDER BY b.pos)),
+                           (a, x) -> a + x) AS p_sum
+        FROM bi b JOIN probs pr ON b.w1 = pr.w1 AND b.w2 = pr.w2
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           p_sum / n_bigrams AS lm_score,
+           (p_sum / n_bigrams >= 0.05) AS keep
+    FROM folded
+    """,
+)
+def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality gating (the C4/CCNet perplexity-filter pattern):
+    train the bigram LM on the corpus itself, score every document by its
+    mean bigram probability under that LM, and gate on the score —
+    low-likelihood docs are the gibberish/boilerplate a pretraining
+    pipeline drops. Two shuffles build the LM (bigram groupBy + w1
+    window); scoring is one broadcast-ready equi-join of doc bigrams
+    against the prob table and one per-doc aggregation.
+
+    Float-parity discipline: a per-doc SUM of doubles is
+    summation-order-dependent, so both engines fold the probabilities in
+    POSITION order (collect → sort by pos → left fold) — bit-identical,
+    like the mm_decode_stats byte moments. The probability itself is one
+    IEEE division of exact integer counts. At 100 TB the prob table is
+    ~vocab² rows (tiny vs the corpus) — broadcast it; per-doc state is
+    bounded by document length."""
+    cat = Catalog(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != F.lit("")
+    )
+    docs = cat.documents.select("doc_id", toks.alias("ts")).where(F.size("ts") >= 2)
+    bi = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pos", "z"),
+    ).select("doc_id", "pos", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    cnts = bi.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    probs = cnts.select(
+        "w1",
+        "w2",
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(Window.partitionBy("w1"))
+        ).alias("p"),
+    )
+    folded = (
+        bi.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                    lambda s: s["p"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("p_sum"),
+        )
+    )
+    score = F.col("p_sum") / F.col("n_bigrams")
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        score.alias("lm_score"),
+        (score >= 0.05).alias("keep"),
+    )
+
+
+@query(
     "agg_incremental_merge",
     oracle="""
     SELECT o_orderpriority,

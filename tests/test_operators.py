@@ -359,3 +359,37 @@ def test_checkpoint_truncate_flips_to_reliable_with_conf(spark, tmp_path):
         # Restore the no-dir default so later tests keep localCheckpoint.
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
         assert sc.getCheckpointDir() is None
+
+
+def test_perplexity_filter_contract(spark):
+    """LM scores are mean probabilities in (0, 1]; the gate is exactly
+    score >= threshold; every scoreable doc (>= 2 alpha tokens) is scored."""
+    rows = plans.QUERIES["perplexity_filter"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(rows) <= n_docs
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert 0.0 < r.lm_score <= 1.0  # mean of conditional probabilities
+        assert r.keep == (r.lm_score >= 0.05)
+    # The corpus-trained LM must separate: not everything on one side.
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept  # and typically < len(rows); gate position is data-shaped
+
+
+def test_corpus_quota_split_exact_quotas(spark):
+    """Selected counts hit the quota EXACTLY wherever the stratum has
+    enough docs (min(quota, stratum size) otherwise), and pick_rank is a
+    1..n permutation per language — the property fractional sampling
+    can't give."""
+    rows = plans.QUERIES["corpus_quota_split"](spark, SF).collect()
+    full = {}
+    for r in rows:
+        full.setdefault(r.lang, []).append(r)
+    for lang, rs in full.items():
+        quota = 60 if lang == "en" else 80
+        assert sum(r.selected for r in rs) == min(quota, len(rs))
+        assert sorted(r.pick_rank for r in rs) == list(range(1, len(rs) + 1))
+        # Selection = exactly the quota-smallest ranks.
+        assert {r.pick_rank for r in rs if r.selected} == set(
+            range(1, min(quota, len(rs)) + 1)
+        )
