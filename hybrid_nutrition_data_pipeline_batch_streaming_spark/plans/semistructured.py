@@ -125,6 +125,39 @@ def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_extract",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+           json_extract_string(props, '$.tag') AS tag,
+           (json_extract_string(props, '$.tag') IS NOT NULL) AS has_tag
+    FROM events
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type (the lakehouse
+    answer to the reference's JSON-in-a-string raw layer, §1.1): parse
+    once with `parse_json`, then typed `try_variant_get` extractions —
+    missing paths and type mismatches yield NULL, the reference's
+    defensive `.get` semantics. VARIANT's binary encoding makes repeated
+    path access cheaper than re-parsing the string per expression, the
+    right storage shape for a 100 TB raw layer; the VARIANT column itself
+    stays internal (extractions project to ordinary types), so the plan
+    ends schema-stable."""
+    cat = Catalog(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    tag = F.try_variant_get(v, "$.tag", "string")
+    return cat.events.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.k", "double").alias("k_dbl"),
+        tag.alias("tag"),
+        tag.isNotNull().alias("has_tag"),
+    )
+
+
+@query(
     "cast_defaults",
     oracle="""
     SELECT event_id,

@@ -43,6 +43,79 @@ def json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Matches nutrition.synth_items_raw's payload arithmetic so the oracle can
+#: reproduce every emitted element from `part` alone.
+_UDTF_ORACLE = """
+    WITH base AS (
+        SELECT p_name || ' #' || p_partkey AS item_name, p_partkey,
+               CAST(CAST(p_retailprice / 2 AS DECIMAL(10,1)) AS DOUBLE) AS cal0,
+               CAST(CAST(p_retailprice / 2 + 10 AS DECIMAL(10,1)) AS DOUBLE) AS cal_dup,
+               CASE WHEN p_partkey % 5 = 0 THEN 2 ELSE 1 END AS n_elems
+        FROM part
+    )
+    SELECT item_name, 0 AS elem_idx, item_name AS name, cal0 AS calories,
+           n_elems
+    FROM base WHERE p_partkey % 50 <> 3
+    UNION ALL
+    SELECT item_name, 1, 'bogus', 1.0, 2
+    FROM base WHERE p_partkey % 50 <> 3 AND p_partkey % 5 = 0
+    UNION ALL
+    SELECT item_name, 0, item_name, cal_dup, n_elems
+    FROM base WHERE p_partkey % 20 = 0
+    UNION ALL
+    SELECT item_name, 1, 'bogus', 1.0, 2
+    FROM base WHERE p_partkey % 20 = 0
+"""
+
+
+@query("udtf_expand_items", oracle=_UDTF_ORACLE)
+def udtf_expand_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record expansion as a REAL Python UDTF (U3 via Spark 4's table
+    function API, not the from_json shortcut): one raw items_raw row →
+    one output row per JSON array ELEMENT, with the reference's
+    try/except row-skip (`pipeline.py:27-30`) living inside the UDTF —
+    malformed JSON yields zero rows instead of killing the stage, and the
+    %5==0 two-element arrays show the 1→N shape from_json+element_at
+    cannot (it takes [0] only). Arrow-optimized; applied with LATERAL so
+    expansion runs scan-side, partition-parallel. The oracle rebuilds
+    every expected element from `part` — the UDTF's parse is
+    value-checked, not just counted."""
+    from pyspark.sql.functions import udtf
+
+    from .nutrition import synth_items_raw
+
+    @udtf(
+        returnType="elem_idx int, name string, calories double, n_elems int",
+        useArrow=True,
+    )
+    class ExpandItems:
+        def eval(self, data: str):
+            import json
+
+            try:
+                arr = json.loads(data)
+            except Exception:
+                return  # reference row-skip: malformed input drops quietly
+            if not isinstance(arr, list):
+                return
+            for i, el in enumerate(arr):
+                yield (
+                    i,
+                    str(el.get("name", "")),
+                    float(el.get("calories", 0.0)),
+                    len(arr),
+                )
+
+    spark.udtf.register("expand_items", ExpandItems)
+    raw = synth_items_raw(spark, sf_dir)
+    view = "items_raw_for_udtf"
+    raw.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT r.item_name, t.elem_idx, t.name, t.calories, t.n_elems "
+        f"FROM {view} r, LATERAL expand_items(r.data) t"
+    )
+
+
 @query("agg_approx_distinct")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (A5 at scale: the exact distinct

@@ -393,3 +393,35 @@ def test_corpus_quota_split_exact_quotas(spark):
         assert {r.pick_rank for r in rs if r.selected} == set(
             range(1, min(quota, len(rs)) + 1)
         )
+
+
+def test_udtf_expand_skips_malformed_and_expands_arrays(spark):
+    """The Python UDTF must emit one row per JSON array element and emit
+    ZERO rows (not an error) for malformed input — the reference's
+    try/except row-skip living inside the table function."""
+    rows = plans.QUERIES["udtf_expand_items"](spark, SF).collect()
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r.item_name, []).append(r)
+    # %50==3 partkeys (malformed JSON) contribute no rows at all: every
+    # emitted item parses, so every row has a well-formed name + calories.
+    assert rows and all(r.name and r.calories >= 0 for r in rows)
+    # Two-element arrays expand to idx 0 and 1, with the bogus tail element
+    # surfaced (the 1→N shape element_at(data, 1) cannot produce).
+    multi = [rs for rs in by_item.values() if any(r.elem_idx == 1 for r in rs)]
+    assert multi
+    for rs in multi:
+        assert {r.elem_idx for r in rs} >= {0, 1}
+        assert all(r.n_elems == 2 for r in rs if r.elem_idx == 1)
+        assert all(r.name == "bogus" and r.calories == 1.0 for r in rs if r.elem_idx == 1)
+
+
+def test_variant_extract_null_semantics(spark):
+    """try_variant_get: missing path → NULL (never error), typed reads
+    agree with each other."""
+    rows = plans.QUERIES["variant_extract"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.has_tag == (r.tag is not None)
+        if r.k is not None:
+            assert float(r.k) == r.k_dbl
