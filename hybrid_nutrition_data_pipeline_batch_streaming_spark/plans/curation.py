@@ -646,3 +646,139 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) == 1).cast("int").alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed-ngram target matching)
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature buckets for the importance model (first two hex digits of
+#: md5(token) — 256 buckets, portable to any SQL dialect).
+DSIR_BUCKETS = 256
+
+
+def _hex_u8_sql(expr: str) -> str:
+    """DuckDB: first 2 hex digits of md5(expr) as an int in [0, 256)."""
+    digit = "strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1"
+    d = [digit.format(e=expr, i=i + 1) for i in range(2)]
+    return f"(({d[0]}) * 16 + ({d[1]}))"
+
+
+@query(
+    "dsir_resample",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               {_hex_u8_sql('t')} AS b
+        FROM (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        )
+        WHERE t <> ''
+    ), raw AS (
+        SELECT b, COUNT(*) AS r_b FROM tok GROUP BY b
+    ), tgt AS (
+        SELECT b, COUNT(*) AS t_b FROM tok WHERE source = 'src0' GROUP BY b
+    ), tot AS (
+        SELECT (SELECT SUM(r_b) FROM raw) AS r_tot,
+               (SELECT COALESCE(SUM(t_b), 0) FROM tgt) AS t_tot
+    ), ev AS (
+        SELECT raw.b,
+               CAST((CAST(COALESCE(tgt.t_b, 0) + 1 AS HUGEINT)
+                         * (tot.r_tot + {DSIR_BUCKETS}) * 1000000)
+                    // (CAST(raw.r_b + 1 AS HUGEINT)
+                         * (tot.t_tot + {DSIR_BUCKETS})) AS BIGINT)
+                   AS e_ppm
+        FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot
+    ), perdoc AS (
+        SELECT tok.doc_id,
+               COUNT(*) AS n_tok,
+               CAST(SUM(ev.e_ppm) AS BIGINT) AS dsir_score_ppm,
+               CAST(SUM(ev.e_ppm) // COUNT(*) AS BIGINT) AS mean_evidence_ppm
+        FROM tok JOIN ev ON ev.b = tok.b
+        GROUP BY tok.doc_id
+    ), stats AS (
+        SELECT CAST(SUM(mean_evidence_ppm) AS HUGEINT) AS s_tot,
+               COUNT(*) AS n_docs
+        FROM perdoc
+    )
+    SELECT p.doc_id, p.n_tok, p.dsir_score_ppm, p.mean_evidence_ppm,
+           CAST(p.mean_evidence_ppm AS HUGEINT) * s.n_docs >= s.s_tot AS selected
+    FROM perdoc p CROSS JOIN stats s
+    """,
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023 —
+    north-star curation op): weight every raw document by how much its
+    hashed-token distribution looks like a TARGET domain (here source
+    'src0', standing in for "high-quality reference corpus"), then gate on
+    the weight. This is the standard recipe for skewing a 100 TB crawl
+    toward Wikipedia/books-like text without training a model.
+
+    Faithful-but-exact arithmetic: DSIR's log importance weight
+    Σ_b c_b·log(p̂_tgt(b)/p̂_raw(b)) needs ln(), which is not bit-identical
+    across engines; instead each token contributes its Laplace-smoothed
+    likelihood RATIO in ppm — e_b = (t_b+1)(R+B)·10⁶ div ((r_b+1)(T+B)) —
+    and documents aggregate the exact BIGINT sum (order-free, engine-stable).
+    The per-token ratio is the same sufficient statistic; the selection gate
+    keeps documents whose mean per-token evidence beats the CORPUS average
+    (compared as exact integers — mean·n_docs ≥ Σmeans — no float division),
+    with the deterministic md5 gate of `corpus_mix_sample` as the sampling
+    stage when quotas matter.
+
+    Scale shape: ONE token explode feeds both count tables; the bucket
+    tables are B=256 rows — broadcast back onto the token stream — and the
+    per-doc aggregation is one partial-agg shuffle on doc_id. No Python, no
+    driver collects, no all-pairs anything."""
+    cat = Catalog(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("t")), 1, 2), 16, 10).cast("int")
+    tok = (
+        cat.documents.select(
+            "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .select("doc_id", "source", bucket.alias("b"))
+        .persist()
+    )
+    raw = tok.groupBy("b").agg(F.count("*").alias("r_b"))
+    tgt = tok.where(F.col("source") == "src0").groupBy("b").agg(
+        F.count("*").alias("t_b")
+    )
+    tot = raw.agg(F.sum("r_b").alias("r_tot")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("t_b"), F.lit(0)).alias("t_tot"))
+    )
+    ev = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"cast(coalesce(t_b, 0) + 1 as decimal(38,0))"
+                f" * (r_tot + {DSIR_BUCKETS}) * 1000000"
+                f" div (cast(r_b + 1 as decimal(38,0)) * (t_tot + {DSIR_BUCKETS}))"
+            ).alias("e_ppm"),
+        )
+    )
+    perdoc = (
+        tok.join(F.broadcast(ev), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("e_ppm").alias("dsir_score_ppm"),
+            F.expr("sum(e_ppm) div count(*)").alias("mean_evidence_ppm"),
+        )
+    )
+    stats = perdoc.agg(
+        F.sum(F.col("mean_evidence_ppm").cast("decimal(38,0)")).alias("s_tot"),
+        F.count("*").alias("n_docs"),
+    )
+    return perdoc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "n_tok",
+        "dsir_score_ppm",
+        "mean_evidence_ppm",
+        (
+            F.col("mean_evidence_ppm").cast("decimal(38,0)") * F.col("n_docs")
+            >= F.col("s_tot")
+        ).alias("selected"),
+    )

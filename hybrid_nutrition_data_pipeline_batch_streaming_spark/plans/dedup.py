@@ -641,3 +641,185 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (duplicated-span fraction)
+# ---------------------------------------------------------------------------
+
+def _spans(text: Column) -> Column:
+    """POSITIONAL word 3-gram spans — `_shingles` without the distinct, so a
+    span repeated inside one document counts once per position (the unit the
+    duplicated-text fraction is defined over)."""
+    toks = F.split(text, " ")
+    n2 = F.greatest(F.size(toks) - 2, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n2), F.slice(toks, 2, n2),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return F.zip_with(
+        pairs, F.slice(toks, 3, n2), lambda xy, z: F.concat_ws(" ", xy, z)
+    )
+
+
+_SPANS_SQL = """
+    list_transform(
+        generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i + 1] || ' ' ||
+             string_split(text, ' ')[i + 2])
+"""
+
+
+@query(
+    "span_dedup",
+    oracle=f"""
+    WITH sp AS (
+        SELECT doc_id, unnest({_SPANS_SQL}) AS span FROM documents
+    ), nd AS (
+        SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM sp GROUP BY span
+    )
+    SELECT sp.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_spans,
+           CAST(SUM(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_frac
+    FROM sp JOIN nd ON nd.span = sp.span
+    GROUP BY sp.doc_id
+    """,
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (north-star dedup op): for every
+    document, the fraction of its positional word 3-gram spans that also
+    occur in at least one OTHER document — the distributed approximation of
+    suffix-array exact-substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): corpora are filtered on this
+    fraction rather than whole-document hashes, catching boilerplate and
+    quoted blocks whole-doc dedup misses.
+
+    Plan: explode positional spans once, ONE partial-aggregated groupBy on
+    the span key for the document-frequency table, join it back on the same
+    key (co-partitioned — AQE reuses the exchange), then a per-doc
+    conditional sum. dup_frac is one BIGINT/BIGINT→DOUBLE division, so the
+    value hash is engine-stable. Documents shorter than 3 tokens have no
+    spans and no row — stated contract.
+
+    Scale: both shuffles hash on the span string; the DF table is huge but
+    never collected — at 100 TB add a frequency cutoff (spans seen once can
+    be dropped map-side via a bloom filter built from a first pass) and
+    hash spans to 64-bit before the shuffle to cut key width."""
+    cat = Catalog(spark, sf_dir)
+    sp = cat.documents.select(
+        "doc_id", F.explode(_spans(F.col("text"))).alias("span")
+    )
+    nd = sp.groupBy("span").agg(F.count_distinct("doc_id").alias("ndocs"))
+    dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        sp.join(nd, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.alias("dup_spans"),
+            (dup.cast("double") / F.count("*")).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs an existing corpus index
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+    ), sig AS (
+        SELECT doc_id, shingles, {_MINHASH_SIG_SQL} FROM sh
+    ), newb AS (
+        SELECT * FROM sig WHERE doc_id % 4 = 0
+    ), seen AS (
+        SELECT * FROM sig WHERE doc_id % 4 <> 0
+    ), cand AS (
+        SELECT n.doc_id AS new_id, s.doc_id AS seen_id,
+               n.shingles AS sh_n, s.shingles AS sh_s
+        FROM newb n JOIN seen s ON n.mh0 = s.mh0 AND n.mh1 = s.mh1
+        UNION
+        SELECT n.doc_id AS new_id, s.doc_id AS seen_id,
+               n.shingles AS sh_n, s.shingles AS sh_s
+        FROM newb n JOIN seen s ON n.mh2 = s.mh2 AND n.mh3 = s.mh3
+    ), hits AS (
+        SELECT new_id, COUNT(*) AS n_dup_matches
+        FROM cand
+        WHERE CAST(len(list_intersect(sh_n, sh_s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sh_n, sh_s))) >= 0.5
+        GROUP BY new_id
+    )
+    SELECT n.doc_id,
+           COALESCE(h.n_dup_matches, 0) AS n_dup_matches,
+           COALESCE(h.n_dup_matches, 0) = 0 AS keep
+    FROM newb n LEFT JOIN hits h ON h.new_id = n.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (north-star at 100 TB): dedup a NEW ingest
+    batch against the ALREADY-CURATED corpus without rescanning corpus×corpus
+    — the shape every rolling pretraining-data build runs per snapshot. The
+    seen side's banded minhash signatures are the persistent index (here
+    recomputed from the fixture; in production a bucketed table written once
+    per snapshot); the new batch (doc_id % 4 = 0, a deterministic ~25%
+    stand-in for an arrival partition) probes ONLY band-bucket collisions —
+    two equi-joins of size O(new × bucket occupancy), never O(new × corpus).
+    Candidates union-distinct across bands, exact Jaccard ≥ 0.5 verifies, and
+    every new doc reports its match count with ``keep`` = no near-dup seen.
+
+    Same b=2×r=2 banding as `dedup_minhash_banded`; left join keeps
+    unmatched new docs (the common case) without a second scan."""
+    cat = Catalog(spark, sf_dir)
+    sig = (
+        cat.documents.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .withColumn("digests", F.transform(F.col("shingles"), F.md5))
+        .select(
+            "doc_id",
+            "shingles",
+            *[
+                _minhash(F.col("digests"), k).alias(f"mh{k}")
+                for k in range(N_MINHASHES)
+            ],
+        )
+        .persist()
+    )
+    newb = sig.where(F.col("doc_id") % 4 == 0)
+    seen = sig.where(F.col("doc_id") % 4 != 0)
+    cand = None
+    for cols in (("mh0", "mh1"), ("mh2", "mh3")):
+        n, s = newb.alias("n"), seen.alias("s")
+        cond = (F.col(f"n.{cols[0]}") == F.col(f"s.{cols[0]}")) & (
+            F.col(f"n.{cols[1]}") == F.col(f"s.{cols[1]}")
+        )
+        pairs = n.join(s, cond).select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("s.doc_id").alias("seen_id"),
+            F.col("n.shingles").alias("sh_n"),
+            F.col("s.shingles").alias("sh_s"),
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    jaccard = F.size(F.array_intersect("sh_n", "sh_s")).cast("double") / F.size(
+        F.array_union("sh_n", "sh_s")
+    )
+    hits = (
+        cand.dropDuplicates(["new_id", "seen_id"])
+        .where(jaccard >= 0.5)
+        .groupBy("new_id")
+        .agg(F.count("*").alias("n_dup_matches"))
+    )
+    return (
+        newb.select("doc_id")
+        .join(hits, newb.doc_id == hits.new_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_matches", F.lit(0)).alias("n_dup_matches"),
+            (F.coalesce("n_dup_matches", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -520,3 +520,100 @@ def embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "doc_id", *[(F.col(f"c{i}") / norm).alias(f"e{i}") for i in range(HASH_DIM)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (bigram PMI)
+# ---------------------------------------------------------------------------
+
+#: Minimum bigram count before a pair is scored — the standard PMI
+#: low-frequency guard (rare pairs otherwise dominate the ranking).
+PMI_MIN_COUNT = 5
+
+
+@query(
+    "collocation_pmi",
+    oracle=f"""
+    WITH bg AS (
+        SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2
+        FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i + 1])) AS b
+            FROM documents
+        )
+    ), cxy AS (
+        SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2
+    ), cx AS (
+        SELECT w1, SUM(c_xy) AS c_x FROM cxy GROUP BY w1
+    ), cy AS (
+        SELECT w2, SUM(c_xy) AS c_y FROM cxy GROUP BY w2
+    ), n AS (
+        SELECT SUM(c_xy) AS n_total FROM cxy
+    )
+    SELECT cxy.w1, cxy.w2, cxy.c_xy,
+           CAST((CAST(cxy.c_xy AS HUGEINT) * n.n_total * 1000000)
+                // (CAST(cx.c_x AS HUGEINT) * cy.c_y) AS BIGINT) AS pmi_ppm
+    FROM cxy
+    JOIN cx ON cx.w1 = cxy.w1
+    JOIN cy ON cy.w2 = cxy.w2
+    CROSS JOIN n
+    WHERE cxy.c_xy >= {PMI_MIN_COUNT}
+    ORDER BY pmi_ppm DESC, cxy.w1, cxy.w2
+    LIMIT 50
+    """,
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information (north-star text
+    op): score adjacent word pairs by how much more often they co-occur than
+    chance — the classic phrase-detection pass (Mikolov-style word2phrase)
+    a tokenizer-training corpus build runs before BPE.
+
+    PMI is computed as the exact integer ratio ``c_xy·N·10⁶ div (c_x·c_y)``
+    (parts-per-million of the independence baseline; the log is monotone, so
+    ranking in ratio space IS the PMI ranking) — integer arithmetic because
+    ln() is not bit-identical across engines while BIGINT division is.
+    Marginals come from the bigram table itself (c_x = Σ_y c_xy), so all
+    counts live in one stream: explode bigrams (zip-shifted slices, one
+    linear pass — the `_shingles` trick), ONE partial-aggregated groupBy for
+    c_xy, then two tiny re-aggregations over the distinct-bigram table for
+    the marginals and a scalar total.
+
+    Scale shape: the expensive shuffle is the c_xy groupBy (map-side
+    combine); the marginal tables are vocabulary-sized and broadcast back.
+    At 100 TB vocab outgrows broadcast → swap the two marginal joins to
+    sort-merge on w1/w2 (same plan text, drop the hint); products are
+    DECIMAL(38,0) so counts up to 10¹² stay exact."""
+    cat = Catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    bg = cat.documents.select(F.explode(bigrams).alias("b")).select(
+        F.split(F.col("b"), " ").getItem(0).alias("w1"),
+        F.split(F.col("b"), " ").getItem(1).alias("w2"),
+    )
+    cxy = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    cx = cxy.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    cy = cxy.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    n = cxy.agg(F.sum("c_xy").alias("n_total"))
+    return (
+        cxy.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(cx), "w1")
+        .join(F.broadcast(cy), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.expr(
+                "cast(c_xy as decimal(38,0)) * n_total * 1000000"
+                " div (cast(c_x as decimal(38,0)) * c_y)"
+            ).alias("pmi_ppm"),
+        )
+        .orderBy(F.desc("pmi_ppm"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )

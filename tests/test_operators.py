@@ -425,3 +425,75 @@ def test_variant_extract_null_semantics(spark):
         assert r.has_tag == (r.tag is not None)
         if r.k is not None:
             assert float(r.k) == r.k_dbl
+
+
+def test_collocation_pmi_contract(spark):
+    """PMI rows respect the min-count guard, the ppm ordering, and the
+    bounded output size."""
+    rows = plans.QUERIES["collocation_pmi"](spark, SF).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r.c_xy >= 5 for r in rows)
+    ppms = [r.pmi_ppm for r in rows]
+    assert ppms == sorted(ppms, reverse=True)
+    # ratio space: >1e6 means the pair co-occurs above independence
+    assert any(p > 1_000_000 for p in ppms)
+
+
+def test_span_dedup_consistency(spark):
+    """dup_spans ≤ n_spans, frac ∈ [0,1], and n_spans equals the positional
+    3-gram count max(len-2, 0) of each surviving document."""
+    got = {r.doc_id: r for r in plans.QUERIES["span_dedup"](spark, SF).collect()}
+    docs = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    assert got
+    for doc_id, r in got.items():
+        assert r.n_spans == max(docs[doc_id] - 2, 0)
+        assert 0 <= r.dup_spans <= r.n_spans
+        assert abs(r.dup_frac - r.dup_spans / r.n_spans) < 1e-12
+
+
+def test_dedup_incremental_matches_banded_cross_pairs(spark):
+    """Incremental probe finds EXACTLY the banded near-dup pairs that cross
+    the seen/new boundary — the index path loses nothing vs the full
+    self-join."""
+    inc = {r.doc_id: r for r in plans.QUERIES["dedup_incremental"](spark, SF).collect()}
+    full = plans.QUERIES["dedup_minhash_banded"](spark, SF).collect()
+    expected: dict[int, int] = {}
+    for p in full:
+        for new, other in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+            if new % 4 == 0 and other % 4 != 0:
+                expected[new] = expected.get(new, 0) + 1
+    n_new = spark.read.parquet(f"{SF}/documents.parquet").where(
+        F.col("doc_id") % 4 == 0
+    ).count()
+    assert len(inc) == n_new
+    for doc_id, r in inc.items():
+        assert r.n_dup_matches == expected.get(doc_id, 0)
+        assert r.keep == (r.n_dup_matches == 0)
+
+
+def test_dsir_resample_gate_and_direction(spark):
+    """The selection gate is exactly 'mean evidence ≥ corpus average', and
+    target-domain (src0) documents score higher on average than the rest —
+    the importance model points at the target."""
+    rows = plans.QUERIES["dsir_resample"](spark, SF).collect()
+    n = len(rows)
+    s_tot = sum(r.mean_evidence_ppm for r in rows)
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    tgt_scores, rest_scores = [], []
+    for r in rows:
+        assert r.selected == (r.mean_evidence_ppm * n >= s_tot)
+        (tgt_scores if src[r.doc_id] == "src0" else rest_scores).append(
+            r.mean_evidence_ppm
+        )
+    assert 0 < sum(1 for r in rows if r.selected) < n
+    assert sum(tgt_scores) / len(tgt_scores) > sum(rest_scores) / len(rest_scores)
