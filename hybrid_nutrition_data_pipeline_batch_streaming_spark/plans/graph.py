@@ -268,3 +268,56 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("cluster_rep")).cast("int").alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration over the near-dup graph
+# ---------------------------------------------------------------------------
+
+def _triangles_oracle() -> str:
+    edges_sql = ORACLE["dedup_minhash_banded"].strip()
+    return f"""
+    WITH E AS (
+        SELECT doc_a, doc_b FROM ({edges_sql}) pairs
+    )
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM E e1
+    JOIN E e2 ON e2.doc_a = e1.doc_b
+    JOIN E e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    """
+
+
+@query("graph_triangles", oracle=_triangles_oracle())
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-duplicate graph (the graph-analytic
+    companion to connected components): a triangle (a, b, c) means three
+    documents that are pairwise near-dups — evidence of a template/boilerplate
+    family rather than a chance collision, the signal dedup pipelines use to
+    prioritize cluster review.
+
+    Plan: the verified pair list (doc_a < doc_b from the banded-minhash
+    equi-joins) is canonically oriented, so each triangle is found exactly
+    once by two hash joins — e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with a<b<c by
+    construction. No orientation dedup pass is needed.
+
+    Scale: this is the standard distributed triangle enumeration (join the
+    edge list with itself on the shared endpoint, then close the wedge with
+    a hash probe of the third edge). Edge lists from near-dup detection are
+    sparse — wedge counts stay near-linear — and the canonical a<b ordering
+    already implements the "orient by degree" trick's worst case; at 100 TB
+    add the degree-ordering refinement to bound skew from hub nodes."""
+    edges = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b").persist()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )

@@ -313,3 +313,43 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lsh_index_probe_matches_query_time_ann(spark, tmp_path):
+    """Persisted-index probes return EXACTLY the query-time ANN results, and
+    the probe plan prunes postings to the probed band partition instead of
+    rescanning/re-hashing the corpus."""
+    from pyspark.sql import functions as F
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.ann_index import (
+        build_lsh_index,
+        query_lsh_index,
+    )
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.similarity import (
+        N_QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    idx = str(tmp_path / "lsh_index")
+    build_lsh_index(emb.select("vec_id", "embedding"), idx)
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = query_lsh_index(spark, idx, queries)
+    want = plans.QUERIES["similarity_ann_lsh"](spark, sf)
+    g = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 12)) for r in got.collect()}
+    w = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 12)) for r in want.collect()}
+    assert g == w and g
+
+    # partition pruning: a single-band probe plans one band partition, and
+    # the bucket predicate reaches the parquet scan
+    postings = spark.read.parquet(f"{idx}/postings")
+    single = postings.where((F.col("band") == 2) & (F.col("bucket") == 3))
+    plan = single._sc._jvm.PythonSQLUtils.explainString(
+        single._jdf.queryExecution(), "formatted"
+    )
+    assert "band" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket" in plan.split("PushedFilters")[1].split("]")[0]
