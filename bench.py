@@ -68,6 +68,11 @@ HEADLINE = [
     "ngram_bigram_lm",
     "graph_pagerank",
     "dedup_keep_best",
+    "span_dedup",
+    "dedup_incremental",
+    "dsir_resample",
+    "collocation_pmi",
+    "graph_triangles",
 ]
 
 

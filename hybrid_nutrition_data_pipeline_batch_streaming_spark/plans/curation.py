@@ -675,21 +675,23 @@ def _hex_u8_sql(expr: str) -> str:
             FROM documents
         )
         WHERE t <> ''
-    ), raw AS (
-        SELECT b, COUNT(*) AS r_b FROM tok GROUP BY b
-    ), tgt AS (
-        SELECT b, COUNT(*) AS t_b FROM tok WHERE source = 'src0' GROUP BY b
+    ), counts AS (
+        SELECT b, COUNT(*) AS r_b,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t_b
+        FROM tok GROUP BY b
     ), tot AS (
-        SELECT (SELECT SUM(r_b) FROM raw) AS r_tot,
-               (SELECT COALESCE(SUM(t_b), 0) FROM tgt) AS t_tot
+        SELECT CAST(SUM(r_b) AS BIGINT) AS r_tot,
+               CAST(SUM(t_b) AS BIGINT) AS t_tot
+        FROM counts
     ), ev AS (
-        SELECT raw.b,
-               CAST((CAST(COALESCE(tgt.t_b, 0) + 1 AS HUGEINT)
+        SELECT counts.b,
+               CAST((CAST(counts.t_b + 1 AS HUGEINT)
                          * (tot.r_tot + {DSIR_BUCKETS}) * 1000000)
-                    // (CAST(raw.r_b + 1 AS HUGEINT)
+                    // (CAST(counts.r_b + 1 AS HUGEINT)
                          * (tot.t_tot + {DSIR_BUCKETS})) AS BIGINT)
                    AS e_ppm
-        FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot
+        FROM counts CROSS JOIN tot
     ), perdoc AS (
         SELECT tok.doc_id,
                COUNT(*) AS n_tok,
@@ -726,10 +728,11 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the deterministic md5 gate of `corpus_mix_sample` as the sampling
     stage when quotas matter.
 
-    Scale shape: ONE token explode feeds both count tables; the bucket
-    tables are B=256 rows — broadcast back onto the token stream — and the
-    per-doc aggregation is one partial-agg shuffle on doc_id. No Python, no
-    driver collects, no all-pairs anything."""
+    Scale shape: ONE token explode, ONE conditional aggregation produces
+    raw and target bucket counts together (B=256 rows — map-side combine
+    makes the shuffle tiny), evidence broadcasts back onto the token
+    stream, and the per-doc aggregation is one partial-agg shuffle on
+    doc_id. No Python, no driver collects, no all-pairs anything."""
     cat = Catalog(spark, sf_dir)
     bucket = F.conv(F.substring(F.md5(F.col("t")), 1, 2), 16, 10).cast("int")
     tok = (
@@ -740,24 +743,23 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", bucket.alias("b"))
         .persist()
     )
-    raw = tok.groupBy("b").agg(F.count("*").alias("r_b"))
-    tgt = tok.where(F.col("source") == "src0").groupBy("b").agg(
-        F.count("*").alias("t_b")
+    counts = tok.groupBy("b").agg(
+        F.count("*").alias("r_b"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("t_b"),
     )
-    tot = raw.agg(F.sum("r_b").alias("r_tot")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("t_b"), F.lit(0)).alias("t_tot"))
+    tot = counts.agg(
+        F.sum("r_b").cast("long").alias("r_tot"),
+        F.sum("t_b").cast("long").alias("t_tot"),
     )
-    ev = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.expr(
-                f"cast(coalesce(t_b, 0) + 1 as decimal(38,0))"
-                f" * (r_tot + {DSIR_BUCKETS}) * 1000000"
-                f" div (cast(r_b + 1 as decimal(38,0)) * (t_tot + {DSIR_BUCKETS}))"
-            ).alias("e_ppm"),
-        )
+    ev = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"cast(t_b + 1 as decimal(38,0))"
+            f" * (r_tot + {DSIR_BUCKETS}) * 1000000"
+            f" div (cast(r_b + 1 as decimal(38,0)) * (t_tot + {DSIR_BUCKETS}))"
+        ).alias("e_ppm"),
     )
     perdoc = (
         tok.join(F.broadcast(ev), "b")

@@ -596,7 +596,9 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("b"), " ").getItem(0).alias("w1"),
         F.split(F.col("b"), " ").getItem(1).alias("w2"),
     )
-    cxy = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    # Four consumers (marginals ×2, total, main stream) — materialize the
+    # bigram-count table once instead of re-exploding the corpus per branch.
+    cxy = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy")).persist()
     cx = cxy.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
     cy = cxy.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
     n = cxy.agg(F.sum("c_xy").alias("n_total"))

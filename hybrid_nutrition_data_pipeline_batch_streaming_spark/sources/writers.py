@@ -131,3 +131,70 @@ def read_pruned(spark: SparkSession, path: str, predicate: Column) -> DataFrame:
     predicates on partition columns into PartitionFilters (no I/O for
     excluded directories)."""
     return spark.read.parquet(path).where(predicate)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+#: Target bytes per output file. 128 MB is the standard object-store sweet
+#: spot (one HDFS block / one row-group-aligned S3 GET per task).
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~target-size files (OPTIMIZE /
+    bin-packing compaction). Streaming sinks and incremental batch appends
+    leave thousands of KB-sized files per partition; at 100 TB the listing
+    and footer-read overhead alone dominates scans (every file is an object
+    GET + footer parse). Compaction is the standing maintenance job every
+    lakehouse runs (Delta OPTIMIZE, Iceberg rewrite_data_files).
+
+    Output file count = ceil(input_bytes / target_bytes), derived from the
+    actual on-disk size (driver-side listing via Hadoop FS — metadata only,
+    no data read). The rewrite is one narrow job: read → coalesce(n) →
+    write to a temp dir, then an atomic directory swap. ``coalesce`` (not
+    ``repartition``) avoids a shuffle — compaction only needs fewer, bigger
+    files, not a new distribution. Returns (files_before, files_after).
+
+    Reference parity: the reference's store compacts implicitly (ClickHouse
+    MergeTree background merges, `docker-compose.yml` clickhouse service);
+    this is the explicit Spark-side equivalent.
+    """
+    import math
+    import os
+    import shutil
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hconf = jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    statuses = fs.listStatus(hpath)
+    part_files = [
+        s
+        for s in statuses
+        if s.isFile() and s.getPath().getName().startswith("part-")
+    ]
+    files_before = len(part_files)
+    total_bytes = sum(s.getLen() for s in part_files)
+    n_out = max(1, math.ceil(total_bytes / target_bytes))
+    if n_out >= files_before:
+        return files_before, files_before  # already compact — no rewrite
+
+    tmp = path.rstrip("/") + ".compact-tmp"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: the rewrite lands fully before the old dir is replaced
+    old = path.rstrip("/") + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after = len(
+        [f for f in os.listdir(path) if f.startswith("part-")]
+    )
+    return files_before, files_after

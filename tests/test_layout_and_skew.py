@@ -353,3 +353,47 @@ def test_lsh_index_probe_matches_query_time_ann(spark, tmp_path):
     )
     assert "band" in plan.split("PartitionFilters")[1].split("]")[0]
     assert "bucket" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_compaction_bin_packs_small_files(spark, tmp_path):
+    """compact_files rewrites a fragmented directory into the computed
+    target count without changing the data, skips already-compact dirs,
+    and the rewrite is shuffle-free (coalesce, not repartition)."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.writers import (
+        compact_files,
+    )
+
+    path = str(tmp_path / "frag")
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src.repartition(64).write.parquet(path)  # simulate streaming small files
+    before_sum = src.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    ).collect()[0][0]
+    n_rows = src.count()
+
+    # tiny target → recompute exact expected count from on-disk bytes
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.startswith("part-")
+    )
+    target = max(1, total // 4)
+    fb, fa = compact_files(spark, path, target_bytes=target)
+    assert fb == 64
+    assert fa == math.ceil(total / target)
+    assert fa < fb
+
+    out = spark.read.parquet(path)
+    assert out.count() == n_rows
+    after_sum = out.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    ).collect()[0][0]
+    assert after_sum == before_sum
+
+    # no-op guard: a target small enough that the computed file count
+    # can't beat the current one must skip the rewrite entirely
+    fb2, fa2 = compact_files(spark, path, target_bytes=1)
+    assert (fb2, fa2) == (fa, fa)

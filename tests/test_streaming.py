@@ -621,3 +621,89 @@ def test_events_schema_probe_raises_descriptive_error(tmp_path):
         _events_file_schema(str(tmp_path))
     with pytest.raises(FileNotFoundError, match="not found"):
         _events_file_schema(str(tmp_path / "missing_dir"))
+
+
+def test_transform_with_state_v2_wiring(spark, tmp_path):
+    """State API v2 (transformWithStateInPandas): when the runtime has
+    google.protobuf the drained totals must equal the exact batch aggregate
+    (same contract as the v1 operator); in this container protobuf is absent
+    and the stream must fail at Python-runner init with the pinned
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — the documented
+    environment boundary, like the Kafka jar."""
+    import pyspark.errors
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.ingest import (
+        read_events_stream,
+    )
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.stateful import (
+        stateful_user_totals_v2,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = stateful_user_totals_v2(read_events_stream(spark, sf))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            import google.protobuf  # noqa: F401
+
+            has_protobuf = True
+        except ImportError:
+            has_protobuf = False
+        if has_protobuf:
+            q.awaitTermination()
+            got = {
+                r.user_id: (r.event_cnt, round(r.total_value, 2))
+                for r in spark.sql(
+                    "SELECT user_id, max(event_cnt) AS event_cnt,"
+                    " max_by(total_value, event_cnt) AS total_value"
+                    " FROM tws_totals GROUP BY user_id"
+                ).collect()
+            }
+            exp = {
+                r.user_id: (r.cnt, round(r.total, 2))
+                for r in spark.read.parquet(f"{sf}/events.parquet")
+                .groupBy("user_id")
+                .agg(
+                    F.count("*").alias("cnt"),
+                    F.sum(F.col("value").cast("decimal(12,2)"))
+                    .cast("double")
+                    .alias("total"),
+                )
+                .collect()
+            }
+            assert got == exp
+        else:
+            try:
+                q.awaitTermination()
+                raise AssertionError(
+                    "TWS drained without protobuf — env gap closed; "
+                    "promote stateful_user_totals_v2 to a registered query"
+                )
+            except pyspark.errors.exceptions.captured.StreamingQueryException as e:
+                # the captured message carries the runner crash; the
+                # protobuf ImportError root cause lives in the JVM-side
+                # cause chain (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)
+                msg = str(e)
+                assert (
+                    "TransformWithStateInPySpark driver worker exited" in msg
+                    or "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE" in msg
+                    or "google.protobuf" in msg
+                )
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)

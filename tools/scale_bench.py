@@ -24,6 +24,12 @@ HEAVY = [
     "kmeans_refine",
     "dedup_keep_best",
     "pipeline_nutrition_e2e",
+    # session-2 additions (documents-bound; span_dedup explodes every
+    # positional 3-gram — the heaviest per-row fan-out in the engine)
+    "span_dedup",
+    "dedup_incremental",
+    "dsir_resample",
+    "collocation_pmi",
 ]
 
 
