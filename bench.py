@@ -73,6 +73,8 @@ HEADLINE = [
     "dsir_resample",
     "collocation_pmi",
     "graph_triangles",
+    "phrase_search",
+    "text_search_rank",
 ]
 
 

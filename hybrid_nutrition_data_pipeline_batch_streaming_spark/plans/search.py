@@ -1,0 +1,163 @@
+"""Text retrieval over the documents table (inverted-index family).
+
+The missing sibling of the dedup/similarity suites: given a phrase or a bag
+of words, find and rank matching documents. Spark has no search primitive,
+so both queries build the classic structures from relational ops:
+
+- ``phrase_search``    — positional inverted index: adjacency-joined token
+  positions answer exact-phrase queries. The demo phrase is self-derived
+  (the corpus's most frequent bigram, deterministic tie-break) so the query
+  stays non-empty across driver fixture regenerations; a production caller
+  substitutes any literal phrase — the plan is identical.
+- ``text_search_rank`` — tf·idf bag-of-words ranking with idf as the exact
+  integer ratio N·10⁶ div df (ln() is not bit-identical across engines;
+  ratio space preserves the ranking for single-term weights and BIGINT
+  arithmetic hashes identically everywhere).
+
+Scale shape: both are explode → ONE corpus-wide groupBy (the posting
+build); query terms are a broadcast singleton/handful, so probing is
+map-side. At 100 TB the posting table is the persisted artifact (the
+``operators/ann_index.py`` pattern applied to tokens) and the per-query
+work is partition-pruned posting reads — the same build-once/probe-many
+split, noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from .registry import query
+
+#: Bag-of-words size for the ranking demo (the corpus's top-N tokens).
+N_QUERY_TERMS = 3
+TOP_DOCS = 20
+
+
+@query(
+    "phrase_search",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1])) AS ph
+        FROM documents
+    ), top1 AS (
+        SELECT ph FROM (
+            SELECT ph, COUNT(*) AS c FROM bg GROUP BY ph
+        ) ORDER BY c DESC, ph LIMIT 1
+    )
+    SELECT bg.doc_id, bg.ph AS phrase, COUNT(*) AS n_matches
+    FROM bg JOIN top1 ON top1.ph = bg.ph
+    GROUP BY bg.doc_id, bg.ph
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search via a positional inverted index (retrieval
+    north-star): every adjacent token pair is a posting; the query phrase
+    equi-joins into the posting stream and per-doc match counts come from
+    one aggregation. This is how phrase queries run over a token-position
+    index (Lucene's positional postings re-expressed relationally): an
+    n-word phrase is n-1 adjacency joins, here pre-fused into bigram
+    postings by the same zip-shifted slice trick as `_shingles`.
+
+    The searched phrase is the corpus's top bigram (deterministic
+    ORDER BY count DESC, phrase), so the query is self-contained and
+    fixture-proof; substituting a literal phrase drops the derivation
+    subquery and keeps the probe plan. At 100 TB the posting stream is a
+    persisted table bucketed by phrase key and the probe reads one bucket —
+    build-once/probe-many, as `operators/ann_index.py` does for vectors."""
+    cat = Catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    bg = cat.documents.select(
+        "doc_id", F.explode(bigrams).alias("ph")
+    ).persist()
+    top1 = (
+        bg.groupBy("ph")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("ph"))
+        .limit(1)
+        .select("ph")
+    )
+    return (
+        bg.join(F.broadcast(top1), "ph")
+        .groupBy("doc_id", F.col("ph").alias("phrase"))
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+@query(
+    "text_search_rank",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        WHERE text <> ''
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+    ), terms AS (
+        SELECT tok, CAST(SUM(tf) AS BIGINT) AS total, COUNT(*) AS df
+        FROM tf GROUP BY tok
+        ORDER BY total DESC, tok LIMIT {N_QUERY_TERMS}
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+    )
+    SELECT doc_id,
+           CAST(SUM(tf.tf * ((n.n_docs * 1000000) // terms.df)) AS BIGINT)
+               AS score_ppm,
+           CAST(COUNT(*) AS BIGINT) AS terms_hit
+    FROM tf JOIN terms ON terms.tok = tf.tok CROSS JOIN n
+    GROUP BY doc_id
+    ORDER BY score_ppm DESC, doc_id
+    LIMIT {TOP_DOCS}
+    """,
+)
+def text_search_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words tf·idf ranking (retrieval north-star): score documents
+    for a term set by Σ_t tf(t,d) · idf(t), idf as the exact integer ratio
+    N_docs·10⁶ div df(t) — BIGINT arithmetic instead of ln(N/df) because
+    logs differ in the last ulp across engines while the per-term ranking
+    is the same monotone order. The query terms are the corpus's top
+    {N_QUERY_TERMS} tokens by total frequency (deterministic tie-break),
+    keeping the demo fixture-proof; real callers pass literal terms and
+    keep the identical probe plan.
+
+    Plan: ONE token explode → per-(doc, token) tf table (the inverted
+    index, one partial-agg shuffle) → term stats re-aggregate the tf
+    table (vocabulary-sized) → the {N_QUERY_TERMS}-row term set broadcasts
+    back onto the index → per-doc score is one more partial-agg shuffle +
+    TakeOrdered. The corpus is read once; nothing all-pairs."""
+    cat = Catalog(spark, sf_dir)
+    tok = cat.documents.where(F.col("text") != "").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    terms = (
+        tf.groupBy("tok")
+        .agg(F.sum("tf").cast("long").alias("total"), F.count("*").alias("df"))
+        .orderBy(F.desc("total"), F.asc("tok"))
+        .limit(N_QUERY_TERMS)
+    )
+    n = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(terms), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.expr("n_docs * 1000000 div df")
+            )
+            .cast("long")
+            .alias("score_ppm"),
+            F.count("*").cast("long").alias("terms_hit"),
+        )
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(TOP_DOCS)
+    )

@@ -497,3 +497,33 @@ def test_dsir_resample_gate_and_direction(spark):
         )
     assert 0 < sum(1 for r in rows if r.selected) < n
     assert sum(tgt_scores) / len(tgt_scores) > sum(rest_scores) / len(rest_scores)
+
+
+def test_retrieval_contracts(spark):
+    """phrase_search returns per-doc counts for exactly one phrase; ranking
+    scores are monotone with the returned order and terms_hit is bounded by
+    the query-bag size."""
+    ph = plans.QUERIES["phrase_search"](spark, SF).collect()
+    assert ph and len({r.phrase for r in ph}) == 1
+    assert all(r.n_matches >= 1 for r in ph)
+    # the phrase really is the corpus top bigram: every match is a real
+    # adjacency in the source text
+    phrase = ph[0].phrase
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for r in ph[:10]:
+        toks = docs[r.doc_id].split(" ")
+        adj = sum(
+            1
+            for i in range(len(toks) - 1)
+            if f"{toks[i]} {toks[i+1]}" == phrase
+        )
+        assert adj == r.n_matches
+
+    ranked = plans.QUERIES["text_search_rank"](spark, SF).collect()
+    assert 0 < len(ranked) <= 20
+    scores = [r.score_ppm for r in ranked]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.terms_hit <= 3 for r in ranked)
