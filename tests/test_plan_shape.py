@@ -264,3 +264,77 @@ def test_recursive_cte_no_cartesian(spark):
     """Each recursion level must expand through the node-id equi-join."""
     plan = _plan(spark, "recursive_path_counts")
     assert "CartesianProduct" not in plan
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """With the V2 parquet reader, MIN/MAX/COUNT compute from row-group
+    statistics — a stats-only scan that reads zero data pages. This is the
+    zero-IO path for the profiling suite's bounds queries at 100 TB; values
+    must equal the full-scan aggregate."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        agg = df.agg(F.min("l_orderkey"), F.max("l_orderkey"), F.count("*"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PushedAggregation: \[[^\]]*\]", plan)
+        assert m and "MIN(l_orderkey)" in m.group(0) and "COUNT(*)" in m.group(0)
+        pushed = tuple(agg.collect()[0])
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    exact = tuple(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .agg(F.min("l_orderkey"), F.max("l_orderkey"), F.count("*"))
+        .collect()[0]
+    )
+    assert pushed == exact
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """A selective dimension filter must inject a bloom-filter runtime
+    filter on the fact-side scan of a shuffle join (InjectRuntimeFilter).
+    The application-side threshold defaults to 10 GB — sized so the rewrite
+    fires exactly in the 100 TB regime; it's lowered here only to trigger
+    on fixture-sized data."""
+    from pyspark.sql import functions as F
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        small = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").where(
+            "o_totalprice > 500000"
+        )
+        j = big.join(small, big.l_orderkey == small.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        # the runtime filter must not change results
+        n_filtered = j.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    n_plain = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .join(
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet").where(
+                "o_totalprice > 500000"
+            ),
+            F.expr("l_orderkey = o_orderkey"),
+        )
+        .count()
+    )
+    assert n_filtered == n_plain
