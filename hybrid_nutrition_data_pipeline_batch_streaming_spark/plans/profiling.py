@@ -304,3 +304,78 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("merged_sum").cast("double").alias("total_price"),
         (F.col("merged_sum").cast("double") / F.col("order_cnt")).alias("avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audit: file provenance + order-insensitive table checksum
+# ---------------------------------------------------------------------------
+
+@query("file_provenance")  # oracle registered below — it embeds the sf path
+def file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance via the hidden ``_metadata`` scan columns (S10
+    audit depth): per-source-file row counts — the lineage primitive for
+    incremental backfills ("which files produced these rows?") and for
+    debugging bad-file quarantine at 100 TB, where a scan covers millions of
+    objects. ``_metadata.file_path`` is populated by the scan itself — zero
+    extra IO, no join back to a manifest."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        df.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "file"
+            )
+        )
+        .groupBy("file")
+        .agg(F.count("*").alias("row_cnt"))
+    )
+
+
+# The provenance oracle needs the literal fixture path (DuckDB's filename
+# pseudo-column comes from read_parquet, not the pre-registered view). The
+# driver formats oracles against fixed views only, so substitute the default
+# correctness sf_dir here; the local harness patches per-SF via env.
+import os as _os  # noqa: E402
+
+_PROV_SF = _os.environ.get("TEST_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+from .registry import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["file_provenance"] = f"""
+    SELECT parse_filename(filename) AS file, COUNT(*) AS row_cnt
+    FROM read_parquet('{_PROV_SF}/lineitem.parquet', filename = true)
+    GROUP BY 1
+    """
+
+
+@query(
+    "table_checksum",
+    oracle="""
+    SELECT COUNT(*) AS row_cnt,
+           CAST(SUM(CAST(('0x' || substr(md5(
+                CAST(l_orderkey AS VARCHAR) || '|' ||
+                CAST(l_linenumber AS VARCHAR) || '|' ||
+                CAST(l_quantity AS VARCHAR) || '|' || l_returnflag
+           ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+    FROM lineitem
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum (the 100 TB migration audit): each
+    row hashes to the first 32 bits of the md5 of its canonical key string;
+    the table fingerprint is the exact BIGINT SUM of those words — integer
+    addition commutes, so ANY partitioning/replica/engine computing the same
+    rows produces the same checksum. Compare source vs replica fingerprints
+    to certify a copy without sorting or shuffling either side: one map-side
+    expression and a scalar aggregate."""
+    cat = Catalog(spark, sf_dir)
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_returnflag"),
+    )
+    word = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return cat.lineitem.agg(
+        F.count("*").alias("row_cnt"),
+        F.sum(word).alias("checksum"),
+    )
