@@ -379,3 +379,32 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("row_cnt"),
         F.sum(word).alias("checksum"),
     )
+
+
+@query(
+    "agg_approx_topk",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (Spark 4's approx_top_k): the streaming-friendly
+    heavy-hitters structure for 100 TB profiling — one pass, mergeable,
+    bounded memory (default capacity 10 000 tracked items). Deterministic
+    here BY CONSTRUCTION: k covers the column's full cardinality and the
+    cardinality is far below the sketch capacity, so every count is exact
+    and the item set complete — which is what lets the sketch carry a DuckDB
+    oracle (the general case is rank-boundary-tie-dependent, like the other
+    agg_approx_* sketches, and would be rows-only). The struct array is
+    exploded to rows because the driver canonicalizer cannot hash arrays."""
+    cat = Catalog(spark, sf_dir)
+    cat.lineitem.createOrReplaceTempView("_topk_lineitem")
+    return spark.sql(
+        """
+        SELECT x.item AS l_returnflag, x.count AS cnt
+        FROM (
+            SELECT explode(approx_top_k(l_returnflag, 3)) AS x
+            FROM _topk_lineitem
+        )
+        """
+    )

@@ -397,3 +397,27 @@ def test_compaction_bin_packs_small_files(spark, tmp_path):
     # can't beat the current one must skip the rewrite entirely
     fb2, fa2 = compact_files(spark, path, target_bytes=1)
     assert (fb2, fa2) == (fa, fa)
+
+
+def test_schema_evolution_merge_and_missing_columns(spark, tmp_path):
+    """Lakehouse schema evolution: a column added mid-history must surface
+    via mergeSchema with NULLs for pre-evolution files, and per-file
+    provenance of the evolved column must respect file boundaries — the
+    append-only contract a 100 TB table relies on when producers upgrade."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    v1.write.parquet(path)
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5)], "id bigint, name string, score double"
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+
+    # without mergeSchema Spark picks one footer's schema — pinned so the
+    # default's nondeterminism is documented behavior, not a surprise
+    plain = spark.read.parquet(path)
+    assert set(plain.columns) <= {"id", "name", "score"}
