@@ -167,3 +167,63 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         *[F.element_at(F.col("features"), i + 1).alias(n) for i, n in enumerate(names)],
     )
+
+
+_FRAMES_SQL = f"""
+    WITH frames AS (
+        SELECT doc_id, text,
+               CAST(unnest(generate_series(0,
+                    CAST(len(text) // {FRAME_BYTES} AS BIGINT) - 1,
+                    {FRAME_STRIDE})) AS BIGINT) AS frame_idx
+        FROM documents
+        WHERE len(text) >= {FRAME_BYTES}
+    ), ranked AS (
+        SELECT doc_id, text, frame_idx,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS rnk
+        FROM frames
+    ), fh AS (
+        SELECT DISTINCT doc_id,
+               md5(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                          {FRAME_BYTES})) AS frame_hash
+        FROM ranked
+        WHERE rnk <= {MAX_FRAMES}
+    )
+"""
+
+
+@query(
+    "mm_frame_dedup",
+    oracle=f"""
+    {_FRAMES_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS shared_frames
+    FROM fh a JOIN fh b ON b.frame_hash = a.frame_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup via shared keyframe hashes (X4 × X2 — the content-ID
+    pattern): two pseudo-videos are near-dup candidates when any sampled
+    frame hashes collide; the pair's evidence is its shared-frame count.
+    This is exactly how video corpora dedup at scale — frame hashes are the
+    blocking key, so candidate generation is an equi-join on the hash
+    (posting-list shaped, never video×video), and the per-doc frame set is
+    deduped first so a frame repeated inside one video doesn't inflate the
+    pair count.
+
+    Composes the value-checked frame sampler: same slicing, same hashes —
+    the oracle replays it with substr+md5 and the identical pair join."""
+    frames = mm_frame_sample(spark, sf_dir).select("doc_id", "frame_hash").distinct()
+    a = frames.alias("a")
+    b = frames.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.frame_hash") == F.col("a.frame_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_frames"))
+    )
