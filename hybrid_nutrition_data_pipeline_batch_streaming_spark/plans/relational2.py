@@ -439,3 +439,33 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     cat.lineitem.createOrReplaceTempView("lineitem")
     return spark.sql(_NULL_SEMANTICS_SQL)
+
+
+@query(
+    "filter_not_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def filter_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery → null-aware anti join (SQL-surface corner): NOT IN
+    is NOT a plain anti join — one NULL in the subquery legally empties the
+    result, so Spark plans BroadcastHashJoin(LeftAnti, isNullAware=true)
+    with the null-check fused into the build side. Pinned in
+    test_not_in_plans_null_aware_anti_join; at scale the build side must
+    stay broadcastable (Spark refuses a shuffled null-aware anti join —
+    rewrite to NOT EXISTS when the exclusion set outgrows the driver)."""
+    cat = Catalog(spark, sf_dir)
+    cat.orders.createOrReplaceTempView("_nin_orders")
+    cat.customer.createOrReplaceTempView("_nin_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM _nin_orders
+        WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM _nin_customer WHERE c_acctbal < 0
+        )
+        """
+    )

@@ -338,3 +338,19 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         .count()
     )
     assert n_filtered == n_plain
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """NOT IN must plan the null-aware variant of the anti join (the
+    trailing `true` flag on the BroadcastHashJoin) — plain LeftAnti would
+    return wrong rows when the exclusion subquery can yield NULL."""
+    plan = _plan(spark, "filter_not_in")
+    assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """rank() <= k must trigger WindowGroupLimit — the per-group top-k is
+    pre-pruned BEFORE the full window sort, which is the difference between
+    sorting k rows and sorting the whole partition at 100 TB."""
+    plan = _plan(spark, "topk_per_group")
+    assert "WindowGroupLimit" in plan
