@@ -124,11 +124,18 @@ def nutrition_lookup_stub(names: pd.Series) -> pd.Series:
     return names.map(payload)
 
 
+class _RetryableStatus(Exception):
+    """A non-200 answer that is NOT definitive (429/503): retry after a
+    pause instead of dropping the row."""
+
+
 def http_nutrition_lookup(
     base_url: str,
     timeout_s: float = 10.0,
     retries: int = 2,
     param: str = "query",
+    retry_statuses: frozenset[int] = frozenset({429, 503}),
+    backoff_s: float = 0.0,
 ):
     """A REAL-protocol lookup for ``enrich_from_api`` — the operational half
     of the reference's consumer call (`consumer/consume_items.py:66-80`),
@@ -141,6 +148,10 @@ def http_nutrition_lookup(
       (`consume_items.py:73-77`) — the server answered, so no retry;
     - timeout / connection errors → bounded retry (the reference producer's
       ≤5-attempt loop, `produce_items.py:53-56`), then None;
+    - 429/503 → retryable WITH linear backoff pause (``backoff_s``·attempt)
+      — the rate-limit discipline of the reference's per-record OpenAI
+      pacing (`dagster_project/pipeline.py:59-74`), minus its fixed 8 s
+      sleep: pause only when the upstream actually pushes back;
     - any single row's failure NEVER kills the stage — the rest of the
       Arrow batch still enriches (T8 error-row-skip, at the HTTP boundary).
 
@@ -178,14 +189,24 @@ def http_nutrition_lookup(
             conn.request("GET", f"{path_prefix}?{param}={quote(name)}")
             resp = conn.getresponse()
             body = resp.read()  # always drain so the connection is reusable
+            if resp.status in retry_statuses:
+                raise _RetryableStatus(str(resp.status))
             if resp.status != 200:
                 return None
             return body.decode("utf-8")
 
         def fetch(name: str) -> str | None:
+            import time as _time
+
             for attempt in range(retries + 1):
                 try:
                     return fetch_once(name)
+                except _RetryableStatus:
+                    # connection already drained and reusable; pace the retry
+                    if attempt == retries:
+                        return None
+                    if backoff_s:
+                        _time.sleep(backoff_s * (attempt + 1))
                 except Exception:
                     close()  # stale/broken socket — next attempt reconnects
                     if attempt == retries:

@@ -34,6 +34,8 @@ class _NutritionHandler(BaseHTTPRequestHandler):
     - names containing ``slow``  → sleep past the client timeout
     - names containing ``flaky`` → fail the FIRST attempt per name
       (connection abort), succeed afterwards — the retry-success case
+    - names containing ``limit`` → 429 for the first TWO attempts, then 200
+      — the rate-limit/backoff case
     - anything else              → 200 with a reference-shaped JSON array
     """
 
@@ -50,6 +52,9 @@ class _NutritionHandler(BaseHTTPRequestHandler):
             return
         if "slow" in name:
             time.sleep(self.sleep_s)
+        if "limit" in name and n <= 2:
+            self.send_error(429, "rate limited")
+            return
         if "flaky" in name and n == 1:
             # Abort mid-request: the client sees a transport error, which is
             # the retryable class (vs the non-200 definitive class).
@@ -152,3 +157,24 @@ def test_http_enrichment_exhausted_retries_drop_only_that_row(spark, api_server)
     assert out["flaky scone"] is None
     assert out["solid oat"] is not None
     assert _NutritionHandler.attempts["flaky scone"] == 1
+
+
+def test_http_enrichment_rate_limit_backoff_then_succeeds(spark, api_server):
+    """429 is the retryable-with-pause class (the reference's OpenAI pacing,
+    `dagster_project/pipeline.py:59-74`): the row retries after a linear
+    backoff and succeeds on the attempt the upstream stops pushing back;
+    with retries exhausted the row drops like any other failure."""
+    out = _enrich(
+        spark, api_server, ["limit smoothie"], timeout_s=5.0, retries=3,
+        backoff_s=0.05,
+    )
+    assert out["limit smoothie"] is not None
+    assert json.loads(out["limit smoothie"])[0]["name"] == "limit smoothie"
+    assert _NutritionHandler.attempts["limit smoothie"] == 3  # 429, 429, 200
+
+    out2 = _enrich(
+        spark, api_server, ["limit juice"], timeout_s=5.0, retries=1,
+        backoff_s=0.01,
+    )
+    assert out2["limit juice"] is None  # 2 attempts, both 429 → dropped
+    assert _NutritionHandler.attempts["limit juice"] == 2
