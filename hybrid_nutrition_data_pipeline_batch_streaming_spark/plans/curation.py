@@ -784,3 +784,74 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("s_tot")
         ).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage check (near-dup clusters straddling train/val/test)
+# ---------------------------------------------------------------------------
+
+def _split_leakage_oracle() -> str:
+    from .graph import _cc_oracle
+
+    return f"""
+    WITH cc AS ({_cc_oracle().strip()}),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN b < 230 THEN 'train'
+                    WHEN b < 243 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS b
+            FROM documents
+        )
+    )
+    SELECT cc.cluster_rep,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(COUNT(DISTINCT s.split) AS BIGINT) AS n_splits,
+           COUNT(*) >= 2 AND COUNT(DISTINCT s.split) >= 2 AS leaky
+    FROM cc JOIN splits s ON s.doc_id = cc.doc_id
+    GROUP BY cc.cluster_rep
+    HAVING COUNT(*) >= 2
+    """
+
+
+@query("split_leakage_check", oracle=_split_leakage_oracle())
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit (north-star curation op): a random
+    per-document split puts near-duplicates on BOTH sides of the train/eval
+    boundary — the classic contamination-by-duplication failure (Lee et al.
+    2022 measure it directly). This composes the near-dup connected
+    components with the md5 split assignment and flags every multi-doc
+    cluster whose members straddle splits; the fix is splitting by
+    cluster_rep instead of doc_id (one line — hash the rep, not the doc).
+
+    Scale shape: the CC labels are the expensive input (already ≲ linear,
+    see graph.py); the audit itself is one equi-join on doc_id plus one
+    cluster-keyed aggregation. Singleton clusters are excluded — they
+    cannot leak."""
+    from .graph import dedup_connected_components
+
+    cc = dedup_connected_components(spark, sf_dir).select("doc_id", "cluster_rep")
+    key = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    splits = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.when(bucket < 230, "train")
+        .when(bucket < 243, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        cc.join(splits, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.count_distinct("split").alias("n_splits"),
+            ((F.count("*") >= 2) & (F.count_distinct("split") >= 2)).alias("leaky"),
+        )
+        .where(F.col("cluster_size") >= 2)
+    )
