@@ -1266,3 +1266,84 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training data)
+# ---------------------------------------------------------------------------
+
+#: Ranks 1..TOP_K are positives; the next HARD_NEGATIVES ranks are the
+#: "hard" negatives — close enough to be confusable, wrong enough to teach.
+HARD_NEGATIVES = 5
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               {_cos_sql('q.qe', 'c.e')} AS cosine
+        FROM q JOIN base c ON c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank,
+           CASE WHEN rank <= {TOP_K} THEN 'positive'
+                ELSE 'hard_negative' END AS label
+    FROM ranked
+    WHERE rank <= {TOP_K + HARD_NEGATIVES}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (the training-data op behind every embedding
+    model): per anchor, the top-{TOP_K} neighbors become positives and the
+    next {HARD_NEGATIVES} ranks become HARD negatives — candidates close
+    enough to confuse the model, which train far better than random
+    negatives (in-batch negatives are the random baseline; this is the
+    ANCE/SimCSE hard-mining shape). One ranking pass labels both classes —
+    the same broadcast×corpus scoring as `similarity_topk`, one extra
+    window band, no second scan.
+
+    At 100 TB the scoring side swaps to the ANN tiers (LSH/IVF shortlist,
+    exact re-rank) exactly as the search path does; mining quality follows
+    shortlist recall, measured in tests for those tiers."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("qe")
+    ).withColumn("qn", _norm(F.col("qe")))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), _to_double(F.col("embedding")).alias("ce")
+    ).withColumn("cn", _norm(F.col("ce")))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K + HARD_NEGATIVES)
+        .select(
+            "query_id",
+            "cand_id",
+            "cosine",
+            "rank",
+            F.when(F.col("rank") <= TOP_K, "positive")
+            .otherwise("hard_negative")
+            .alias("label"),
+        )
+    )
