@@ -274,3 +274,60 @@ def grouped_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.events.select("user_id", "value").groupBy("user_id").applyInPandas(
         median_fn, schema="user_id bigint, median_value double, event_cnt bigint"
     )
+
+
+_DYN_UDTF_ORACLE = """
+    WITH src AS (
+        SELECT n_nationkey,
+               n_name || ',' || CAST(n_regionkey AS VARCHAR) || ',' ||
+                   lower(n_name) AS csv
+        FROM nation
+    )
+    SELECT n_nationkey,
+           string_split(csv, ',')[1] AS f1,
+           string_split(csv, ',')[2] AS f2,
+           string_split(csv, ',')[3] AS f3
+    FROM src
+"""
+
+
+@query("udtf_dynamic_schema", oracle=_DYN_UDTF_ORACLE)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-output-schema Python UDTF (Spark 4's ``analyze()`` phase):
+    the table function's column list is COMPUTED AT PLAN TIME from its
+    constant argument — split_fixed(csv, 3) plans three string columns,
+    split_fixed(csv, 5) would plan five — the polymorphic-UDTF surface
+    that fixed ``returnType`` registration (``udtf_expand_items``) cannot
+    express. ``analyze`` receives constant-folded argument values
+    (AnalyzeArgument.value) and returns the schema; ``eval`` then runs
+    Arrow-batched per partition like any UDTF. Guard rails: a
+    non-constant width argument fails analysis loudly at plan time, not
+    with bad rows at runtime."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitFixed:
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if n.value is None:
+                raise ValueError("split_fixed width must be a constant literal")
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"f{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, s, n: int):
+            parts = (s or "").split(",")
+            yield tuple((parts + [""] * n)[:n])
+
+    spark.udtf.register("split_fixed", udtf(SplitFixed, useArrow=True))
+    cat = Catalog(spark, sf_dir)
+    cat.nation.selectExpr(
+        "n_nationkey",
+        "n_name || ',' || CAST(n_regionkey AS STRING) || ',' || lower(n_name) AS csv",
+    ).createOrReplaceTempView("_dyn_udtf_src")
+    return spark.sql(
+        "SELECT r.n_nationkey, t.f1, t.f2, t.f3 "
+        "FROM _dyn_udtf_src r, LATERAL split_fixed(r.csv, 3) t"
+    )

@@ -82,9 +82,14 @@ def test_range_join_broadcasts_bucket_side(spark):
 def test_no_python_udf_in_jvm_paths(spark):
     """Every oracle-checked relational/text query must stay JVM-side —
     pandas UDFs are reserved for the enrichment/multimodal boundary."""
-    # udtf_expand_items IS the Python-UDTF surface (U3's lateral-expansion
-    # cousin) — Python at that boundary is the point, like the enrichment UDFs.
-    python_ok = {"pipeline_nutrition_e2e", "mm_decode_features", "udtf_expand_items"}
+    # The udtf_* queries ARE the Python-UDTF surface (U3's lateral-expansion
+    # cousins) — Python at that boundary is the point, like the enrichment UDFs.
+    python_ok = {
+        "pipeline_nutrition_e2e",
+        "mm_decode_features",
+        "udtf_expand_items",
+        "udtf_dynamic_schema",
+    }
     for name in plans.ORACLE:
         if name in python_ok or name.startswith("stream_"):
             continue
