@@ -291,3 +291,132 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("day_value", ignorenulls=True).over(w).alias("day_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window aggregation (batch form of the streaming sliding window)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_sliding_agg",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS TIMESTAMP)
+               AS w_start,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events, UNNEST([0, 1]) AS t(o)
+    GROUP BY 1, 2
+    """,
+)
+def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows in BATCH (2 h windows, 1 h slide): every
+    event lands in width/slide = 2 overlapping windows — Spark's window()
+    expands the assignment inside the aggregation, so the plan is still one
+    partially-aggregated groupBy (events are duplicated into their window
+    groups map-side, never joined). Completes the window-type family:
+    tumbling (stream_tumbling), session (stream_session_windows), sliding
+    here. The oracle replays the assignment arithmetic: the two windows
+    containing t start at trunc_hour(t) and trunc_hour(t) − 1 h. Sum is
+    decimal-exact; window count scales with time span × slide, not rows."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe temporal split (purged train/test boundary)
+# ---------------------------------------------------------------------------
+
+@query(
+    "temporal_split_purged",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN ts <  TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                WHEN ts >= TIMESTAMP '2024-01-23 00:00:00' THEN 'test'
+                ELSE 'purged' END AS split
+    FROM events
+    """,
+)
+def temporal_split_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with a PURGE GAP (the forecasting-safe
+    split): training data strictly before the boundary, test data only
+    after boundary + 3 days, and the gap rows dropped — so no label window
+    that starts in train can end in test (the leakage random splits and
+    even plain temporal splits allow; the purged-CV idea from financial
+    ML applied to a corpus build). Map-only expression; contrast with
+    `corpus_split`'s hash split (exchangeable data) and
+    `split_leakage_check` (near-dup leakage) — three split disciplines,
+    each matching a data regime."""
+    cat = Catalog(spark, sf_dir)
+    return cat.events.select(
+        "event_id",
+        F.when(F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"), "train")
+        .when(F.col("ts") >= F.lit("2024-01-23 00:00:00").cast("timestamp_ntz"), "test")
+        .otherwise("purged")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (robust feature clamping)
+# ---------------------------------------------------------------------------
+
+@query(
+    "winsorize_values",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, b.p05), b.p95) AS clamped,
+           (e.value < b.p05 OR e.value > b.p95) AS was_clamped
+    FROM events e JOIN bounds b ON b.event_type = e.event_type
+    """,
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (robust feature engineering): clamp each value into its
+    group's [p05, p95] band — the standard outlier treatment before scaling
+    features for training. Exact interpolated percentiles (Spark percentile
+    == DuckDB quantile_cont bit-for-bit, proven by agg_percentile), computed
+    per group in ONE pass and broadcast back onto the stream; the clamp is
+    a map-side least/greatest. At 100 TB swap exact percentiles for
+    approx_percentile sketches — the plan shape (tiny bounds table
+    broadcast onto a scan) is unchanged."""
+    cat = Catalog(spark, sf_dir)
+    bounds = cat.events.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("p05"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
+    )
+    return (
+        cat.events.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+                "clamped"
+            ),
+            ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias(
+                "was_clamped"
+            ),
+        )
+    )
