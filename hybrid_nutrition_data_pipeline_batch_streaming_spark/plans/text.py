@@ -619,3 +619,124 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_ppm"), F.asc("w1"), F.asc("w2"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (one tokenizer-training step)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bpe_top_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT w, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ), pairs AS (
+        SELECT string_split(w, '')[i] AS left_sym,
+               string_split(w, '')[i + 1] AS right_sym,
+               freq
+        FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    )
+    SELECT left_sym, right_sym,
+           CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 20
+    """,
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training step (tokenizer north-star): count adjacent symbol
+    pairs weighted by word frequency and rank them — the argmax pair is the
+    next merge rule. The heavy lifting is word-frequency compression FIRST
+    (the classic BPE trick: pair counts come from the distinct-word table ×
+    freq, not the raw corpus — the fixture's ~30-word vocab turns millions
+    of tokens into dozens of weighted words), then a zip-shifted char-pair
+    explode over words and one partial-agg groupBy. A full BPE trainer
+    re-runs this with the winning pair merged into the symbol arrays
+    (iterative, localCheckpoint per round, like k-means); one step carries
+    the oracle because merges are deterministic given the ranking."""
+    cat = Catalog(spark, sf_dir)
+    words = (
+        cat.documents.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .where(F.length("w") >= 2)
+    )
+    chars = F.split(F.col("w"), "")
+    n1 = F.size(chars) - 1
+    pairs = F.zip_with(
+        F.slice(chars, 1, n1),
+        F.slice(chars, 2, n1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        words.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering
+# ---------------------------------------------------------------------------
+
+@query(
+    "curriculum_order",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               md5('cur:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+    ), staged AS (
+        SELECT doc_id, n_tok, shuffle_key,
+               NTILE(4) OVER (ORDER BY n_tok, doc_id) AS stage
+        FROM scored
+    )
+    SELECT doc_id, n_tok, stage,
+           ROW_NUMBER() OVER (ORDER BY stage, shuffle_key, doc_id)
+               AS curriculum_pos
+    FROM staged
+    """,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering (training-schedule north-star): rank the
+    corpus easy→hard (difficulty proxy: token count; production plugs in
+    the quality/perplexity scores), cut it into 4 ntile stages, and assign
+    each doc a deterministic position — shuffled WITHIN a stage by the md5
+    key (reproducible, resumable), ordered ACROSS stages. The output
+    position column is what a curriculum dataloader sorts by.
+
+    Scale note: the global ntile/row_number here is the exact spec; at
+    100 TB replace them with the two-pass equivalent (approx quantile cuts
+    broadcast as stage boundaries, position = stage_offset + rank within
+    stage) — same output contract, no single-task global sort."""
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    scored = cat.documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    staged = scored.withColumn(
+        "stage", F.ntile(4).over(Window.orderBy("n_tok", "doc_id"))
+    )
+    return staged.select(
+        "doc_id",
+        "n_tok",
+        "stage",
+        F.row_number()
+        .over(Window.orderBy("stage", "shuffle_key", "doc_id"))
+        .alias("curriculum_pos"),
+    )
