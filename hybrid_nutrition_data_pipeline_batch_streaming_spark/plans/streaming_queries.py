@@ -221,3 +221,30 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_sliding_live",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS TIMESTAMP)
+               AS bucket_start,
+           COUNT(*) AS event_cnt
+    FROM events, UNNEST([0, 1]) AS t(o)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation over a live stream (T6's
+    overlapping-window form): 2 h windows sliding by 1 h, so every event is
+    counted in exactly two buckets. Complete-mode drain equals the batch
+    assignment arithmetic (each event's windows start at trunc_hour(t) and
+    trunc_hour(t) − 1 h) — stream-batch parity for the third window type,
+    beside tumbling (stream_tumbling_live) and session
+    (stream_session_windows). State is bounded by watermark × slide count."""
+    from ..streaming.windows import sliding_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        sliding_counts(stream, "2 hours", "1 hour", "2 hours"),
+        output_mode="complete",
+    )

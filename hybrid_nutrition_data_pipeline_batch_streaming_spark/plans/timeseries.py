@@ -420,3 +420,58 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact z-score standardization
+# ---------------------------------------------------------------------------
+
+@query(
+    "standardize_values",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - m.sx / m.n)
+               / sqrt((m.sxx - m.sx * m.sx / m.n) / m.n) AS zscore
+    FROM events e JOIN m ON m.event_type = e.event_type
+    """,
+)
+def standardize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization with EXACT moments (feature prep):
+    Σx and Σx² accumulate in DECIMAL (the values are 2-decimal money-like,
+    so squares are exact at scale 4) — order-free, partition-proof — and
+    only the final mean/variance arithmetic runs in doubles, as one fixed
+    sequence of correctly-rounded ops both engines execute identically.
+    The naive-sum variance formula is safe HERE because the decimal sums
+    are exact (no cancellation noise); with float accumulators you'd want
+    Welford/pairwise instead. Tiny moment table broadcasts onto the scan —
+    one aggregation pass, one map-side join, linear at 100 TB."""
+    cat = Catalog(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    m = cat.events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sxx"),
+    )
+    return (
+        cat.events.join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                (F.col("value") - F.col("sx") / F.col("n"))
+                / F.sqrt(
+                    (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                    / F.col("n")
+                )
+            ).alias("zscore"),
+        )
+    )
