@@ -771,3 +771,43 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.orders.select(F.col("o_orderkey").alias("orderkey")).subtract(
         cat.lineitem.select(F.col("l_orderkey").alias("orderkey"))
     )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_orderkey AS orderkey FROM lineitem
+    EXCEPT ALL
+    SELECT o_orderkey AS orderkey FROM orders
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, §2.7's bag form): lineitem order
+    keys with per-key multiplicity reduced by the orders side — a key with
+    5 line items and 1 order row survives 4 times, which DISTINCT except
+    erases entirely. Spark plans the multiset form as an aggregate of
+    signed counts (sum_v1 - sum_v2 per key), not a join-per-duplicate —
+    one shuffle either way."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.select(F.col("l_orderkey").alias("orderkey")).exceptAll(
+        cat.orders.select(F.col("o_orderkey").alias("orderkey"))
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_orderkey AS orderkey FROM lineitem
+    INTERSECT ALL
+    SELECT o_orderkey AS orderkey FROM orders
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection): each order key appears
+    min(count_lineitem, count_orders) times — the bag semantics audits use
+    to reconcile row multiplicities across tables (DISTINCT intersect
+    can't see a dropped duplicate)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.select(F.col("l_orderkey").alias("orderkey")).intersectAll(
+        cat.orders.select(F.col("o_orderkey").alias("orderkey"))
+    )

@@ -231,7 +231,10 @@ class ParquetUpsertStore:
         manifest diff, no data I/O at all."""
         mf = self._load_manifest(v_from)
         mt = self._load_manifest(v_to)
-        return sorted(b for b in mt if mf.get(b) != mt[b])
+        # buckets present only in mf were fully emptied by a delete()
+        return sorted(
+            {b for b in mt if mf.get(b) != mt[b]} | {b for b in mf if b not in mt}
+        )
 
     def changes(self, v_from: int, v_to: int) -> DataFrame | None:
         """Row-level change feed between two committed versions (CDF).
@@ -243,8 +246,10 @@ class ParquetUpsertStore:
         against the old on the key classifies each row: ``insert`` (key
         absent before) or ``update`` (the stored row changed — a NULL-SAFE
         comparison of the full pre/post structs, so value changes that
-        carry an equal or NULL timestamp still surface). An LWW upsert
-        store never deletes, so those two cases are total. ``changes(0,
+        carry an equal or NULL timestamp still surface); a third anti-join
+        leg surfaces ``delete`` rows (key present before, gone after — the
+        ``delete()`` path), carrying the pre-image values in the data
+        columns the way Delta's CDF does. ``changes(0,
         N)`` diffs against the empty pre-commit store — the first commit
         reads as pure inserts. Returns the
         post-image plus ``change_type`` and a ``pre_image`` struct (NULL
@@ -256,13 +261,22 @@ class ParquetUpsertStore:
             return None
         mf = self._load_manifest(v_from)
         mt = self._load_manifest(v_to)
-        new = self.spark.read.parquet(
-            *[os.path.join(self._data_dir, mt[b]) for b in changed]
-        )
-        pre_type = f"struct<{','.join(f'{c}:{t}' for c, t in new.dtypes)}>"
         old_paths = [
             os.path.join(self._data_dir, mf[b]) for b in changed if b in mf
         ]
+        new_paths = [
+            os.path.join(self._data_dir, mt[b]) for b in changed if b in mt
+        ]
+        if not new_paths:
+            # every changed bucket was emptied — the diff is pure deletes
+            old_full = self.spark.read.parquet(*old_paths)
+            return old_full.select(
+                "*",
+                F.lit("delete").alias("change_type"),
+                F.struct(*[F.col(c) for c in old_full.columns]).alias("pre_image"),
+            )
+        new = self.spark.read.parquet(*new_paths)
+        pre_type = f"struct<{','.join(f'{c}:{t}' for c, t in new.dtypes)}>"
         if not old_paths:
             return new.select(
                 "*",
@@ -280,7 +294,7 @@ class ParquetUpsertStore:
             old, new[self.key] == old["__old_key"], "left"
         )
         post = F.struct(*[new[c] for c in new.columns])
-        return joined.select(
+        upserts = joined.select(
             *[new[c] for c in new.columns],
             F.when(F.col("__old_key").isNull(), F.lit("insert"))
             .when(~post.eqNullSafe(F.col("__pre")), F.lit("update"))
@@ -290,6 +304,16 @@ class ParquetUpsertStore:
             .otherwise(F.col("__pre"))
             .alias("pre_image"),
         ).where(F.col("change_type") != "unchanged")
+        deletes = old_full.join(
+            new.select(F.col(self.key).alias("__new_key")),
+            old_full[self.key] == F.col("__new_key"),
+            "left_anti",
+        ).select(
+            *[old_full[c] for c in new.columns],
+            F.lit("delete").alias("change_type"),
+            F.struct(*[old_full[c] for c in new.columns]).alias("pre_image"),
+        )
+        return upserts.unionByName(deletes)
 
     def history(self) -> list[int]:
         """Committed versions available to ``read(version=...)``,
@@ -376,6 +400,73 @@ class ParquetUpsertStore:
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         self._gc_unreferenced()
+
+    def delete(self, keys: DataFrame) -> int:
+        """Key-targeted delete (GDPR / right-to-be-forgotten): rewrite ONLY
+        the buckets the keys hash into, anti-joining them out, and commit a
+        new manifest version — O(touched buckets), never O(store). A bucket
+        left empty drops out of the manifest entirely. Time travel still
+        serves pre-delete versions until ``vacuum()`` removes them — the
+        physical-erasure step a real forgetting workflow must run (same
+        two-phase contract as Delta DELETE + VACUUM). Returns the number of
+        rows removed; no-op (no new version) when nothing matched.
+
+        Concurrency: same attempt-unique staging + put-if-absent manifest
+        commit as ``merge()`` — a racing writer loses loudly with
+        ConcurrentWriteError and the store stays consistent."""
+        key_df = keys.select(F.col(self.key)).distinct()
+        touched = sorted(
+            r[0]
+            for r in key_df.withColumn(BUCKET_COL, self._bucket())
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()
+            if r[0] is not None
+        )
+        if not touched:
+            return 0
+        version, buckets = self._current_manifest()
+        current = self._read_buckets(touched)
+        if current is None:
+            return 0
+        survivors = current.join(key_df, on=self.key, how="left_anti")
+        n_before = current.count()
+        n_after = survivors.count()
+        if n_after == n_before:
+            return 0  # nothing matched: don't burn a version
+        new_version = version + 1
+        attempt = uuid.uuid4().hex[:8]
+        stage = os.path.join(self._data_dir, f".stage-{attempt}")
+        renamed: list[str] = []
+        try:
+            (
+                survivors.withColumn(BUCKET_COL, self._bucket())
+                .repartition(len(touched), BUCKET_COL)
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(stage)
+            )
+            new_buckets = dict(buckets)
+            for b in touched:
+                stage_dir = os.path.join(stage, f"{BUCKET_COL}={b}")
+                if not os.path.isdir(stage_dir):
+                    new_buckets.pop(b, None)  # bucket fully emptied
+                    continue
+                snap = f"b{b}-v{new_version:06d}-{attempt}"
+                dst = os.path.join(self._data_dir, snap)
+                os.rename(stage_dir, dst)
+                renamed.append(dst)
+                new_buckets[b] = snap
+            try:
+                self._commit_manifest(new_version, new_buckets)
+            except ConcurrentWriteError:
+                for d in renamed:
+                    shutil.rmtree(d, ignore_errors=True)
+                raise
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        self._gc_unreferenced()
+        return n_before - n_after
 
 
 def upsert_stream(

@@ -707,3 +707,55 @@ def test_transform_with_state_v2_wiring(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+
+def test_upsert_store_delete_and_cdf(spark, tmp_path):
+    """Right-to-be-forgotten on the keyed store: delete() rewrites only the
+    touched buckets, the CDF reports the removed rows as deletes with
+    pre-images, time travel still serves the pre-delete snapshot, and
+    vacuum() is the physical-erasure step. A bucket fully emptied drops
+    out of the manifest and its keys read back as absent."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="k", ts_col="ts", n_buckets=4
+    )
+    rows = [(i, float(i), f"u{i}") for i in range(20)]
+    store.merge(spark.createDataFrame(rows, "k bigint, ts double, v string"))
+    v1 = store.history()[-1]
+
+    doomed = spark.createDataFrame([(3,), (7,), (11,)], "k bigint")
+    n = store.delete(doomed)
+    assert n == 3
+    v2 = store.history()[-1]
+    assert v2 == v1 + 1
+
+    live = {r.k for r in store.read().collect()}
+    assert live == set(range(20)) - {3, 7, 11}
+    # time travel still shows the pre-delete state
+    assert {r.k for r in store.read(version=v1).collect()} == set(range(20))
+
+    cdf = store.changes(v1, v2).collect()
+    deletes = {r.k: r for r in cdf if r.change_type == "delete"}
+    assert set(deletes) == {3, 7, 11}
+    assert all(r.pre_image is not None and r.pre_image.k == k for k, r in deletes.items())
+    assert all(r.change_type == "delete" for r in cdf)
+
+    # deleting every remaining key empties all buckets -> manifest drops them
+    rest = spark.createDataFrame([(k,) for k in live], "k bigint")
+    assert store.delete(rest) == len(live)
+    assert store.read() is None or store.read().count() == 0
+
+    # no-op delete burns no version
+    v3 = store.history()[-1]
+    assert store.delete(spark.createDataFrame([(999,)], "k bigint")) == 0
+    assert store.history()[-1] == v3
+
+    # vacuum erases the pre-delete snapshots physically
+    store.vacuum(keep_last=1)
+    import os
+
+    data = os.listdir(str(tmp_path / "store" / "data"))
+    assert all("v000001" not in d for d in data)
