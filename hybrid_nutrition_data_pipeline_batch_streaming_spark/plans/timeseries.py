@@ -475,3 +475,66 @@ def standardize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-store assembly (per-entity training features)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_user_features",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS days_active,
+               MIN(ts) AS first_seen,
+               MAX(ts) AS last_seen,
+               arg_max(event_type, ts) AS last_event_type
+        FROM events GROUP BY user_id
+    )
+    SELECT f.*, c.c_mktsegment AS segment,
+           CAST(f.n_purchases AS DOUBLE) / f.n_events AS purchase_rate
+    FROM f JOIN customer c ON c.c_custkey = f.user_id
+    """,
+)
+def pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store assembly (the training-table build): per-user
+    behavioral features — event volume, purchase/error conditional counts,
+    decimal-exact monetary total, active-day count, recency bounds,
+    last-event state via max_by — joined with the broadcast customer
+    dimension and finished with derived ratios. ONE partial-aggregated
+    groupBy over the fact stream + one broadcast join: the canonical
+    wide-feature plan (every feature is an aggregate expression in the
+    same pass — adding features never adds passes). max_by ties cannot
+    occur (event timestamps are unique per user in the fixture); at 100 TB
+    the same statement backs a point-in-time-correct feature table by
+    adding the as-of filter (`join_asof`) before the aggregation."""
+    cat = Catalog(spark, sf_dir)
+    f = cat.events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        F.count_distinct(F.col("ts").cast("date")).alias("days_active"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.expr("max_by(event_type, ts)").alias("last_event_type"),
+    )
+    dim = cat.customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return f.join(F.broadcast(dim), "user_id").select(
+        "*"
+    ).withColumn(
+        "purchase_rate", F.col("n_purchases").cast("double") / F.col("n_events")
+    )
