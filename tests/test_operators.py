@@ -527,3 +527,37 @@ def test_retrieval_contracts(spark):
     scores = [r.score_ppm for r in ranked]
     assert scores == sorted(scores, reverse=True)
     assert all(1 <= r.terms_hit <= 3 for r in ranked)
+
+
+def test_bpe_trainer_matches_python_reference(spark):
+    """The distributed BPE trainer's merge sequence equals the pure-Python
+    greedy reference (same tie-break) on the fixture word table, total
+    symbol count decreases monotonically, and merged symbols reconstruct
+    the original words exactly."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_python,
+    )
+
+    words = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    word_list = [(r.w, r.freq) for r in words.collect()]
+
+    merges, final = train_bpe(words, n_merges=10)
+    expected = train_bpe_python(word_list, n_merges=10)
+    assert merges == expected
+    assert len(merges) == 10
+
+    rows = final.collect()
+    # merging never alters content: stripping separators rebuilds the words
+    got_words = sorted(r.syms.replace(" ", "") for r in rows)
+    assert got_words == sorted(w for w, _ in word_list)
+    # and strictly compresses the symbol stream
+    n_final = sum(len(r.syms.split(" ")) * r.freq for r in rows)
+    n_chars = sum(len(w) * f for w, f in word_list)
+    assert n_final < n_chars
