@@ -236,3 +236,37 @@ def test_int8_quantization_error_bound(spark, vec):
     assert all(-127 <= c <= 127 for c in row.q)
     for x, c in zip(row.e, row.q):
         assert abs(x - c * (scale or 0.0)) <= (scale or 0.0) / 2 + 1e-12
+
+
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=2, max_size=8),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@FAST
+def test_bpe_merge_regex_matches_python_greedy(spark, words, n_merges):
+    """The JVM regexp merge (' l r(?= )' lookahead) must reproduce greedy
+    left-to-right non-overlapping merging for ANY word shapes — repeats
+    like 'aaaa' (merge to 'aa aa', not 'aa a a') are exactly the
+    overlap case the lookahead exists for."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_python,
+    )
+
+    # dedupe words (groupBy in the distributed path would merge them anyway)
+    uniq: dict[str, int] = {}
+    for w, f in words:
+        uniq[w] = uniq.get(w, 0) + f
+    word_list = sorted(uniq.items())
+    df = spark.createDataFrame(word_list, "w string, freq long")
+    merges, final = train_bpe(df, n_merges=n_merges)
+    assert merges == train_bpe_python(word_list, n_merges=n_merges)
+    got = sorted(r.syms.replace(" ", "") for r in final.collect())
+    assert got == sorted(w for w, _ in word_list)
