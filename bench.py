@@ -75,6 +75,7 @@ HEADLINE = [
     "graph_triangles",
     "phrase_search",
     "text_search_rank",
+    "pipeline_user_features",
 ]
 
 
