@@ -321,3 +321,35 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.doc_b").alias("c"),
         )
     )
+
+
+def _degrees_oracle() -> str:
+    edges_sql = ORACLE["dedup_minhash_banded"].strip()
+    return f"""
+    WITH E AS (SELECT doc_a, doc_b FROM ({edges_sql}) pairs),
+    und AS (
+        SELECT doc_a AS node FROM E
+        UNION ALL
+        SELECT doc_b AS node FROM E
+    ), deg AS (
+        SELECT node, COUNT(*) AS degree FROM und GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """
+
+
+@query("graph_degrees", oracle=_degrees_oracle())
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph (the first thing to look
+    at before running CC/PageRank at scale: a heavy-tailed distribution
+    predicts skewed joins and drives the salting/degree-ordering choices
+    the other graph ops document). Edge endpoints union → ONE
+    partial-agg count per node → one tiny re-aggregation into the
+    histogram; output size is bounded by the max degree, not the graph."""
+    edges = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    und = edges.select(F.col("doc_a").alias("node")).unionAll(
+        edges.select(F.col("doc_b").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes"))

@@ -408,3 +408,116 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "corr_matrix",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+        FROM lineitem
+    )
+    SELECT n,
+           (sqp - sq * sp / n)
+               / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n))
+               AS corr_qty_price,
+           (sqd - sq * sd / n)
+               / (sqrt(sqq - sq * sq / n) * sqrt(sdd - sd * sd / n))
+               AS corr_qty_discount,
+           (spd - sp * sd / n)
+               / (sqrt(spp - sp * sp / n) * sqrt(sdd - sd * sd / n))
+               AS corr_price_discount
+    FROM m
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations for the dataset card — with EXACT
+    moments: all sums and cross-products accumulate in DECIMAL (2-decimal
+    inputs square exactly at scale 4), so every moment is order-free, and
+    the final correlation arithmetic is one fixed sequence of
+    correctly-rounded double ops both engines execute identically (the
+    same discipline as `standardize_values`; a float-accumulated corr()
+    differs across partitionings in the low bits and would never
+    hash-match). ONE aggregation pass produces the full moment matrix —
+    adding columns adds expressions, not passes."""
+    cat = Catalog(spark, sf_dir)
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    m = cat.lineitem.agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * p).cast("double").alias("sqp"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(p * d).cast("double").alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        return (F.col(sxy) - F.col(sx) * F.col(sy) / n) / (
+            F.sqrt(F.col(sxx) - F.col(sx) * F.col(sx) / n)
+            * F.sqrt(F.col(syy) - F.col(sy) * F.col(sy) / n)
+        )
+
+    return m.select(
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_discount"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_discount"),
+    )
+
+
+@query(
+    "checksum_buckets",
+    oracle="""
+    SELECT CAST(l_orderkey % 16 AS INT) AS bucket,
+           COUNT(*) AS row_cnt,
+           CAST(SUM(CAST(('0x' || substr(md5(
+                CAST(l_orderkey AS VARCHAR) || '|' ||
+                CAST(l_linenumber AS VARCHAR) || '|' ||
+                CAST(l_quantity AS VARCHAR) || '|' || l_returnflag
+           ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed table fingerprints (`table_checksum`'s divergence-LOCALIZING
+    form): one checksum per key bucket, so reconciling two 100 TB replicas
+    that disagree narrows to re-copying the mismatched buckets instead of
+    the table — the anti-entropy / Merkle-level-1 pattern. Same exact
+    BIGINT word-sum per bucket; one partial-agg shuffle on a 16-value
+    key."""
+    cat = Catalog(spark, sf_dir)
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_returnflag"),
+    )
+    word = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return (
+        cat.lineitem.groupBy((F.col("l_orderkey") % 16).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("row_cnt"), F.sum(word).alias("checksum"))
+    )
