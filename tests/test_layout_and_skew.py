@@ -421,3 +421,30 @@ def test_schema_evolution_merge_and_missing_columns(spark, tmp_path):
     # default's nondeterminism is documented behavior, not a surprise
     plain = spark.read.parquet(path)
     assert set(plain.columns) <= {"id", "name", "score"}
+
+
+def test_corrupt_file_quarantine_on_scan(spark, tmp_path):
+    """A corrupted parquet object inside a scan directory must be skippable
+    (ignoreCorruptFiles) without losing the healthy files' rows — the
+    bad-object reality of a 100 TB object-store scan. Default behavior
+    (fail loudly) is pinned too: silent skipping must be an explicit
+    opt-in, never a surprise."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "mixed")
+    src = spark.read.parquet(f"{SF}/nation.parquet")
+    src.coalesce(1).write.parquet(path)
+    import os
+
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+
+    # default: the scan fails loudly on the bad object
+    with _pytest.raises(Exception):
+        spark.read.parquet(path).count()
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(path).count() == src.count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
