@@ -1347,3 +1347,162 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("label"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified top-k (retrieval diversification)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 10
+MMR_PICKS = 3
+
+
+def _mmr_oracle() -> str:
+    lam, om = MMR_LAMBDA, round(1 - MMR_LAMBDA, 2)
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < {N_QUERIES}
+    ), ranked AS (
+        SELECT query_id, cand_id, ce, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rank
+        FROM (
+            SELECT q.query_id, c.vec_id AS cand_id, c.e AS ce,
+                   {_cos_sql('q.qe', 'c.e')} AS cosine
+            FROM q JOIN base c ON c.vec_id <> q.query_id
+        )
+    ), short AS (
+        SELECT * FROM ranked WHERE rank <= {MMR_SHORTLIST}
+    ), s1 AS (
+        SELECT query_id, cand_id, ce, {lam} * cosine AS mmr_score
+        FROM short WHERE rank = 1
+    ), r2 AS (
+        SELECT c.query_id, c.cand_id, c.ce,
+               {lam} * c.cosine - {om} * {_cos_sql('c.ce', 's1.ce')} AS mmr_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {lam} * c.cosine
+                            - {om} * {_cos_sql('c.ce', 's1.ce')} DESC,
+                            c.cand_id) AS pick
+        FROM short c JOIN s1 ON s1.query_id = c.query_id
+        WHERE c.rank > 1
+    ), s2 AS (
+        SELECT query_id, cand_id, ce, mmr_score FROM r2 WHERE pick = 1
+    ), r3 AS (
+        SELECT c.query_id, c.cand_id,
+               {lam} * c.cosine
+                   - {om} * greatest({_cos_sql('c.ce', 's1.ce')},
+                                     {_cos_sql('c.ce', 's2.ce')}) AS mmr_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {lam} * c.cosine
+                            - {om} * greatest({_cos_sql('c.ce', 's1.ce')},
+                                              {_cos_sql('c.ce', 's2.ce')}) DESC,
+                            c.cand_id) AS pick
+        FROM short c
+        JOIN s1 ON s1.query_id = c.query_id
+        JOIN s2 ON s2.query_id = c.query_id
+        WHERE c.rank > 1 AND c.cand_id <> s2.cand_id
+    )
+    SELECT query_id, cand_id, mmr_score, 1 AS pick_rank FROM s1
+    UNION ALL
+    SELECT query_id, cand_id, mmr_score, 2 AS pick_rank FROM s2
+    UNION ALL
+    SELECT query_id, cand_id, mmr_score, 3 AS pick_rank FROM r3 WHERE pick = 1
+    """
+
+
+@query("similarity_mmr", oracle=_mmr_oracle())
+def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (the RAG-serving
+    diversifier): greedily pick {MMR_PICKS} results per query maximizing
+    λ·sim(q,c) − (1−λ)·max_sim(c, already-picked) — relevant AND mutually
+    dissimilar, where plain top-k returns near-duplicates of one document.
+    Greedy selection is inherently sequential, so the {MMR_PICKS} rounds
+    are UNROLLED into one lazy plan (the `graph_pagerank` technique): each
+    round is a window argmax over the per-query shortlist joined with the
+    prior picks; the shortlist (exact top-{MMR_SHORTLIST}) is persisted
+    once and bounds every round's work at queries × {MMR_SHORTLIST}. All
+    scoring is the same fixed-order fold arithmetic as the other
+    similarity tiers — bit-identical across engines. At 100 TB the
+    shortlist comes from the ANN tiers; the MMR rounds never touch the
+    corpus again."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    lam, om = MMR_LAMBDA, round(1 - MMR_LAMBDA, 2)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("qe")
+    ).withColumn("qn", _norm(F.col("qe")))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), _to_double(F.col("embedding")).alias("ce")
+    ).withColumn("cn", _norm(F.col("ce")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    short = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "ce",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= MMR_SHORTLIST)
+        .persist()
+    )
+    s1 = short.where(F.col("rank") == 1).select(
+        "query_id",
+        F.col("cand_id").alias("s1_id"),
+        F.col("ce").alias("s1e"),
+        (F.lit(lam) * F.col("cosine")).alias("s1_score"),
+    )
+    rest = short.where(F.col("rank") > 1)
+    sim_s1 = _dot(F.col("ce"), F.col("s1e")) / (_norm(F.col("ce")) * _norm(F.col("s1e")))
+    r2 = (
+        rest.join(s1, "query_id")
+        .withColumn("mmr_score", F.lit(lam) * F.col("cosine") - F.lit(om) * sim_s1)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("mmr_score"), F.asc("cand_id"))
+    s2 = (
+        r2.withColumn("pick", F.row_number().over(w2))
+        .where(F.col("pick") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("s2_id"),
+            F.col("ce").alias("s2e"),
+            F.col("mmr_score").alias("s2_score"),
+        )
+    )
+    sim_s2 = _dot(F.col("ce"), F.col("s2e")) / (_norm(F.col("ce")) * _norm(F.col("s2e")))
+    r3 = (
+        rest.join(s1.select("query_id", "s1e"), "query_id")
+        .join(s2.select("query_id", "s2_id", "s2e"), "query_id")
+        .where(F.col("cand_id") != F.col("s2_id"))
+        .withColumn(
+            "mmr_score",
+            F.lit(lam) * F.col("cosine") - F.lit(om) * F.greatest(sim_s1, sim_s2),
+        )
+        .withColumn("pick", F.row_number().over(w2))
+        .where(F.col("pick") == 1)
+    )
+    out1 = s1.select(
+        "query_id",
+        F.col("s1_id").alias("cand_id"),
+        F.col("s1_score").alias("mmr_score"),
+        F.lit(1).alias("pick_rank"),
+    )
+    out2 = s2.select(
+        "query_id",
+        F.col("s2_id").alias("cand_id"),
+        F.col("s2_score").alias("mmr_score"),
+        F.lit(2).alias("pick_rank"),
+    )
+    out3 = r3.select(
+        "query_id", "cand_id", "mmr_score", F.lit(3).alias("pick_rank")
+    )
+    return out1.unionByName(out2).unionByName(out3)

@@ -561,3 +561,25 @@ def test_bpe_trainer_matches_python_reference(spark):
     n_final = sum(len(r.syms.split(" ")) * r.freq for r in rows)
     n_chars = sum(len(w) * f for w, f in word_list)
     assert n_final < n_chars
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """MMR picks are unique per query, the first pick equals the exact
+    rank-1 neighbor, and diversification actually bites: for at least one
+    query the MMR set differs from the plain top-3."""
+    mmr = plans.QUERIES["similarity_mmr"](spark, SF).collect()
+    by_q: dict[int, dict[int, int]] = {}
+    for r in mmr:
+        by_q.setdefault(r.query_id, {})[r.pick_rank] = r.cand_id
+    topk = plans.QUERIES["similarity_topk"](spark, SF).collect()
+    top_by_q: dict[int, dict[int, int]] = {}
+    for r in topk:
+        top_by_q.setdefault(r.query_id, {})[r.rank] = r.neighbor_id
+    assert set(by_q) == set(top_by_q)
+    diverged = 0
+    for qid, picks in by_q.items():
+        assert len(picks) == 3 and len(set(picks.values())) == 3
+        assert picks[1] == top_by_q[qid][1]  # first pick = pure relevance
+        if {picks[2], picks[3]} != {top_by_q[qid][2], top_by_q[qid][3]}:
+            diverged += 1
+    assert diverged > 0
