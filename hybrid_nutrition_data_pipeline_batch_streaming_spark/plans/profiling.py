@@ -521,3 +521,83 @@ def checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.lineitem.groupBy((F.col("l_orderkey") % 16).cast("int").alias("bucket"))
         .agg(F.count("*").alias("row_cnt"), F.sum(word).alias("checksum"))
     )
+
+
+@query(
+    "corpus_drift_tv",
+    oracle="""
+    WITH tok AS (
+        SELECT CASE WHEN (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 < 230
+                    THEN 'train' ELSE 'heldout' END AS split,
+               unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), c AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(SUM(CASE WHEN split = 'heldout' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+        FROM tok WHERE t <> '' GROUP BY t
+    ), n AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+               COUNT(*) AS vocab
+        FROM c
+    )
+    SELECT n.n1 AS n_train, n.n2 AS n_heldout, n.vocab,
+           CAST(SUM(CAST(abs(c.c1 * n.n2 - c.c2 * n.n1) AS HUGEINT)) * 1000000
+                // (2 * CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS tv_ppm
+    FROM c CROSS JOIN n
+    GROUP BY n.n1, n.n2, n.vocab
+    """,
+)
+def corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift detection: total-variation distance between the token
+    distributions of two corpus slices (here the md5 train split vs the
+    held-out rest) — ½·Σ|p(t)−q(t)| in EXACT integer arithmetic:
+    |c₁·N₂ − c₂·N₁| cross-multiplied counts avoid any float probability,
+    the sum is a BIGINT reduce, and the ppm division happens once. TV = 0
+    means identical distributions; a monitoring job alerts on drift
+    between corpus snapshots (the train/serving-skew check, or tokenizer
+    re-training trigger). ONE token pass with a conditional aggregation
+    produces both distributions; the vocabulary-sized table reduces to a
+    single row. Use DECIMAL(38,0) accumulators past ~10¹² tokens."""
+    cat = Catalog(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    tok = cat.documents.select(
+        F.when(bucket < 230, "train").otherwise("heldout").alias("split"),
+        F.explode(F.split(F.col("text"), " ")).alias("t"),
+    ).where(F.col("t") != "")
+    c = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("split") == "heldout", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    n = c.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.count("*").alias("vocab"),
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2", "vocab")
+        .agg(
+            F.expr(
+                "cast(sum(abs(cast(c1 as decimal(38,0)) * n2"
+                " - cast(c2 as decimal(38,0)) * n1)) * 1000000"
+                " div (2 * cast(first(n1) as decimal(38,0)) * first(n2)) as bigint)"
+            ).alias("tv_ppm")
+        )
+        .select(
+            F.col("n1").alias("n_train"),
+            F.col("n2").alias("n_heldout"),
+            "vocab",
+            "tv_ppm",
+        )
+    )
