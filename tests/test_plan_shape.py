@@ -359,3 +359,32 @@ def test_topk_per_group_uses_window_group_limit(spark):
     sorting k rows and sorting the whole partition at 100 TB."""
     plan = _plan(spark, "topk_per_group")
     assert "WindowGroupLimit" in plan
+
+
+def test_fact_fact_join_strategy_controls(spark):
+    """Fact-to-fact joins (both sides beyond broadcast): Spark's default is
+    SortMergeJoin; the shuffle_hash hint flips to ShuffledHashJoin (no sort
+    — wins when one side is moderately sized and memory allows). Both
+    produce identical counts — the strategy surface a tuner actually uses
+    at 100 TB, pinned."""
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = spark.read.parquet(f"{SF}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        smj = li.join(o, li.l_orderkey == o.o_orderkey)
+        p1 = smj._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p1 and "BroadcastHashJoin" not in p1
+
+        shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        p2 = shj._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in p2
+        assert smj.count() == shj.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
