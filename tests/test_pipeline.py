@@ -192,3 +192,103 @@ def test_observed_quality_counters_match_direct_aggregates(raw):
     }
     assert got == expected
     assert got["rows"] > 0  # the fixture's valid rows actually flowed
+
+
+def test_incremental_corpus_snapshot_pipeline(spark, tmp_path):
+    """The rolling corpus build, end to end: a curated snapshot lives in the
+    keyed store; each arriving batch is deduped AGAINST THE SNAPSHOT (banded
+    minhash probe — index-side work only for touched band buckets), the
+    accepted docs merge in as a new version, and the change feed maintains a
+    downstream token-count aggregate incrementally — landing exactly on the
+    full recompute. This is the composition the per-operator queries
+    (dedup_incremental, upsert store, CDF/IVM) exist for."""
+    from pyspark.sql import functions as F
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.dedup import (
+        N_MINHASHES,
+        _minhash,
+        _shingles,
+    )
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    def sig(df):
+        return (
+            df.select("doc_id", "text", _shingles(F.col("text")).alias("sh"))
+            .withColumn("dg", F.transform(F.col("sh"), F.md5))
+            .select(
+                "doc_id",
+                "text",
+                "sh",
+                *[_minhash(F.col("dg"), k).alias(f"mh{k}") for k in range(N_MINHASHES)],
+            )
+        )
+
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "corpus"), key="doc_id", ts_col="ingested_at", n_buckets=4
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    snapshot = spark.createDataFrame(
+        [(i, f"{base} doc{i} " + base, 1.0) for i in range(10)],
+        "doc_id bigint, text string, ingested_at double",
+    )
+    store.merge(snapshot)
+    v1 = store.history()[-1]
+
+    # batch B: 2 near-dups of snapshot docs (one-token edits) + 2 fresh docs
+    batch = spark.createDataFrame(
+        [
+            (100, f"{base} doc0 " + base.replace("kappa", "lambda"), 2.0),  # ~dup of 0
+            (101, f"{base} doc3 " + base.replace("alpha", "omega"), 2.0),   # ~dup of 3
+            (102, "completely different words entirely novel content here", 2.0),
+            (103, "another unrelated fresh document with new tokens only", 2.0),
+        ],
+        "doc_id bigint, text string, ingested_at double",
+    )
+
+    # probe: banded candidates new×snapshot, exact-Jaccard verify
+    seen = sig(store.read())
+    new = sig(batch)
+    cand = None
+    for cols in (("mh0", "mh1"), ("mh2", "mh3")):
+        n, s = new.alias("n"), seen.alias("s")
+        cond = (F.col(f"n.{cols[0]}") == F.col(f"s.{cols[0]}")) & (
+            F.col(f"n.{cols[1]}") == F.col(f"s.{cols[1]}")
+        )
+        piece = n.join(s, cond).select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("n.sh").alias("sh_n"),
+            F.col("s.sh").alias("sh_s"),
+        )
+        cand = piece if cand is None else cand.unionByName(piece)
+    jac = F.size(F.array_intersect("sh_n", "sh_s")).cast("double") / F.size(
+        F.array_union("sh_n", "sh_s")
+    )
+    dup_ids = {
+        r.new_id
+        for r in cand.where(jac >= 0.5).select("new_id").distinct().collect()
+    }
+    assert dup_ids == {100, 101}  # the probe catches exactly the near-dups
+
+    accepted = batch.where(~F.col("doc_id").isin(list(dup_ids)))
+    store.merge(accepted)
+    v2 = store.history()[-1]
+    assert {r.doc_id for r in store.read().collect()} == set(range(10)) | {102, 103}
+
+    # CDF-driven incremental maintenance of a token-count aggregate
+    def token_counts(df):
+        return (
+            df.select(F.explode(F.split("text", " ")).alias("t"))
+            .where(F.col("t") != "")
+            .groupBy("t")
+            .agg(F.count("*").alias("c"))
+        )
+
+    maintained = {r.t: r.c for r in token_counts(store.read(version=v1)).collect()}
+    cdf = store.changes(v1, v2)
+    assert {r.change_type for r in cdf.collect()} == {"insert"}
+    for r in token_counts(cdf.where(F.col("change_type") == "insert")).collect():
+        maintained[r.t] = maintained.get(r.t, 0) + r.c
+    full = {r.t: r.c for r in token_counts(store.read()).collect()}
+    assert maintained == full
