@@ -91,14 +91,23 @@ def _discard(messages) -> None:
 
 
 class _StoreBatchWriter(DataSourceWriter):
+    """One writer instance = one logical batch write: the commit id is
+    minted per instance, so repeated ``save()`` calls APPEND new batch dirs
+    (a fixed marker name would make the second save a silent no-op — the
+    idempotency marker exists for STREAMING replays, which key on Spark's
+    own batchId, not for independent batch jobs)."""
+
     def __init__(self, base: str):
         self._base = base
+        self._write_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _StagedFile:
         return _stage_rows(self._base, iterator)
 
     def commit(self, messages) -> None:
-        _promote(self._base, messages, "batch-final", "final")
+        _promote(
+            self._base, messages, f"batch-{self._write_id}", self._write_id
+        )
 
     def abort(self, messages) -> None:
         _discard(messages)

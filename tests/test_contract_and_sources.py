@@ -492,11 +492,19 @@ def test_python_datasource_sink_batch_and_stream_exactly_once(spark, tmp_path):
     ).save()
     import os
 
-    assert os.path.exists(os.path.join(batch_store, "_commits", "final"))
+    assert len(os.listdir(os.path.join(batch_store, "_commits"))) == 1
     assert not os.listdir(os.path.join(batch_store, ".staging"))
     got = read_store(spark, batch_store)
     assert got.count() == src.count()
     assert {r.n_name for r in got.collect()} == {r.n_name for r in src.collect()}
+
+    # a SECOND independent batch save must append (per-write commit ids) —
+    # a fixed marker would silently discard it
+    src.limit(3).write.format("json_store").option("path", batch_store).mode(
+        "append"
+    ).save()
+    assert read_store(spark, batch_store).count() == src.count() + 3
+    assert len(os.listdir(os.path.join(batch_store, "_commits"))) == 2
 
     # --- streaming writer: exactly-once drain + idempotent commit ---
     stream_store = str(tmp_path / "stream_store")
