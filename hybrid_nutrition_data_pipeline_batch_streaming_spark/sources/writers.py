@@ -181,6 +181,19 @@ def compact_files(
         if s.isFile() and s.getPath().getName().startswith("part-")
     ]
     files_before = len(part_files)
+    if files_before == 0:
+        # A hive-partitioned dir has no top-level part files; rewriting it
+        # here would FLATTEN the partitioning. Compact each leaf instead.
+        subdirs = [s.getPath().getName() for s in statuses if s.isDirectory()]
+        raise ValueError(
+            f"{path} has no top-level part files"
+            + (
+                f" (partition dirs: {subdirs[:3]}…) — run compact_files on "
+                "each leaf partition directory"
+                if subdirs
+                else ""
+            )
+        )
     total_bytes = sum(s.getLen() for s in part_files)
     n_out = max(1, math.ceil(total_bytes / target_bytes))
     if n_out >= files_before:

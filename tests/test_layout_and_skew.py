@@ -448,3 +448,23 @@ def test_corrupt_file_quarantine_on_scan(spark, tmp_path):
         assert spark.read.parquet(path).count() == src.count()
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_compaction_refuses_partitioned_dirs(spark, tmp_path):
+    """compact_files on a hive-partitioned directory must refuse loudly —
+    a flat rewrite would silently destroy the partitioning."""
+    import pytest as _pytest
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.writers import (
+        compact_files,
+    )
+
+    path = str(tmp_path / "parted")
+    (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(path)
+    )
+    with _pytest.raises(ValueError, match="partition dirs"):
+        compact_files(spark, path)
