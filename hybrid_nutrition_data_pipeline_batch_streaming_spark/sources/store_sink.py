@@ -114,6 +114,12 @@ class _StoreBatchWriter(DataSourceWriter):
 
 
 class _StoreStreamWriter(DataSourceStreamWriter):
+    """Streaming commits are keyed by Spark's batchId, which is unique per
+    CHECKPOINT — so one store path serves ONE streaming query (two streams
+    would collide on batch 0's marker and the second would silently discard
+    its first batch). Multi-stream fan-in goes through separate paths or
+    the keyed upsert store, same single-writer contract as that store."""
+
     def __init__(self, base: str):
         self._base = base
 
