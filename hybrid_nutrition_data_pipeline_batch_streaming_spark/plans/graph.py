@@ -353,3 +353,46 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = und.groupBy("node").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes"))
+
+
+def _cluster_report_oracle() -> str:
+    return f"""
+    WITH cc AS ({_cc_oracle().strip()})
+    SELECT cc.cluster_rep,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           MIN(d.doc_id) AS min_doc_id,
+           MAX(d.doc_id) AS max_doc_id
+    FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    GROUP BY cc.cluster_rep
+    HAVING COUNT(*) >= 2
+    """
+
+
+@query("dedup_cluster_report", oracle=_cluster_report_oracle())
+def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REVIEW report (what a data curator actually reads before
+    signing off a dedup pass): per multi-document near-dup cluster — size,
+    language spread (cross-language clusters flag translation/boilerplate
+    families), byte mass reclaimed by keeping one survivor, and the id
+    range. One equi-join of the CC labels onto the corpus metadata + one
+    cluster-keyed aggregation; singletons excluded (nothing to review).
+    Companion to `dedup_keep_best` (which picks the survivor) and
+    `split_leakage_check` (which audits the split)."""
+    from ..catalog import Catalog
+
+    cc = dedup_connected_components(spark, sf_dir).select("doc_id", "cluster_rep")
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "lang", "n_chars")
+    return (
+        cc.join(docs, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("cluster_size") >= 2)
+    )

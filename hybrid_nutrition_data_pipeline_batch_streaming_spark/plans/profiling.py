@@ -601,3 +601,40 @@ def corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tv_ppm",
         )
     )
+
+
+@query(
+    "histogram_equidepth",
+    oracle="""
+    WITH b AS (
+        SELECT value,
+               NTILE(8) OVER (ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile buckets — equal counts, data-driven
+    boundaries): the complement of `histogram_value`'s fixed-width form and
+    what optimizers/profilers actually store for skewed columns (uniform
+    widths waste buckets on empty ranges). Exact spec via a global ntile
+    with a deterministic tie-break; the 100 TB form replaces it with
+    approx_percentile cut points broadcast as boundaries (same output
+    contract, no global sort) — the same two-pass note as
+    `curriculum_order`."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.orderBy("value", "event_id")
+    return (
+        cat.events.select("value", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
