@@ -126,3 +126,27 @@ def train_bpe_python(words: list[tuple[str, int]], n_merges: int) -> list[tuple[
                     j += 1
             table[i] = (out, f)
     return merges
+
+
+def encode_with_merges(df: DataFrame, merges: list[tuple[str, str]], text_col: str = "w") -> DataFrame:
+    """Apply learned merge rules to new text — the ENCODE half of the
+    tokenizer (train on the corpus once, encode everything forever). The
+    k rules chain as k regexp_replace expressions inside ONE projection
+    (no loop actions, no Python): Catalyst folds them into a single
+    codegen'd stage, so encoding cost is one map pass however many rules
+    exist. Returns (original column, bpe_tokens array, n_bpe_tokens)."""
+    col = F.concat_ws(" ", F.split(F.col(text_col), ""))
+    for l, r in merges:
+        col = F.btrim(
+            F.regexp_replace(
+                F.concat(F.lit(" "), col, F.lit(" ")),
+                f" {re.escape(l)} {re.escape(r)}(?= )",
+                f" {l}{r}",
+            )
+        )
+    toks = F.split(col, " ")
+    return df.select(
+        F.col(text_col),
+        toks.alias("bpe_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+    )

