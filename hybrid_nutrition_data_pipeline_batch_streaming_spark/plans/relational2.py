@@ -469,3 +469,42 @@ def filter_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (the SQL-standard per-row top-N): for
+    every customer, their two most expensive orders — the correlated form
+    BI tools emit, distinct from the window-function rewrite
+    (`topk_per_group`). Spark 4 plans the lateral as a decorrelated join +
+    per-key limit; both engines agree on the deterministic tie-break.
+    Customers with no orders produce no rows (inner lateral)."""
+    cat = Catalog(spark, sf_dir)
+    cat.customer.createOrReplaceTempView("_lat_customer")
+    cat.orders.createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM _lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        """
+    )
