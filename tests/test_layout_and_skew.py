@@ -468,3 +468,51 @@ def test_compaction_refuses_partitioned_dirs(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="partition dirs"):
         compact_files(spark, path)
+
+
+def test_bucket_checksums_localize_replica_divergence(spark, tmp_path):
+    """Anti-entropy end-to-end: copy a table, corrupt ONE row in the
+    replica, and the per-bucket fingerprints disagree in exactly the
+    bucket that row hashes to — reconciliation re-copies one bucket, not
+    the table. (The query form is `checksum_buckets`; this drives the same
+    arithmetic over two physical copies.)"""
+    src_path = str(tmp_path / "src")
+    rep_path = str(tmp_path / "rep")
+    src = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    src.write.parquet(src_path)
+    # replica with one value flipped on one row
+    (
+        spark.read.parquet(src_path)
+        .withColumn(
+            "l_quantity",
+            F.when(
+                (F.col("l_orderkey") == 1) & (F.col("l_linenumber") == 3),
+                F.col("l_quantity") + 1,
+            ).otherwise(F.col("l_quantity")),
+        )
+        .write.parquet(rep_path)
+    )
+
+    def checksums(path):
+        canon = F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_quantity").cast("string"),
+            F.col("l_returnflag"),
+        )
+        word = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+        return {
+            r.bucket: (r.row_cnt, r.checksum)
+            for r in spark.read.parquet(path)
+            .groupBy((F.col("l_orderkey") % 16).cast("int").alias("bucket"))
+            .agg(F.count("*").alias("row_cnt"), F.sum(word).alias("checksum"))
+            .collect()
+        }
+
+    a, b = checksums(src_path), checksums(rep_path)
+    diverged = [k for k in a if a[k] != b[k]]
+    assert diverged == [1 % 16]  # exactly the corrupted row's bucket
+    assert all(a[k][0] == b[k][0] for k in a)  # counts agree; values differ
