@@ -855,3 +855,61 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cluster_size") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-wise deterministic reshuffle
+# ---------------------------------------------------------------------------
+
+N_EPOCHS = 2
+
+
+@query(
+    "epoch_shuffle",
+    oracle=f"""
+    WITH e AS (
+        SELECT doc_id, epoch,
+               md5('epoch' || CAST(epoch AS VARCHAR) || ':'
+                   || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents, UNNEST(generate_series(0, {N_EPOCHS - 1})) AS t(epoch)
+    )
+    SELECT doc_id, CAST(epoch AS INT) AS epoch,
+           ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+               AS position
+    FROM e
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic reshuffling (the training-dataloader order):
+    each epoch ranks every document by md5('epoch{{i}}:' || doc_id) — a
+    different but fully reproducible permutation per epoch, no RNG state to
+    checkpoint, resumable mid-epoch from (epoch, position). This is the
+    multi-epoch companion of `corpus_split`'s shuffle key and
+    `curriculum_order`'s staged ordering; the three compose (shuffle within
+    curriculum stage within epoch) without interference because every key
+    is an independent keyed hash.
+
+    The exact global row_number is the spec; at 100 TB the standard
+    realization sorts by the hash key directly (no rank materialized) or
+    assigns position = partition_offset + local rank after a range
+    partition on the key — same contract, no single-task sort."""
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    epochs = spark.range(N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    e = cat.documents.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(
+                F.lit("epoch"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("k"),
+    )
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return e.select(
+        "doc_id", "epoch", F.row_number().over(w).alias("position")
+    )
