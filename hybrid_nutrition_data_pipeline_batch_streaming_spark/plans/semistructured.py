@@ -425,3 +425,31 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("sq_norm"),
     )
+
+
+@query(
+    "explode_outer_tokens",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> len(x) > 7) AS arr
+        FROM documents
+    )
+    SELECT doc_id, u.tok
+    FROM t, UNNEST(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END) AS u(tok)
+    """,
+)
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer vs explode (the flatten null-semantics corner, F5/U3):
+    a row whose array is EMPTY survives outer explosion with a NULL element
+    where plain explode silently drops it — the difference between "this
+    document has no long tokens" being a fact in the output and the
+    document vanishing from a report. The length-8 filter leaves most docs
+    non-empty and a meaningful minority empty, so both branches are exercised; the
+    DuckDB twin realizes OUTER via the [NULL]-substitution rewrite (the
+    portable form). Map-side generator, zero shuffle."""
+    cat = Catalog(spark, sf_dir)
+    arr = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 7)
+    return cat.documents.select(
+        "doc_id", F.explode_outer(arr).alias("tok")
+    )
