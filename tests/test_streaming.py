@@ -759,3 +759,59 @@ def test_upsert_store_delete_and_cdf(spark, tmp_path):
 
     data = os.listdir(str(tmp_path / "store" / "data"))
     assert all("v000001" not in d for d in data)
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Watermark semantics, pinned end-to-end: after the watermark passes a
+    window's end, a late row for that window is DROPPED (append mode) —
+    the state-bounding contract that makes unbounded streams safe at
+    100 TB/day. Batch 1 carries the window's on-time rows plus a
+    far-future row that advances the watermark past the window end;
+    batch 2 replays a late row into the closed window. The finalized
+    window must count only the on-time rows, and must never re-emit."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "wm_src")
+    schema = "ts timestamp, k string"
+
+    def add_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    add_batch([(t, "a"), (t + dt.timedelta(minutes=30), "b"),
+               (t + dt.timedelta(hours=3), "future")])
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("w_start"), "cnt")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is now 12:00 (13:00 max event time - 1h); the 10:00
+        # window finalized and emitted with its two on-time rows
+        got = {r.w_start: r.cnt for r in spark.sql("SELECT * FROM wm_late").collect()}
+        assert got[t] == 2
+
+        # a LATE row into the closed window + more future data
+        add_batch([(t + dt.timedelta(minutes=45), "late"),
+                   (t + dt.timedelta(hours=4), "future2")])
+        q.processAllAvailable()
+        got = {r.w_start: r.cnt for r in spark.sql("SELECT * FROM wm_late").collect()}
+        assert got[t] == 2  # dropped: not merged, not re-emitted as 3
+        rows = spark.sql("SELECT * FROM wm_late").collect()
+        assert len([r for r in rows if r.w_start == t]) == 1  # emitted once
+    finally:
+        q.stop()
