@@ -813,5 +813,13 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
         assert got[t] == 2  # dropped: not merged, not re-emitted as 3
         rows = spark.sql("SELECT * FROM wm_late").collect()
         assert len([r for r in rows if r.w_start == t]) == 1  # emitted once
+        # Spark's own instrumentation confirms the drop happened IN the
+        # stateful operator (not upstream filtering)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for prog in q.recentProgress
+            for op in prog.get("stateOperators", [])
+        )
+        assert dropped == 1
     finally:
         q.stop()
