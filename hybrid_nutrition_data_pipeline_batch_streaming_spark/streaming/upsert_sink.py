@@ -78,12 +78,16 @@ class ParquetUpsertStore:
         key: str,
         ts_col: str,
         n_buckets: int = 16,
+        merge_schema: bool = False,
     ):
         self.spark = spark
         self.path = path
         self.key = key
         self.ts_col = ts_col
         self.n_buckets = n_buckets
+        #: Delta-style mergeSchema: opt-in column evolution on merge();
+        #: reads always footer-merge so mixed-schema buckets stay readable.
+        self.merge_schema = merge_schema
 
     # -- layout helpers -----------------------------------------------------
 
@@ -224,7 +228,9 @@ class ParquetUpsertStore:
             buckets = self._load_manifest(version)
         if not buckets:
             return None
-        return self.spark.read.parquet(*self._bucket_paths(buckets))
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *self._bucket_paths(buckets)
+        )
 
     def _changed_buckets(self, v_from: int, v_to: int) -> list[int]:
         """Bucket ids whose snapshot dir differs between two versions — the
@@ -364,7 +370,18 @@ class ParquetUpsertStore:
             return
         version, buckets = self._current_manifest()
         current = self._read_buckets(touched)
-        merged = batch if current is None else current.unionByName(batch)
+        if current is None:
+            merged = batch
+        elif self.merge_schema:
+            # Delta-style mergeSchema: a producer upgrade adds columns; old
+            # rows surface NULL for them. TOUCHED buckets rewrite with the
+            # union schema immediately; untouched buckets keep their old
+            # files, and read() merges footers (mergeSchema=true) so the
+            # store-wide view is consistent without a full rewrite.
+            merged = current.unionByName(batch, allowMissingColumns=True)
+        else:
+            # strict default: a schema drift is an error, never silent
+            merged = current.unionByName(batch)
         deduped = dedup_last_write_wins(merged, key=self.key, ts=self.ts_col)
         new_version = version + 1
         attempt = uuid.uuid4().hex[:8]

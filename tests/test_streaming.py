@@ -823,3 +823,42 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
         assert dropped == 1
     finally:
         q.stop()
+
+
+def test_upsert_store_schema_evolution_opt_in(spark, tmp_path):
+    """A producer upgrade adds a column: with merge_schema=True the merge
+    evolves the store (old rows read NULL for the new column, untouched
+    buckets unrewritten); the strict default refuses the drift loudly."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    v1_rows = [(f"item{i}", t0, "v1") for i in range(10)]
+    v2_rows = [("item0", t0 + dt.timedelta(hours=1), "v2", "organic")]
+    old_schema = "item_name string, ingestion_ts timestamp, data string"
+    new_schema = old_schema + ", label string"
+
+    # strict default: drift is an error
+    strict = ParquetUpsertStore(
+        spark, str(tmp_path / "strict"), key="item_name", ts_col="ingestion_ts"
+    )
+    strict.merge(spark.createDataFrame(v1_rows, old_schema))
+    with _pytest.raises(Exception):
+        strict.merge(spark.createDataFrame(v2_rows, new_schema))
+
+    # opt-in evolution
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "evolving"), key="item_name",
+        ts_col="ingestion_ts", n_buckets=4, merge_schema=True,
+    )
+    store.merge(spark.createDataFrame(v1_rows, old_schema))
+    store.merge(spark.createDataFrame(v2_rows, new_schema))
+    out = {r.item_name: (r.data, r.label) for r in store.read().collect()}
+    assert out["item0"] == ("v2", "organic")   # upgraded row carries the column
+    assert out["item1"] == ("v1", None)        # old rows read NULL
+    assert len(out) == 10
