@@ -1,0 +1,384 @@
+"""Mergeable sketch summaries — KMV distinct, count-min, Bloom, layout audit.
+
+At 100 TB the questions "how many distinct keys", "how often does this key
+occur", and "is this key in that set" are answered with SKETCHES, not exact
+scans: a fixed-size summary each executor builds map-side and the driver (or
+a final reduce) merges associatively. Spark ships opaque versions
+(``approx_count_distinct`` = HyperLogLog++, ``Bloom`` runtime join filters),
+but their binary outputs are engine-internal and cannot be value-checked
+against another engine. These queries build the classic sketches from
+relational primitives instead, with md5-derived hashes that Spark
+(``conv(hex,16,10)``) and DuckDB (``strpos`` on the hex alphabet) decode to
+identical integers — so every cell of the summary is oracle-checkable.
+
+- ``agg_kmv_distinct``  — K-Minimum-Values distinct estimator (the
+  bottom-k sketch, Bar-Yossef et al. 2002): keep the k smallest 48-bit
+  hashes of the distinct keys; estimate = (k-1)·2⁴⁸ / h₍ₖ₎. Mergeable:
+  union two sketches and re-take the bottom k (exactly what Spark's
+  ``TakeOrderedAndProject`` does per partition, then at the merge).
+- ``sketch_countmin``   — Count-Min (Cormode & Muthukrishnan 2005):
+  d=4 rows × w=256 buckets of summed counts; point estimate = min over
+  rows. Overestimate-only by construction. The build is vocabulary-sized
+  (counts first, then cells), so the 4× cell blow-up never touches raw
+  token instances.
+- ``sketch_bloom``      — Bloom membership filter: 65 536 bits as 2 048
+  32-bit words, k=3 hashes; ``bit_or`` is the mergeable word aggregate.
+  Probes prove the no-false-negative contract; false positives are
+  counted, not hidden. (Spark's own runtime bloom pruning is plan-checked
+  in tests/test_plan_shape.py — this is the value-checkable analog.)
+- ``length_bucketize``  — training-batch layout audit: pow-2 sequence-
+  length buckets and the padding waste per bucket (the "bucketed batching"
+  decision input for packing/padding pipelines). Integer-exact via
+  ``length(bin(n-1))`` = ⌈log₂ n⌉ — no float log.
+
+Reference parity note: the reference has no sketch surface (its distinct
+counts run exact in ClickHouse, SURVEY.md §2.4 A5); these extend the A5 row
+the way a 100 TB deployment would need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from .registry import query
+
+#: KMV sketch size (bottom-k).
+KMV_K = 64
+#: 48-bit hash space: 16^12.
+_KMV_SPACE = 281474976710656
+
+#: Count-min geometry: d rows × w buckets (two md5 hex chars per row hash).
+CM_ROWS = 4
+CM_PROBES = 5
+
+#: Bloom geometry: 2^16 bits as 32-bit words, k=3 hashes of 4 hex chars.
+BLOOM_HASHES = 3
+
+_HEX = "0123456789abcdef"
+
+
+def _duck_hex_int(expr: str, start: str, n: int) -> str:
+    """DuckDB SQL decoding ``n`` hex chars of ``expr`` at 1-based ``start``
+    into a BIGINT (the portable twin of Spark's ``conv(substr(...),16,10)``)."""
+    return (
+        "list_reduce(list_transform(range(0, {n}), i -> "
+        "CAST(strpos('{hx}', substr({e}, {s} + i, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    ).format(n=n, hx=_HEX, e=expr, s=start)
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH vals AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+    h AS (SELECT {_duck_hex_int('md5(v)', '1', 12)} AS h FROM vals),
+    mins AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+    sk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kth_hash FROM mins),
+    ex AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+           FROM orders)
+    SELECT k_used, kth_hash,
+           CAST(CASE WHEN k_used < {KMV_K} THEN k_used
+                     ELSE (k_used - 1) * {_KMV_SPACE} // kth_hash END AS BIGINT)
+               AS est_distinct,
+           exact_distinct
+    FROM sk CROSS JOIN ex
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch over ``orders.o_custkey``.
+
+    Scale shape: distinct → hash → global bottom-k compiles to
+    ``TakeOrderedAndProject`` — each partition keeps its own bottom k and
+    only k rows per partition cross the wire; that per-partition/merge
+    split IS the sketch's merge operation, so the same plan holds at any
+    width. The exact count rides along (one extra distinct agg) purely so
+    the sketch's error is visible in the output; a production caller drops
+    it. 48-bit hash keeps (k−1)·2⁴⁸ inside BIGINT."""
+    cat = Catalog(spark, sf_dir)
+    vals = cat.orders.select(F.col("o_custkey").cast("string").alias("v")).distinct()
+    h = vals.select(
+        F.conv(F.substring(F.md5(F.col("v")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    mins = h.orderBy("h").limit(KMV_K)
+    sk = mins.agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    ex = cat.orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return sk.crossJoin(F.broadcast(ex)).select(
+        "k_used",
+        "kth_hash",
+        F.expr(
+            f"cast(case when k_used < {KMV_K} then k_used"
+            f" else (k_used - 1) * {_KMV_SPACE} div kth_hash end as bigint)"
+        ).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+def _cm_bucket_spark(col: F.Column, row: int) -> F.Column:
+    """Row-``row`` count-min bucket: two md5 hex chars → 0..255."""
+    return (
+        F.conv(F.substring(F.md5(col), 2 * row + 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("bucket")
+    )
+
+
+def _cm_bucket_duck(expr: str, row: str) -> str:
+    return (
+        f"CAST((strpos('{_HEX}', substr(md5({expr}), 2 * {row} + 1, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 2 * {row} + 2, 1)) - 1) AS BIGINT)"
+    )
+
+
+@query(
+    "sketch_countmin",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), tf AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok WHERE t <> '' GROUP BY t
+    ), rows_ AS (SELECT unnest(range(0, {CM_ROWS})) AS r),
+    cells AS (
+        SELECT rows_.r AS r, {_cm_bucket_duck('t', 'rows_.r')} AS bucket, c
+        FROM tf CROSS JOIN rows_
+    ), sketch AS (
+        SELECT r, bucket, SUM(c) AS cell FROM cells GROUP BY r, bucket
+    ), probes AS (
+        SELECT t, c FROM tf ORDER BY c DESC, t LIMIT {CM_PROBES}
+    ), probe_cells AS (
+        SELECT p.t, p.c, rows_.r AS r, {_cm_bucket_duck('p.t', 'rows_.r')} AS bucket
+        FROM probes p CROSS JOIN rows_
+    )
+    SELECT pc.t AS token, CAST(MIN(s.cell) AS BIGINT) AS cm_estimate,
+           pc.c AS true_count
+    FROM probe_cells pc JOIN sketch s ON s.r = pc.r AND s.bucket = pc.bucket
+    GROUP BY pc.t, pc.c
+    """,
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch over document tokens, probed at the top-5
+    true-frequent tokens (estimate ≥ truth, contract-tested).
+
+    Scale shape: token counts FIRST (one corpus shuffle with map-side
+    combine), then the d×w cell fan-out runs over the vocabulary-sized
+    count table — the 4× row blow-up never multiplies raw token instances.
+    The 1 024-cell sketch is broadcast to the probe join. At 100 TB the
+    sketch table is the persisted artifact and point queries never touch
+    the corpus; ``SUM`` cells merge across corpus shards by addition."""
+    cat = Catalog(spark, sf_dir)
+    tok = (
+        cat.documents.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    tf = tok.groupBy("t").agg(F.count("*").cast("long").alias("c")).persist()
+    row_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("bigint").alias("r"),
+                _cm_bucket_spark(F.col("t"), r),
+            )
+            for r in range(CM_ROWS)
+        ]
+    )
+    cells = tf.select(F.explode(row_structs).alias("s"), "c").select(
+        F.col("s.r").alias("r"), F.col("s.bucket").alias("bucket"), "c"
+    )
+    sketch = cells.groupBy("r", "bucket").agg(F.sum("c").alias("cell"))
+    probes = tf.orderBy(F.desc("c"), "t").limit(CM_PROBES)
+    probe_cells = probes.select("t", "c", F.explode(row_structs).alias("s")).select(
+        "t", "c", F.col("s.r").alias("r"), F.col("s.bucket").alias("bucket")
+    )
+    return (
+        sketch.join(F.broadcast(probe_cells), ["r", "bucket"])
+        .groupBy("t", "c")
+        .agg(F.min("cell").cast("bigint").alias("cm_estimate"))
+        .select(
+            F.col("t").alias("token"),
+            "cm_estimate",
+            F.col("c").alias("true_count"),
+        )
+    )
+
+
+def _bloom_pos_spark(col: F.Column, i: int) -> F.Column:
+    """Hash ``i``: four md5 hex chars → bit position 0..65535."""
+    return (
+        F.conv(F.substring(F.md5(col), 4 * i + 1, 4), 16, 10)
+        .cast("bigint")
+        .alias("pos")
+    )
+
+
+def _bloom_pos_duck(expr: str, i: str) -> str:
+    return (
+        f"CAST((strpos('{_HEX}', substr(md5({expr}), 4 * {i} + 1, 1)) - 1) * 4096"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 4 * {i} + 2, 1)) - 1) * 256"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 4 * {i} + 3, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr(md5({expr}), 4 * {i} + 4, 1)) - 1) AS BIGINT)"
+    )
+
+
+@query(
+    "sketch_bloom",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ), hashes AS (SELECT unnest(range(0, {BLOOM_HASHES})) AS i),
+    mpos AS (
+        SELECT {_bloom_pos_duck('k', 'hashes.i')} AS pos
+        FROM members CROSS JOIN hashes
+    ), words AS (
+        SELECT pos // 32 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS wval
+        FROM mpos GROUP BY pos // 32
+    ), probes AS (
+        SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+    ), ppos AS (
+        SELECT k, {_bloom_pos_duck('k', 'hashes.i')} AS pos
+        FROM probes CROSS JOIN hashes
+    ), verdict AS (
+        SELECT p.k,
+               MIN(CASE WHEN (COALESCE(w.wval, 0) >> CAST(p.pos % 32 AS INTEGER))
+                             & 1 = 1
+                        THEN 1 ELSE 0 END) AS positive
+        FROM ppos p LEFT JOIN words w ON w.word = p.pos // 32
+        GROUP BY p.k
+    ), truth AS (
+        SELECT v.k, v.positive,
+               CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+        FROM verdict v LEFT JOIN members m ON m.k = v.k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(SUM(positive) AS BIGINT) AS n_bloom_positive,
+           CAST(SUM(CASE WHEN positive = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive
+    FROM truth
+    """,
+)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership filter: build over the BUILDING-segment customers,
+    probe every distinct ordering customer; summary row proves zero false
+    negatives (members ⊆ positives) and counts false positives honestly.
+
+    Scale shape: the filter is 2 048 words built with ``bit_or`` — a fully
+    associative word-wise aggregate, so shards build partial filters and a
+    union merges them (exactly how Spark's own runtime bloom join filter
+    is assembled). The word table is broadcast-sized at ANY member-set
+    cardinality (fixed m); probes join it broadcast, one shuffle total for
+    the probe-side distinct."""
+    cat = Catalog(spark, sf_dir)
+    members = (
+        cat.customer.where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    pos_arr = lambda c: F.array(  # noqa: E731
+        *[_bloom_pos_spark(c, i) for i in range(BLOOM_HASHES)]
+    )
+    words = (
+        members.select(F.explode(pos_arr(F.col("k"))).alias("pos"))
+        .groupBy((F.col("pos") / 32).cast("bigint").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(pos % 32 as int)))"
+            ).alias("wval")
+        )
+    )
+    probes = cat.orders.select(F.col("o_custkey").cast("string").alias("k")).distinct()
+    ppos = probes.select("k", F.explode(pos_arr(F.col("k"))).alias("pos"))
+    verdict = (
+        ppos.join(
+            F.broadcast(words),
+            (F.col("pos") / 32).cast("bigint") == F.col("word"),
+            "left",
+        )
+        .select(
+            "k",
+            F.expr(
+                "case when (shiftright(coalesce(wval, cast(0 as bigint)),"
+                " cast(pos % 32 as int)) & 1) = 1 then 1 else 0 end"
+            ).alias("hit"),
+        )
+        .groupBy("k")
+        .agg(F.min("hit").alias("positive"))
+    )
+    truth = verdict.join(
+        F.broadcast(members.withColumn("is_member", F.lit(1))), ["k"], "left"
+    ).select("positive", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+    return truth.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum("positive").cast("long").alias("n_bloom_positive"),
+        F.sum(
+            F.when((F.col("positive") == 1) & (F.col("is_member") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+    )
+
+
+@query(
+    "length_bucketize",
+    oracle="""
+    WITH d AS (
+        SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+        FROM documents
+    ), b AS (
+        SELECT n_tok,
+               CASE WHEN n_tok <= 1 THEN 1
+                    ELSE CAST(1 AS BIGINT) << CAST(length(bin(n_tok - 1)) AS INTEGER)
+               END AS bucket
+        FROM d
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+           CAST((bucket * COUNT(*) - SUM(n_tok)) * 1000000
+                // (bucket * COUNT(*)) AS BIGINT) AS waste_ppm
+    FROM b GROUP BY bucket
+    """,
+)
+def length_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pow-2 sequence-length bucketing with per-bucket padding waste — the
+    input to the batch-layout decision (pad within buckets vs pack): a
+    bucket above ~30% waste_ppm·10⁻⁶ wants packing instead.
+
+    Integer-exact ⌈log₂ n⌉ via ``length(bin(n-1))`` (binary digit count) —
+    no float log whose boundary rounding could differ across engines.
+    Scale shape: map-side length + bucket expr, ONE shuffle into ≤~20
+    bucket groups with partial aggregation."""
+    cat = Catalog(spark, sf_dir)
+    d = cat.documents.select(
+        F.expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)").alias(
+            "n_tok"
+        )
+    )
+    b = d.select(
+        "n_tok",
+        F.expr(
+            "case when n_tok <= 1 then cast(1 as bigint)"
+            " else shiftleft(cast(1 as bigint),"
+            " cast(length(bin(n_tok - 1)) as int)) end"
+        ).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.expr("cast(first(bucket) * count(*) as bigint)").alias("padded_tokens"),
+        F.expr(
+            "cast((first(bucket) * count(*) - sum(n_tok)) * 1000000"
+            " div (first(bucket) * count(*)) as bigint)"
+        ).alias("waste_ppm"),
+    )
