@@ -913,3 +913,134 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "doc_id", "epoch", F.row_number().over(w).alias("position")
     )
+
+
+# ---------------------------------------------------------------------------
+# In-document cleaning: consecutive-duplicate-token collapse
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "clean_repeated_tokens",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks,
+               list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS clean
+        FROM t
+    )
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+           CAST(len(clean) AS BIGINT) AS n_after,
+           array_to_string(clean, ' ') AS clean_text
+    FROM c
+    """,
+)
+def clean_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse runs of consecutive duplicate tokens ("the the" → "the") —
+    the stutter-cleanup pass OCR/scrape corpora need before tokenization
+    (the in-document sibling of `repetition_score`, which only MEASURES
+    repetition; this one repairs it and reports the before/after counts).
+
+    Scale shape: ZERO shuffles — the whole operator is one higher-order
+    ``filter`` lambda over the token array, map-side per document, so it
+    pipelines inside the scan stage at any corpus size. The index lambda
+    uses ``try_element_at`` so position 0 yields NULL (OR-absorbed) under
+    ANSI mode rather than an array-index error."""
+    cat = Catalog(spark, sf_dir)
+    t = cat.documents.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.expr(
+            "filter(toks, (x, i) -> i = 0 OR x != try_element_at(toks, i))"
+        ).alias("clean"),
+    )
+    return c.select(
+        "doc_id",
+        F.expr("cast(size(toks) as bigint)").alias("n_before"),
+        F.expr("cast(size(clean) as bigint)").alias("n_after"),
+        F.array_join("clean", " ").alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based multilingual sampling
+# ---------------------------------------------------------------------------
+
+#: 2^48 — the square of the 24-bit md5 draw's range.
+_TEMP_SPACE_SQ = 281474976710656
+
+
+@query(
+    "corpus_temperature_sample",
+    oracle=f"""
+    WITH n AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), m AS (SELECT MIN(n_docs) AS n_min FROM n),
+    d AS (
+        SELECT doc_id, lang,
+               list_reduce(list_transform(range(1, 7),
+                   i -> CAST(strpos('0123456789abcdef',
+                        substr(md5('temp:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                        AS BIGINT)),
+                   (a, b) -> a * 16 + b) AS h
+        FROM documents
+    )
+    SELECT d.lang, n.n_docs,
+           CAST(SUM(CASE WHEN d.h * d.h * n.n_docs < m.n_min * {_TEMP_SPACE_SQ}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM d JOIN n USING (lang) CROSS JOIN m
+    GROUP BY d.lang, n.n_docs
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature α=0.5 multilingual down-sampling: accept each doc with
+    probability √(n_min/n_lang), flattening the language distribution
+    toward the smallest language (the multilingual-pretraining mixture
+    rule; α generalizes by repeated squaring). The acceptance test is
+    INTEGER-exact — u < √(n_min/n_l) rewritten as h²·n_l < n_min·2⁴⁸ for a
+    24-bit md5 draw h — so no engine ever evaluates a square root and the
+    sample is a pure function of doc_id and the language counts.
+
+    Scale shape: one count shuffle over languages (tiny result, broadcast
+    back), then a map-side accept test folded into one final aggregation.
+    Past ~10¹² docs per language move h²·n_l into DECIMAL(38,0) — same
+    plan, wider accumulator."""
+    cat = Catalog(spark, sf_dir)
+    n = cat.documents.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    m = n.agg(F.min("n_docs").alias("n_min"))
+    d = cat.documents.select(
+        "lang",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    return (
+        d.join(F.broadcast(n), "lang")
+        .crossJoin(F.broadcast(m))
+        .groupBy("lang", "n_docs")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("h") * F.col("h") * F.col("n_docs")
+                    < F.col("n_min") * F.lit(_TEMP_SPACE_SQ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sampled")
+        )
+    )
