@@ -331,3 +331,60 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT r.n_nationkey, t.f1, t.f2, t.f3 "
         "FROM _dyn_udtf_src r, LATERAL split_fixed(r.csv, 3) t"
     )
+
+
+@query(
+    "arrow_batch_digest",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def arrow_batch_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface: per-document byte/char/token counts computed
+    with vectorized ``pyarrow.compute`` kernels on zero-copy Arrow batches —
+    the lowest-overhead Python boundary Spark offers (no pandas
+    materialization, no object-per-row; the batch stays columnar end to
+    end). This is the boundary a real tokenizer-apply or multimodal decode
+    stage should prefer when pandas semantics aren't needed; the
+    computation here is deliberately oracle-expressible so the MECHANISM is
+    value-checked (the ``mapInPandas`` twin is ``mm_decode_stats``).
+
+    Token count = maximal non-space runs (trim then split on ``[ ]+``),
+    which equals "non-empty fields of a single-space split" — the oracle's
+    formulation — for the space-delimited corpus.
+
+    Scale shape: map-only — one fused Python stage over the scan, no
+    shuffle; batch size governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cat = Catalog(spark, sf_dir)
+
+    def digest(batches):
+        for batch in batches:
+            text = batch.column("text")
+            trimmed = pc.utf8_trim(text, characters=" ")
+            n_tok = pc.if_else(
+                pc.equal(trimmed, ""),
+                pa.scalar(0, pa.int32()),
+                pc.list_value_length(pc.split_pattern_regex(trimmed, "[ ]+")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(n_tok, pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_chars", "n_tokens"],
+            )
+
+    return cat.documents.select("doc_id", "text").mapInArrow(
+        digest, "doc_id long, n_bytes long, n_chars long, n_tokens long"
+    )
