@@ -862,3 +862,72 @@ def test_upsert_store_schema_evolution_opt_in(spark, tmp_path):
     assert out["item0"] == ("v2", "organic")   # upgraded row carries the column
     assert out["item1"] == ("v1", None)        # old rows read NULL
     assert len(out) == 10
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join (J7/T6 completion): matched rows emit
+    as they arrive; an UNMATCHED left row emits with nulls only once the
+    watermark passes its join window — proven by feeding a second
+    micro-batch whose far-future rows push the watermark, then draining.
+    State for the emitted row is evicted (bounded-state contract)."""
+    import datetime as dt
+
+    lsrc = str(tmp_path / "left")
+    rsrc = str(tmp_path / "right")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(path, rows):
+        spark.createDataFrame(rows, "user_id string, ts timestamp, v long") \
+            .coalesce(1).write.mode("append").parquet(path)
+
+    # batch 1: A has a matching right row 30 min earlier; B never matches.
+    write(lsrc, [("A", t0, 1), ("B", t0, 2)])
+    write(rsrc, [("A", t0 - dt.timedelta(minutes=30), 100)])
+
+    def drain():
+        left = (
+            spark.readStream.schema("user_id string, ts timestamp, v long")
+            .parquet(lsrc)
+            .withWatermark("ts", "10 minutes")
+        )
+        right = (
+            spark.readStream.schema("user_id string, ts timestamp, v long")
+            .parquet(rsrc)
+            .selectExpr("user_id AS r_user", "ts AS r_ts", "v AS r_v")
+            .withWatermark("r_ts", "10 minutes")
+        )
+        joined = left.join(
+            right,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") <= F.col("ts"))
+            & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        ).select("user_id", "ts", "r_ts", "r_v")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.r_v)
+            for r in spark.read.parquet(out).collect()
+            if r.user_id in ("A", "B")
+        }
+
+    got = drain()
+    assert ("A", 100) in got, "inner match must emit in the first drain"
+    assert ("B", None) not in got, "null row must NOT emit before the watermark"
+
+    # batch 2: far-future rows on BOTH sides push the global watermark past
+    # B's join window; the checkpointed resume must now emit B's null row.
+    t1 = t0 + dt.timedelta(days=10)
+    write(lsrc, [("flush-l", t1, 0)])
+    write(rsrc, [("flush-r", t1, 0)])
+    got = drain()
+    assert got == {("A", 100), ("B", None)}
