@@ -740,3 +740,63 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("stage", "shuffle_key", "doc_id"))
         .alias("curriculum_pos"),
     )
+
+
+#: Vocabulary size for the coverage audit. The fixture corpus draws from a
+#: ~31-word vocabulary, so 16 leaves a real OOV tail at every SF; a
+#: production tokenizer-prep run sets this to its vocab budget (32k, 100k…).
+VOCAB_TOP_K = 16
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ), tok_ne AS (SELECT lang, t FROM tok WHERE t <> ''),
+    tf AS (SELECT t, COUNT(*) AS c FROM tok_ne GROUP BY t),
+    vocab AS (SELECT t FROM tf ORDER BY c DESC, t LIMIT {VOCAB_TOP_K})
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM tok_ne LEFT JOIN vocab v USING (t)
+    GROUP BY lang
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit per language: the tokenizer-prep
+    decision input — a language whose OOV rate against the candidate vocab
+    is high needs vocab budget or byte-fallback. Vocab = corpus top-K by
+    frequency (deterministic tie-break on the token).
+
+    Scale shape: one corpus shuffle for term frequencies, the K-row vocab
+    shortlist broadcast back into a left join (null marker = OOV), one
+    final per-language aggregation. The vocab side is bounded by K
+    regardless of corpus size — the same shortlist-broadcast shape as the
+    retrieval family."""
+    cat = Catalog(spark, sf_dir)
+    tok = (
+        cat.documents.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("t")
+        ).where(F.col("t") != "")
+    )
+    tf = tok.groupBy("t").agg(F.count("*").alias("c"))
+    vocab = tf.orderBy(F.desc("c"), "t").limit(VOCAB_TOP_K).select(
+        "t", F.lit(1).alias("in_vocab")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.expr(
+                "cast(sum(case when in_vocab is null then 1 else 0 end)"
+                " * 1000000 div count(*) as bigint)"
+            ).alias("oov_ppm"),
+        )
+    )
