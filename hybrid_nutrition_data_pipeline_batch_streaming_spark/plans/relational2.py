@@ -508,3 +508,55 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "agg_having_join_back",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 120
+    )
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def agg_having_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape ("large-volume customer"): aggregate the fact table,
+    filter groups with HAVING, then join the surviving group keys BACK to
+    the dimension chain for context. The defining plan property is that
+    the HAVING filter shrinks the fact side to a handful of keys BEFORE
+    the joins, so both joins run with a tiny build side.
+
+    Scale shape: one lineitem shuffle with map-side partial sums, HAVING
+    applied at the aggregate (no second pass), then orderkey-equi-joins;
+    final global top-20 is a TakeOrderedAndProject. l_quantity is integral
+    in the fixtures, so the BIGINT cast is exact in both engines (DuckDB
+    rounds double→int casts, Spark truncates — only safe on integral
+    values, noted here because it is the one cast-semantics trap in this
+    query)."""
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .where(F.col("total_qty") > 120)
+    )
+    return (
+        big.join(cat.orders, big.l_orderkey == cat.orders.o_orderkey)
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
