@@ -76,6 +76,11 @@ HEADLINE = [
     "phrase_search",
     "text_search_rank",
     "pipeline_user_features",
+    # session-3 additions: the sketch family, the map-only cleanup pass, and
+    # the Arrow-native Python boundary
+    "sketch_countmin",
+    "clean_repeated_tokens",
+    "arrow_batch_digest",
 ]
 
 
