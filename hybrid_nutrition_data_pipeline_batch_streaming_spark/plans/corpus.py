@@ -233,3 +233,244 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Balanced output sharding — distributed prefix sum
+# ---------------------------------------------------------------------------
+
+#: Token budget per output shard (~8 shards at sf0.001, scales with corpus).
+SHARD_TOKEN_BUDGET = 4096
+
+
+@query(
+    "shard_balanced",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5('shard:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS excl
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(excl, 0) // 4096 AS BIGINT) AS shard_id
+    FROM c
+    """,
+)
+def shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding: assign every document to a fixed-token-
+    budget output shard, in a reproducible shuffled order (md5 of doc_id —
+    no RNG state, resumable). This is the write-planning step a corpus
+    build runs right before `partitionBy(shard_id)` so output files land
+    near-equal-sized regardless of document-length skew.
+
+    The naive formulation is a running SUM over ONE global ORDER BY —
+    a single-partition window that serializes the whole corpus through one
+    task. This implementation is the two-phase distributed prefix sum
+    instead: (1) bucket docs by the first hex char of the shuffle key and
+    compute the 16 per-bucket token subtotals (one map-side-combined
+    shuffle, 16 rows out); (2) turn the subtotals into exclusive bucket
+    offsets with a window over 16 rows (trivially single-partition);
+    (3) broadcast the offsets back and compute the within-bucket running
+    sum in parallel (window partitioned BY bucket). Because the bucket is
+    a prefix of the sort key, bucket-offset + within-bucket prefix ==
+    global prefix, bit-for-bit. At 100 TB, widen the bucket prefix to 2-3
+    hex chars (256-4096 parallel partitions) — same plan.
+
+    The DuckDB oracle runs the naive single-window form, proving the
+    two-phase decomposition exact.
+    """
+    cat = Catalog(spark, sf_dir)
+    t = cat.documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias("k"),
+    ).withColumn("bucket", F.substring("k", 1, 1))
+    bucket_tot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("tot"))
+    offsets = bucket_tot.withColumn(
+        "bucket_off",
+        F.coalesce(
+            F.sum("tot").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "bucket_off")
+    within = F.coalesce(
+        F.sum("n_tokens").over(
+            Window.partitionBy("bucket")
+            .orderBy("k", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        t.join(F.broadcast(offsets), "bucket")
+        .withColumn("excl", F.col("bucket_off") + within)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("excl") / F.lit(SHARD_TOKEN_BUDGET))
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document drop-reason attribution (pipeline provenance audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_drop_reasons",
+    oracle=f"""
+    WITH RECURSIVE scored AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks,
+               md5(lower(trim(text))) AS text_hash,
+               CASE WHEN {_EN_SCORE_SQL} >= {_ES_SCORE_SQL}
+                         AND {_EN_SCORE_SQL} > 0 THEN 'en'
+                    WHEN {_ES_SCORE_SQL} > 0 THEN 'es'
+                    ELSE 'und' END AS pred_lang
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, text, text_hash, pred_lang,
+               CASE WHEN len(toks) BETWEEN 20 AND 400 THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(len(list_filter(toks, x ->
+                             list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE) / len(toks)
+                             BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END AS quality
+        FROM scored
+    ), ranked AS (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        FROM quality
+        WHERE quality >= 2 AND pred_lang = 'en'
+    ), k AS (
+        SELECT doc_id, text FROM ranked WHERE rn = 1
+    ), sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM k
+    ), sig AS (
+        SELECT doc_id, shingles,
+           {_MINHASH_SIG_SQL}
+        FROM sh
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+    ), und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM edges
+    ), comp(doc, reach) AS (
+        SELECT doc_id, doc_id FROM k
+        UNION
+        SELECT c.doc, u.dst FROM comp c JOIN und u ON u.src = c.reach
+    ), labels AS (
+        SELECT doc, MIN(reach) AS rep FROM comp GROUP BY doc
+    )
+    SELECT q.doc_id,
+           CASE WHEN q.quality < 2 THEN 'quality'
+                WHEN q.pred_lang <> 'en' THEN 'language'
+                WHEN r.rn > 1 THEN 'exact_dup'
+                WHEN l.rep <> q.doc_id THEN 'near_dup'
+                ELSE 'kept' END AS reason,
+           CAST(q.quality AS INT) AS quality, q.pred_lang
+    FROM quality q
+    LEFT JOIN ranked r ON r.doc_id = q.doc_id
+    LEFT JOIN labels l ON l.doc = q.doc_id
+    """,
+)
+def pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record provenance for the corpus build: EVERY input document gets
+    the FIRST pipeline stage that dropped it — 'quality' | 'language' |
+    'exact_dup' | 'near_dup' | 'kept' — plus its gate scores. This is the
+    audit table a production curation run publishes next to the corpus
+    (why did my document disappear?), and the direct analogue of the
+    reference's quarantine accounting for unparseable rows
+    (dagster_project/pipeline.py drop-on-error) lifted to whole-pipeline
+    granularity.
+
+    Same stage plans as pipeline_corpus_build (the audits transfer): map-
+    only gates, one window shuffle for exact-dup rank, banded equi-joins +
+    label propagation for near-dup clusters. The fates come back to the
+    full input via two LEFT broadcast-able joins on doc_id; precedence is
+    a single CASE, so a doc failing several gates reports the earliest —
+    deterministic in both engines."""
+    cat = Catalog(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    en = sum((_occurrences(padded, m) for m in _EN_MARKERS), F.lit(0))
+    es = sum((_occurrences(padded, m) for m in _ES_MARKERS), F.lit(0))
+    pred_lang = (
+        F.when((en >= es) & (en > 0), F.lit("en"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / n
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = (
+        F.when(n.between(20, 400), 1).otherwise(0)
+        + F.when(uniq_ratio > 0.3, 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+    )
+    base = cat.documents.select(
+        "doc_id",
+        "text",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"),
+        quality.cast("int").alias("quality"),
+        pred_lang.alias("pred_lang"),
+    )
+    base = checkpoint_truncate(base)
+
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    ranked = (
+        base.where((F.col("quality") >= 2) & (F.col("pred_lang") == "en"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "text", "rn")
+    )
+    k = checkpoint_truncate(ranked.where(F.col("rn") == 1).select("doc_id", "text"))
+
+    edges = banded_minhash_pairs(k).select("doc_a", "doc_b")
+    labels = connected_components(k.select("doc_id"), edges)
+
+    reason = (
+        F.when(F.col("quality") < 2, "quality")
+        .when(F.col("pred_lang") != "en", "language")
+        .when(F.col("rn") > 1, "exact_dup")
+        .when(F.col("cluster_rep") != F.col("doc_id"), "near_dup")
+        .otherwise("kept")
+    )
+    return (
+        base.join(ranked.select("doc_id", "rn"), "doc_id", "left")
+        .join(
+            labels.select("doc_id", "cluster_rep"),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", reason.alias("reason"), "quality", "pred_lang")
+    )

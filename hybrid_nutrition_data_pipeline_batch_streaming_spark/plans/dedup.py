@@ -20,7 +20,7 @@ min() over hex digests is a total order both engines agree on.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -822,4 +822,111 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dup_matches", F.lit(0)).alias("n_dup_matches"),
             (F.coalesce("n_dup_matches", F.lit(0)) == 0).alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (line-level) dedup with text reassembly
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_lines",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+               array_to_string(ts[(i-1)*8+1:i*8], ' ') AS chunk
+        FROM toks, unnest(range(1, CAST(ceil(len(ts) / 8.0) AS BIGINT) + 1)) AS t(i)
+    ), counted AS (
+        SELECT doc_id, chunk_no, chunk,
+               COUNT(*) OVER (PARTITION BY md5(chunk)) AS corpus_cnt
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN corpus_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           COALESCE(STRING_AGG(CASE WHEN corpus_cnt = 1 THEN chunk END, ' '
+                               ORDER BY chunk_no), '') AS clean_text
+    FROM counted
+    GROUP BY doc_id
+    """,
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (line/chunk-level) dedup with reassembly — the
+    RefinedWeb/CCNet pattern that exact- and minhash-dedup (whole-document
+    granularity) cannot express: boilerplate repeated ACROSS documents is
+    cut OUT of every document, and the surviving chunks are stitched back
+    in original order. The fixture corpus has no newlines, so "lines" are
+    fixed 8-token windows (the same determinism contract either way).
+
+    Reference parity: the reference keeps whole rows keyed by item id
+    (dagster_project/pipeline.py:85-108) and has no sub-record dedup; this
+    is one of the engine-side training-data extensions (brief: dedup
+    family) rather than a ported behavior.
+
+    Shape for 100 TB: tokenize once (projection), posexplode to
+    (doc, chunk_no, chunk) — linear, no joins; ONE shuffle to count chunk
+    frequency (window partitioned by md5(chunk), so the exchange key is a
+    fixed 128-bit hash, never the chunk text); ONE shuffle back to the doc
+    to reassemble (groupBy doc_id, order restored by array_sort on
+    chunk_no). Nothing is quadratic and no driver-side state exists; the
+    frequency window is the same plan as a groupBy+join but with one fewer
+    scan of the exploded table. Docs that lose every chunk stay in the
+    output with clean_text = '' (audit trail, not a silent drop).
+    """
+    W_TOK = 8
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    chunked = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.ceil(F.size(F.col("ts")) / F.lit(W_TOK)).cast("long")
+                ),
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("ts"),
+                        ((i - F.lit(1)) * F.lit(W_TOK) + F.lit(1)).cast("int"),
+                        W_TOK,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).select("doc_id", (F.col("pos") + 1).cast("long").alias("chunk_no"), "chunk")
+    counted = chunked.withColumn(
+        "corpus_cnt",
+        F.count(F.lit(1)).over(Window.partitionBy(F.md5(F.col("chunk")))),
+    )
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("corpus_cnt") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("chunk_no").alias("chunk_no"),
+                                    F.when(
+                                        F.col("corpus_cnt") == 1, F.col("chunk")
+                                    ).alias("chunk"),
+                                )
+                            )
+                        ),
+                        lambda x: x["chunk"].isNotNull(),
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
     )
