@@ -13,12 +13,12 @@ grouping — the hybrid batch/stream parity the reference architecture claims
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..streaming.ingest import dedup_stream, read_events_stream, run_to_memory
 from ..streaming.stateful import stateful_user_totals
-from ..streaming.windows import session_windows, tumbling_counts
+from ..streaming.windows import session_windows, tumbling_counts, tumbling_type_counts
 from .registry import query
 
 
@@ -247,4 +247,52 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         sliding_counts(stream, "2 hours", "1 hour", "2 hours"),
         output_mode="complete",
+    )
+
+
+@query(
+    "stream_topk_live",
+    oracle="""
+    WITH counts AS (
+        SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                              * 3600000000) AS bucket_start,
+               event_type, COUNT(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT bucket_start, event_type, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bucket_start
+                   ORDER BY cnt DESC, event_type
+               ) AS rnk
+        FROM counts
+    )
+    SELECT bucket_start, event_type, cnt, CAST(rnk AS INT) AS rnk
+    FROM ranked
+    WHERE rnk <= 3
+    """,
+)
+def stream_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed heavy-hitters ("trending types") over a LIVE stream (T6):
+    the stream maintains per-(hour-bucket, event_type) counters — linear,
+    watermark-bounded state — and the top-3 rank per bucket is applied to
+    the drained complete-mode result, where every window is final. Ranks
+    are deterministic under ties (cnt DESC, then event_type), so the
+    live-stream answer equals the batch oracle exactly — the same
+    stream/batch parity contract as stream_tumbling_live, extended to a
+    two-stage (streaming agg → batch rank) topology.
+
+    At 100 TB-rate streams the per-window type domain is the state bound
+    (not the event rate); for unbounded domains swap the exact counter for
+    sketch_countmin's merge layout — same bucketed shape."""
+    stream = read_events_stream(spark, sf_dir)
+    counts = tumbling_type_counts(stream, "1 hour", "2 hours")
+    drained = run_to_memory(counts, output_mode="complete")
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        drained.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("bucket_start", "event_type", "cnt", "rnk")
     )

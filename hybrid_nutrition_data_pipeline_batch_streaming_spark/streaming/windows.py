@@ -84,3 +84,27 @@ def session_windows(
             "event_cnt",
         )
     )
+
+
+def tumbling_type_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(window, event_type) counts — the streaming half of windowed
+    heavy-hitters: the stream maintains one counter per (bucket, type)
+    pair (state linear in buckets × |type| domain, watermark-bounded);
+    the top-k RANKING over the drained result is a batch finish, because
+    a rank is only final once the window closes."""
+    e = events.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+    return (
+        e.withWatermark("__ts", watermark)
+        .groupBy(F.window("__ts", window_len).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+            "event_type",
+            "cnt",
+        )
+    )
