@@ -81,6 +81,8 @@ HEADLINE = [
     "sketch_countmin",
     "clean_repeated_tokens",
     "arrow_batch_digest",
+    "dedup_lines",
+    "shard_balanced",
 ]
 
 

@@ -388,3 +388,43 @@ def test_fact_fact_join_strategy_controls(spark):
         assert smj.count() == shj.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_dedup_lines_is_joinless_two_shuffles(spark):
+    """Chunk-level dedup must stay linear: explode → frequency window →
+    reassembly groupBy. No join anywhere (the frequency count rides a
+    window over md5(chunk), not a groupBy+join back), and no Python."""
+    plan = _plan(spark, "dedup_lines", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+    # Exactly the two semantic shuffles: chunk-hash window + doc regroup.
+    import re as _re
+    assert len(_re.findall(r"\bExchange\b", plan)) == 2
+
+
+def test_shard_balanced_prefix_sum_is_partitioned(spark):
+    """The distributed prefix sum must never run the corpus through a
+    single-partition window: the only Exchange SinglePartition feeds the
+    16-row bucket-offset window, and the offsets come back via a
+    BroadcastHashJoin. The big-side running sum is partitioned by bucket."""
+    plan = _plan(spark, "shard_balanced", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # One single-partition exchange total — the 16-row offsets path. The
+    # doc-side window shows a hashpartitioning exchange on bucket instead.
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(bucket" in plan
+
+
+def test_drop_reasons_fates_join_back_without_cartesian(spark):
+    """The audit join-back (fates → full input) stays keyed on doc_id:
+    no cartesian/nested-loop anywhere, and the gate scoring is JVM-only."""
+    plan = _plan(spark, "pipeline_drop_reasons", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan

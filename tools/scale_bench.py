@@ -30,6 +30,11 @@ HEAVY = [
     "dedup_incremental",
     "dsir_resample",
     "collocation_pmi",
+    # session-4 additions: chunk-level dedup (explode + frequency window),
+    # distributed-prefix-sum sharding, and the full-pipeline audit query
+    "dedup_lines",
+    "shard_balanced",
+    "pipeline_drop_reasons",
 ]
 
 
