@@ -211,3 +211,35 @@ def compact_files(
         [f for f in os.listdir(path) if f.startswith("part-")]
     )
     return files_before, files_after
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Idempotent backfill: rewrite ONLY the partitions present in ``df``,
+    leaving every other partition's files untouched (dynamic partition
+    overwrite — ``INSERT OVERWRITE`` semantics scoped to the incoming
+    keys). This is the day-N reprocessing primitive of a scheduled
+    pipeline: re-running a day replaces exactly that day's directory, so
+    retries and late corrections are safe without rewriting the table.
+
+    Contrast with mode="overwrite" under the default STATIC mode, which
+    would truncate the whole table first — the classic
+    lost-everything-but-today backfill accident; the conf is set
+    per-write here rather than globally to keep the blast radius of the
+    dynamic semantics scoped to this call.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(*[df[c] for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
