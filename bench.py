@@ -83,6 +83,7 @@ HEADLINE = [
     "arrow_batch_digest",
     "dedup_lines",
     "shard_balanced",
+    "ts_motif_match",
 ]
 
 

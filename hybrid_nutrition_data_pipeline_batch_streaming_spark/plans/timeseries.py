@@ -538,3 +538,110 @@ def pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "purchase_rate", F.col("n_purchases").cast("double") / F.col("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series subsequence (motif) similarity search
+# ---------------------------------------------------------------------------
+
+#: Motif length: 8-point windows over each user's value series.
+MOTIF_LEN = 8
+
+_LEADS = ", ".join(f"LEAD(v, {i}) OVER w AS v{i}" for i in range(1, MOTIF_LEN))
+_NOTNULL = " AND ".join(f"v{i} IS NOT NULL" for i in range(MOTIF_LEN))
+_ANCHOR_COLS = ", ".join(f"v{i} AS a{i}" for i in range(MOTIF_LEN))
+_DIST = " + ".join(f"(f.v{i} - a.a{i}) * (f.v{i} - a.a{i})" for i in range(MOTIF_LEN))
+
+
+@query(
+    "ts_motif_match",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, ts,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM events
+    ), win AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER w AS rn,
+               v AS v0, {_LEADS}
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), full_win AS (
+        SELECT * FROM win WHERE v0 IS NOT NULL AND {_NOTNULL}
+    ), mu AS (
+        SELECT MIN(user_id) AS anchor_user FROM events
+    ), anchor AS (
+        SELECT w.user_id AS anchor_user, {_ANCHOR_COLS}
+        FROM full_win w JOIN mu ON w.user_id = mu.anchor_user
+        WHERE w.rn = 1
+    )
+    SELECT f.user_id, f.event_id, CAST({_DIST} AS BIGINT) AS dist
+    FROM full_win f CROSS JOIN anchor a
+    WHERE NOT (f.user_id = a.anchor_user AND f.rn = 1)
+    ORDER BY dist, f.user_id, f.event_id
+    LIMIT 10
+    """,
+)
+def ts_motif_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsequence (motif) similarity search over the event value series —
+    the streaming-time-series-search capability class (distributed
+    subsequence matching): every {MOTIF_LEN}-point sliding window of every
+    user's series is scored against an anchor motif (the lowest user id's
+    first complete window — computed IN the query, no driver collect) by
+    exact squared Euclidean distance, and the 10 nearest windows win.
+
+    Exactness discipline: values become integer cents (DECIMAL(12,2)×100 →
+    BIGINT) so the distance is an exact integer — no float accumulation —
+    and the top-10 boundary is tie-broken (dist, user_id, event_id), so
+    the result SET is deterministic in both engines.
+
+    Shape for 100 TB: ONE per-user sort shuffle produces all
+    {MOTIF_LEN} lead columns from a single Window node (sliding windows
+    never materialize as arrays); the anchor is a 1-row broadcast; the
+    top-10 is TakeOrderedAndProject (partial top-k per partition, never a
+    global sort). For long patterns the production upgrade is a
+    z-normalized MASS/FFT scorer per partition — the plan shape
+    (partition → score → global top-k) is unchanged.
+    """
+    cat = Catalog(spark, sf_dir)
+    units = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    ev = cat.events.select("user_id", "event_id", "ts", units.alias("v"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    win = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.col("v").alias("v0"),
+        *[F.lead("v", i).over(w).alias(f"v{i}") for i in range(1, MOTIF_LEN)],
+    )
+    full_win = win.where(
+        F.lit(True)
+        & F.col("v0").isNotNull()
+        & F.col(f"v{MOTIF_LEN - 1}").isNotNull()
+    )
+    for i in range(1, MOTIF_LEN - 1):
+        full_win = full_win.where(F.col(f"v{i}").isNotNull())
+    mu = ev.agg(F.min("user_id").alias("anchor_user"))
+    anchor = (
+        full_win.join(
+            F.broadcast(mu), full_win.user_id == F.col("anchor_user")
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor_user", *[F.col(f"v{i}").alias(f"a{i}") for i in range(MOTIF_LEN)]
+        )
+    )
+    dist = sum(
+        (
+            (F.col(f"v{i}") - F.col(f"a{i}")) * (F.col(f"v{i}") - F.col(f"a{i}"))
+            for i in range(MOTIF_LEN)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return (
+        full_win.crossJoin(F.broadcast(anchor))
+        .where(~((F.col("user_id") == F.col("anchor_user")) & (F.col("rn") == 1)))
+        .select("user_id", "event_id", dist.cast("long").alias("dist"))
+        .orderBy("dist", "user_id", "event_id")
+        .limit(10)
+    )

@@ -428,3 +428,16 @@ def test_drop_reasons_fates_join_back_without_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_ts_motif_match_single_sort_broadcast_anchor_topk(spark):
+    """Motif search must be: one per-user window pass (all lead columns in
+    a single sort — sliding windows never materialize as arrays), the
+    1-row anchor broadcast, and partial top-k (TakeOrderedAndProject, no
+    global sort)."""
+    plan = _plan(spark, "ts_motif_match", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row anchor
+    assert "Python" not in plan

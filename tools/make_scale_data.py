@@ -150,6 +150,44 @@ def gen_part(spark, m, out):
     )
 
 
+def gen_events(spark, m, out):
+    """sf0.1-shaped events at M×: 100 k·M rows over 30 days, 1 500·M users,
+    the fixture's five event types, 2-decimal money-like values, JSON props.
+    ts is TIMESTAMP (µs) like the round-2+ fixture encoding."""
+    n, n_users = 100_000 * m, 1_500 * m
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
+    span_us = 30 * 24 * 3600 * 1_000_000
+    etype = (
+        F.when(_pm(_h(F.col("id"), F.lit(10)), 5) == 0, "signup")
+        .when(_pm(_h(F.col("id"), F.lit(10)), 5) == 1, "click")
+        .when(_pm(_h(F.col("id"), F.lit(10)), 5) == 2, "view")
+        .when(_pm(_h(F.col("id"), F.lit(10)), 5) == 3, "purchase")
+        .otherwise("error")
+    )
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                (base_us + _pm(_h(F.col("id"), F.lit(11)), span_us)).cast("long")
+            ).alias("ts"),
+            _pm(_h(F.col("id"), F.lit(12)), n_users).alias("user_id"),
+            etype.alias("event_type"),
+            # ~0.1% planted spikes (25× value) so MAD/z-score anomaly
+            # detectors have true positives to find at every scale.
+            (
+                (_pm(_h(F.col("id"), F.lit(13)), 100000) / 100.0)
+                * F.when(_pm(_h(F.col("id"), F.lit(15)), 997) == 0, 25).otherwise(1)
+            ).alias("value"),
+            F.concat(
+                F.lit('{"k": '), _pm(_h(F.col("id"), F.lit(14)), 100), F.lit("}")
+            ).alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "events.parquet"))
+    )
+
+
 def main():
     m = int(sys.argv[1])
     out = sys.argv[2]
@@ -164,6 +202,7 @@ def main():
     gen_embeddings(spark, m, out)
     gen_graph_tables(spark, m, out)
     gen_part(spark, m, out)
+    gen_events(spark, m, out)
     print(f"wrote M={m} tables to {out}")
     spark.stop()
 

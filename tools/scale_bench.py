@@ -35,6 +35,11 @@ HEAVY = [
     "dedup_lines",
     "shard_balanced",
     "pipeline_drop_reasons",
+    # events-bound time-series group (gen_events added to make_scale_data)
+    "ts_motif_match",
+    "sessionize_batch",
+    "rolling_7d_features",
+    "anomaly_mad",
 ]
 
 
