@@ -645,3 +645,84 @@ def ts_motif_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "user_id", "event_id")
         .limit(10)
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, event_id, value,
+               make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                              * 3600000000) AS bucket_start,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id,
+                                epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                   ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id,
+                                epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT user_id, bucket_start,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling (resample-to-bars): each user's value
+    series collapses to hourly OHLC bars — open/close are the bucket's
+    first/last points by (ts, event_id), a UNIQUE composite, so the bars
+    are deterministic even with equal timestamps (the trap in naive
+    first()/last() aggregation, whose result depends on partition order).
+
+    Plan: one shuffle total. Both row_number passes AND the final
+    aggregation share the (user_id, bucket) hash partitioning, so
+    Catalyst plans window→window→agg over a single exchange; the volume
+    sum rides the decimal-exact discipline."""
+    cat = Catalog(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    bucket_us = (F.unix_micros(ts) / F.lit(3_600_000_000)).cast("long") * F.lit(
+        3_600_000_000
+    )
+    wa = Window.partitionBy("user_id", "bucket_us").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket_us").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b = (
+        cat.events.select(
+            "user_id", "event_id", "value", "ts", bucket_us.alias("bucket_us")
+        )
+        .withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+    )
+    return (
+        b.groupBy("user_id", "bucket_us")  # raw key: reuses the window's
+        # hash partitioning (an expression key would force a 2nd exchange)
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(MONEY)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("bucket_us"))
+            .cast("timestamp_ntz")
+            .alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -441,3 +441,15 @@ def test_ts_motif_match_single_sort_broadcast_anchor_topk(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row anchor
     assert "Python" not in plan
+
+
+def test_ts_resample_ohlc_single_exchange(spark):
+    """OHLC resample: both row_number passes AND the final aggregation
+    share the (user_id, bucket) hash partitioning — ONE exchange total.
+    Regression guard for the expression-keyed groupBy that silently adds
+    a second shuffle."""
+    import re as _re
+    plan = _plan(spark, "ts_resample_ohlc", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert len(_re.findall(r"\bExchange\b", plan)) == 1
+    assert plan.count("Window") == 2
