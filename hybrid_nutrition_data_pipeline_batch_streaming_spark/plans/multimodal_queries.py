@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -226,4 +226,93 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("shared_frames"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scene segmentation over the sampled frame stream
+# ---------------------------------------------------------------------------
+
+#: A "cut" fires when consecutive frame signatures differ by more than this
+#: in their leading byte — the deterministic stand-in for a real
+#: frame-difference detector (the codec boundary stays the documented stub).
+SCENE_CUT_THRESHOLD = 96
+
+
+@query(
+    "mm_scene_segments",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id, text,
+               CAST(unnest(generate_series(0,
+                    CAST(len(text) // 100 AS BIGINT) - 1,
+                    3)) AS BIGINT) AS frame_idx
+        FROM documents
+        WHERE len(text) >= 100
+    ), ranked AS (
+        SELECT doc_id, text, frame_idx,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS rnk
+        FROM frames
+    ), f AS (
+        SELECT doc_id, frame_idx,
+               md5(substr(text, CAST(frame_idx * 100 + 1 AS BIGINT), 100))
+                   AS frame_hash
+        FROM ranked
+        WHERE rnk <= 8
+    ), sig AS (
+        SELECT doc_id, frame_idx, frame_hash,
+               list_reduce(list_transform(range(0, 2), i -> CAST(strpos('0123456789abcdef', substr(frame_hash, 1 + i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+        FROM f
+    ), cuts AS (
+        SELECT doc_id, frame_idx, frame_hash,
+               CASE WHEN LAG(h) OVER w IS NULL
+                         OR abs(h - LAG(h) OVER w) > 96
+                    THEN 1 ELSE 0 END AS cut
+        FROM sig
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ), scenes AS (
+        SELECT doc_id, frame_idx, frame_hash,
+               SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+        FROM cuts
+    )
+    SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+           MIN(frame_idx) AS start_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           arg_min(frame_hash, frame_idx) AS keyframe_hash
+    FROM scenes
+    GROUP BY doc_id, scene_id
+    """,
+)
+def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation over pseudo-video frame streams (X4): consecutive
+    sampled frames are compared by a deterministic signature distance and a
+    gaps-and-islands pass turns the cut flags into scenes — each reported
+    with its start frame, length, and keyframe hash (its first frame —
+    keyed on the unique frame_idx, so deterministic). This is the shot-
+    boundary → keyframe-selection step a video curation pipeline runs
+    between frame sampling (mm_frame_sample) and content-ID dedup
+    (mm_frame_dedup), with the real pixel-difference detector swapped for
+    the hash-distance stand-in at the documented codec boundary.
+
+    Shape: frame sampling is the designated Arrow boundary; everything
+    after is JVM window algebra partitioned by doc_id — lag, cumulative
+    sum, then a per-(doc, scene) aggregate. No joins, no driver state."""
+    frames = mm_frame_sample(spark, sf_dir).select(
+        "doc_id", "frame_idx", "frame_hash"
+    )
+    h = F.conv(F.substring("frame_hash", 1, 2), 16, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag(h).over(w)
+    cut = F.when(
+        prev.isNull() | (F.abs(h - prev) > SCENE_CUT_THRESHOLD), 1
+    ).otherwise(0)
+    scenes = frames.withColumn(
+        "scene_id",
+        F.sum(cut).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return scenes.groupBy("doc_id", "scene_id").agg(
+        F.min("frame_idx").alias("start_idx"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.min_by("frame_hash", "frame_idx").alias("keyframe_hash"),
     )

@@ -542,3 +542,31 @@ def test_python_datasource_sink_batch_and_stream_exactly_once(spark, tmp_path):
     staged2 = w.write(iter(src.limit(2).collect()))
     w.abort([staged2], 99)
     assert read_store(spark, stream_store).count() == src.count()
+
+
+def test_oracle_queries_return_driver_hashable_schemas(spark):
+    """Meta-guard for the whole registry: the driver's canonicalizer
+    factorizes column values with pandas, which dies on array/map/struct
+    cells and cannot order NullType — and duplicate column names break its
+    sort-columns-by-name compare. Every ORACLE-backed query must therefore
+    ship only scalar, concretely-typed, uniquely-named top-level columns.
+    (Rows-only queries may return arrays — mm_decode_features does — the
+    driver's weaker check never hashes them.) Catching this at plan time
+    costs seconds; catching it in CORRECTNESS_r{N}.json costs a round."""
+    from pyspark.sql import types as T
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+
+    banned = (T.ArrayType, T.MapType, T.StructType, T.NullType)
+    bad: list[str] = []
+    for name in plans.ORACLE:
+        if name.startswith("stream_"):
+            continue  # streaming plans need a running query to resolve
+        schema = plans.QUERIES[name](spark, "/root/testdata/sf0.001").schema
+        cols = [f.name for f in schema.fields]
+        if len(set(cols)) != len(cols):
+            bad.append(f"{name}: duplicate columns {cols}")
+        for f in schema.fields:
+            if isinstance(f.dataType, banned):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"driver-unhashable outputs: {bad}"
