@@ -1,0 +1,145 @@
+"""Contract tests for operators/ivm.py: a materialized grouped aggregate
+maintained from the store's change feed must land EXACTLY on the full
+recompute after every kind of change (insert, group-migrating update,
+delete), compose across chained version ranges, and stay decimal-exact."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.ivm import (
+    change_deltas,
+    grouped_view,
+    maintain,
+)
+from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+    ParquetUpsertStore,
+)
+
+TS0 = datetime.datetime(2024, 1, 1)
+SCHEMA = "item_name string, ingestion_ts timestamp, data string, amount double"
+
+
+def _group_fn(c):
+    # group = payload length: updates that change `data` migrate groups,
+    # exercising the retract-from-old-group / add-to-new-group path.
+    return F.length(c("data"))
+
+
+def _rows(view):
+    return {(r.g, r.cnt, r.total) for r in view.collect()}
+
+
+def _mk_store(spark, tmp_path):
+    store = ParquetUpsertStore(
+        spark,
+        str(tmp_path / "store"),
+        key="item_name",
+        ts_col="ingestion_ts",
+        n_buckets=8,
+    )
+    store.merge(
+        spark.createDataFrame(
+            [(f"item{i}", TS0, "x" * (i % 5 + 1), float(i) + 0.25) for i in range(40)],
+            SCHEMA,
+        )
+    )
+    return store
+
+
+def test_ivm_lands_on_full_recompute_per_batch(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    view = grouped_view(store.read(), _group_fn, "amount")
+
+    # Batch 2: a group-migrating update, a value-only update, two inserts.
+    store.merge(
+        spark.createDataFrame(
+            [
+                ("item0", TS0 + datetime.timedelta(hours=1), "x" * 9, 100.5),
+                ("item1", TS0 + datetime.timedelta(hours=1), "x" * 2, 7.75),
+                ("item90", TS0, "x" * 3, 1.0),
+                ("item91", TS0, "x" * 9, 2.0),
+            ],
+            SCHEMA,
+        )
+    )
+    view = maintain(view, store.changes(1, 2), _group_fn, "amount")
+    assert _rows(view) == _rows(grouped_view(store.read(), _group_fn, "amount"))
+
+    # Batch 3: deletes, including every member of one group (drops out).
+    victims = [f"item{i}" for i in range(40) if i % 5 + 1 == 4] + ["item90"]
+    assert store.delete(
+        spark.createDataFrame([(v,) for v in victims], "item_name string")
+    ) == len(victims)
+    view = maintain(view, store.changes(2, 3), _group_fn, "amount")
+    recomputed = grouped_view(store.read(), _group_fn, "amount")
+    assert _rows(view) == _rows(recomputed)
+    gs = {r.g for r in view.collect()}
+    assert 4 not in gs and 3 in gs  # emptied group gone, survivor intact
+
+
+def test_ivm_is_associative_across_version_ranges(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    v1_view = grouped_view(store.read(version=1), _group_fn, "amount")
+    store.merge(
+        spark.createDataFrame(
+            [("item0", TS0 + datetime.timedelta(hours=1), "x" * 7, 3.5),
+             ("item80", TS0, "x" * 2, 9.0)],
+            SCHEMA,
+        )
+    )
+    store.delete(spark.createDataFrame([("item2",)], "item_name string"))
+
+    chained = maintain(
+        maintain(v1_view, store.changes(1, 2), _group_fn, "amount"),
+        store.changes(2, 3),
+        _group_fn,
+        "amount",
+    )
+    one_shot = maintain(v1_view, store.changes(1, 3), _group_fn, "amount")
+    recomputed = grouped_view(store.read(), _group_fn, "amount")
+    assert _rows(chained) == _rows(one_shot) == _rows(recomputed)
+
+
+def test_ivm_noop_and_count_only(spark, tmp_path):
+    store = _mk_store(spark, tmp_path)
+    view = grouped_view(store.read(), _group_fn)  # count-only view
+    assert "total" not in view.columns
+    # changes(None) → unchanged; an empty-delta merge produces no version.
+    assert maintain(view, None, _group_fn) is view
+    # Re-merging identical rows is all-"unchanged": CDF may be None or
+    # carry zero effective deltas — maintained must equal recompute.
+    store.merge(
+        spark.createDataFrame([(f"item{i}", TS0, "x" * (i % 5 + 1), float(i) + 0.25)
+                               for i in range(5)], SCHEMA)
+    )
+    latest = store.history()[-1]
+    feed = store.changes(1, latest) if latest > 1 else None
+    view2 = maintain(view, feed, _group_fn)
+    assert {(r.g, r.cnt) for r in view2.collect()} == {
+        (r.g, r.cnt) for r in grouped_view(store.read(), _group_fn).collect()
+    }
+
+
+def test_ivm_delta_frame_is_one_aggregate_over_the_batch(spark, tmp_path):
+    """The maintenance cost model: deltas come from ONE groupBy over the
+    CDF frame (no join, no store scan) and the merge joins on the group
+    key only."""
+    store = _mk_store(spark, tmp_path)
+    store.merge(
+        spark.createDataFrame(
+            [("item0", TS0 + datetime.timedelta(hours=1), "x" * 9, 1.0)], SCHEMA
+        )
+    )
+    deltas = change_deltas(store.changes(1, 2), _group_fn, "amount")
+    assert deltas.columns == ["g", "dc", "dv"]
+    rows = {(r.g, r.dc, r.dv) for r in deltas.collect()}
+    # one update: retract from group 1 (len 'x'), add to group 9
+    from decimal import Decimal
+
+    assert rows == {
+        (9, 1, Decimal("1.00")),
+        (1, -1, Decimal("-0.25")),
+    }
