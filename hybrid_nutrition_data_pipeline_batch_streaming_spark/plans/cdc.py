@@ -98,3 +98,85 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         effective_ts="valid_from",
         end_ts="valid_to",
     )
+
+
+@query(
+    "join_temporal_scd2",
+    oracle=f"""
+    WITH hist AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
+               TIMESTAMP '{_EPOCH}' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ), upd0 AS (
+        SELECT o_custkey AS k, o_orderpriority AS seg, o_totalprice AS bal,
+               o_orderdate AS uts
+        FROM orders
+    ), upd AS (
+        SELECT k, seg, bal, uts FROM (
+            SELECT k, seg, bal, uts,
+                   ROW_NUMBER() OVER (PARTITION BY k
+                                      ORDER BY uts DESC, seg DESC, bal DESC)
+                       AS rn
+            FROM upd0
+        ) WHERE rn = 1
+    ), changed AS (
+        SELECT u.k, u.seg, u.bal, u.uts
+        FROM upd u LEFT JOIN hist c ON c.k = u.k
+        WHERE c.k IS NULL
+           OR u.seg IS DISTINCT FROM c.seg
+           OR u.bal IS DISTINCT FROM c.bal
+    ), scd AS (
+        SELECT c.k, c.seg, c.valid_from, ch.uts AS valid_to
+        FROM hist c JOIN changed ch ON ch.k = c.k
+        UNION ALL
+        SELECT c.k, c.seg, c.valid_from, c.valid_to
+        FROM hist c ANTI JOIN changed ch ON ch.k = c.k
+        UNION ALL
+        SELECT k, seg, uts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM changed
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           d.seg,
+           (d.k IS NOT NULL AND d.valid_to IS NULL) AS is_current
+    FROM events e LEFT JOIN scd d
+      ON d.k = e.user_id
+     AND CAST(e.ts AS TIMESTAMP) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < d.valid_to)
+    """,
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join — THE warehouse pattern SCD2 history exists
+    for: each event joins the dimension VERSION that was valid at the
+    event's own timestamp (valid_from <= ts < valid_to, open versions
+    unbounded), never the current row. Composes the value-checked SCD2
+    merge (scd2_history) with a versioned-interval join; events at an
+    exact version boundary land in the newer version on both engines
+    (close-out is exclusive, effective_ts inclusive), and events with no
+    dimension row keep a NULL segment rather than dropping.
+
+    Shape for 100 TB: the dimension history stays dimension-sized (2
+    versions/key max here) → broadcast; the join is equi on the key with
+    the interval as a residual filter, so the fact side streams through a
+    BroadcastHashJoin — no shuffle, no range explosion."""
+    cat = Catalog(spark, sf_dir)
+    hist = scd2_history(spark, sf_dir).select("k", "seg", "valid_from", "valid_to")
+    ts = F.col("ts").cast("timestamp_ntz")
+    return (
+        cat.events.join(
+            F.broadcast(hist),
+            (F.col("k") == F.col("user_id"))
+            & (ts >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (ts < F.col("valid_to"))),
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            ts.alias("ts"),
+            "seg",
+            (F.col("k").isNotNull() & F.col("valid_to").isNull()).alias(
+                "is_current"
+            ),
+        )
+    )

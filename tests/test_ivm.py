@@ -143,3 +143,52 @@ def test_ivm_delta_frame_is_one_aggregate_over_the_batch(spark, tmp_path):
         (9, 1, Decimal("1.00")),
         (1, -1, Decimal("-0.25")),
     }
+
+
+def test_ivm_maintained_across_streaming_merges(spark, tmp_path):
+    """The full incremental loop: micro-batches stream into the store via
+    foreachBatch (exactly-once via the checkpoint), and the materialized
+    view catches up by maintaining over the committed version RANGE —
+    never rescanning the store — landing exactly on the recompute."""
+    import os
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    store = ParquetUpsertStore(
+        spark,
+        str(tmp_path / "store"),
+        key="item_name",
+        ts_col="ingestion_ts",
+        n_buckets=8,
+    )
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(lambda b, _id: store.merge(b))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(f"item{i}", TS0, "x" * (i % 4 + 1), float(i)) for i in range(20)], SCHEMA
+    ).write.mode("append").parquet(str(src))
+    drain()
+    v1 = store.history()[-1]
+    view = grouped_view(store.read(), _group_fn, "amount")
+
+    # Two more source files -> another drain; the store may commit one or
+    # several versions, the view maintains over the whole range at once.
+    spark.createDataFrame(
+        [("item0", TS0 + datetime.timedelta(hours=1), "x" * 8, 50.0),
+         ("item40", TS0, "x" * 2, 4.5)],
+        SCHEMA,
+    ).write.mode("append").parquet(str(src))
+    drain()
+    v2 = store.history()[-1]
+    assert v2 > v1
+    view = maintain(view, store.changes(v1, v2), _group_fn, "amount")
+    assert _rows(view) == _rows(grouped_view(store.read(), _group_fn, "amount"))
