@@ -1,0 +1,207 @@
+"""Operational / planner observability: exact join-size audit, shuffle-key
+skew profiling, and training-mixture ("data recipe") planning.
+
+A 1000-executor deployment lives or dies on questions the queries themselves
+never answer: how many rows will this join emit, which shuffle key is skewed
+enough to need salting/AQE, and how many epochs of each language does the
+target mixture imply. Each audit here is the *exact* distributed computation
+of one of those planner inputs — per-key count tables (one shuffle each),
+then tiny aggregates — so the audit itself scales to the tables it profiles.
+
+All arithmetic is integer (counts, ppm shares, DIV) so Spark and DuckDB are
+bit-identical regardless of partitioning — the repo-wide parity discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Exact join-cardinality audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_size_audit",
+    oracle="""
+    WITH cl AS (SELECT c_custkey AS k, COUNT(*) AS cnt FROM customer GROUP BY 1),
+         cr AS (SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders   GROUP BY 1),
+         j  AS (SELECT cl.cnt AS a, cr.cnt AS b FROM cl JOIN cr USING (k))
+    SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM cl) AS rows_left,
+           (SELECT CAST(SUM(cnt) AS BIGINT) FROM cr) AS rows_right,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS keys_left,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cr) AS keys_right,
+           CAST(COUNT(*) AS BIGINT)                  AS keys_common,
+           CAST(SUM(a * b) AS BIGINT)                AS join_rows,
+           CAST(MAX(a * b) AS BIGINT)                AS max_key_fanout
+    FROM j
+    """,
+)
+def join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-join cardinality estimate: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k),
+    computed from the two per-key count tables — the planner-side audit that
+    decides whether a join is safe to run, needs a pre-aggregate, or will
+    explode. The count tables are each ONE partial-agg shuffle over their
+    fact; the count-table join is key-aligned and tiny relative to the
+    facts. At 100 TB this replaces "run it and see" with an O(keys) dry run."""
+    cat = Catalog(spark, sf_dir)
+    cl = cat.customer.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("a")
+    )
+    cr = cat.orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("b")
+    )
+    left_tot = cl.agg(
+        F.sum("a").alias("rows_left"), F.count("*").alias("keys_left")
+    )
+    right_tot = cr.agg(
+        F.sum("b").alias("rows_right"), F.count("*").alias("keys_right")
+    )
+    joined = (
+        cl.join(cr, "k")
+        .agg(
+            F.count("*").alias("keys_common"),
+            F.sum(F.col("a") * F.col("b")).alias("join_rows"),
+            F.max(F.col("a") * F.col("b")).alias("max_key_fanout"),
+        )
+    )
+    return (
+        left_tot.crossJoin(F.broadcast(right_tot))
+        .crossJoin(F.broadcast(joined))
+        .select(
+            "rows_left", "rows_right", "keys_left", "keys_right",
+            "keys_common", "join_rows", "max_key_fanout",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew report
+# ---------------------------------------------------------------------------
+
+def _skew_duck(table: str, col: str) -> str:
+    return f"""
+        SELECT '{table}.{col}' AS key_col,
+               CAST(SUM(cnt) AS BIGINT)  AS n_rows,
+               CAST(COUNT(*) AS BIGINT)  AS n_keys,
+               CAST(MAX(cnt) AS BIGINT)  AS max_key_rows,
+               CAST(MAX(cnt) * 1000000 // SUM(cnt) AS BIGINT) AS top_share_ppm,
+               CAST(SUM(cnt) * 1000000 // COUNT(*) AS BIGINT) AS avg_key_rows_ppm
+        FROM (SELECT {col}, COUNT(*) AS cnt FROM {table} GROUP BY 1)
+    """
+
+
+@query(
+    "skew_report",
+    oracle=f"""
+    {_skew_duck('lineitem', 'l_orderkey')}
+    UNION ALL
+    {_skew_duck('orders', 'o_custkey')}
+    UNION ALL
+    {_skew_duck('events', 'user_id')}
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for the three hottest join/agg keys: rows,
+    distinct keys, the heaviest key's row count and its share of the table
+    in ppm, and the mean rows-per-key in ppm. top_share_ppm is exactly the
+    number that decides between a plain shuffle join, AQE's skew split, and
+    ``operators/skew.py``'s explicit salting. One partial-agg shuffle per
+    profiled column; the per-key count table never leaves the executors —
+    only the 1-row summary does."""
+    cat = Catalog(spark, sf_dir)
+
+    def profile(df: DataFrame, table: str, col: str) -> DataFrame:
+        return (
+            df.groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+            .agg(
+                F.sum("cnt").alias("n_rows"),
+                F.count("*").alias("n_keys"),
+                F.max("cnt").alias("max_key_rows"),
+                F.expr("max(cnt) * 1000000 DIV sum(cnt)").alias("top_share_ppm"),
+                F.expr("sum(cnt) * 1000000 DIV count(*)").alias("avg_key_rows_ppm"),
+            )
+            .select(
+                F.lit(f"{table}.{col}").alias("key_col"),
+                "n_rows", "n_keys", "max_key_rows",
+                "top_share_ppm", "avg_key_rows_ppm",
+            )
+        )
+
+    return (
+        profile(cat.lineitem, "lineitem", "l_orderkey")
+        .unionAll(profile(cat.orders, "orders", "o_custkey"))
+        .unionAll(profile(cat.events, "events", "user_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture recipe planner
+# ---------------------------------------------------------------------------
+
+# Target mixture in ppm (must sum to 1,000,000) and the epoch ceiling: no
+# language may be repeated more than MAX_EPOCHS times, which bounds the
+# total corpus the recipe can serve.
+_WEIGHTS = (("en", 500_000), ("zh", 150_000), ("es", 150_000),
+            ("de", 100_000), ("fr", 100_000))
+_MAX_EPOCHS = 2
+
+_WEIGHTS_DUCK = "VALUES " + ", ".join(f"('{l}', {w})" for l, w in _WEIGHTS)
+
+
+@query(
+    "corpus_recipe_plan",
+    oracle=f"""
+    WITH avail AS (
+        SELECT lang, CAST(SUM(n_chars // 4) AS BIGINT) AS tokens_avail
+        FROM documents GROUP BY lang
+    ), w(lang, weight_ppm) AS ({_WEIGHTS_DUCK}),
+    joined AS (
+        SELECT a.lang, a.tokens_avail, w.weight_ppm,
+               a.tokens_avail * {_MAX_EPOCHS} * 1000000 // w.weight_ppm AS cap
+        FROM avail a JOIN w USING (lang)
+    ), budget AS (SELECT MIN(cap) AS total_tokens FROM joined)
+    SELECT j.lang, j.tokens_avail, CAST(j.weight_ppm AS BIGINT) AS weight_ppm,
+           CAST(b.total_tokens * j.weight_ppm // 1000000 AS BIGINT) AS tokens_needed,
+           CAST((b.total_tokens * j.weight_ppm // 1000000) * 1000000
+                // j.tokens_avail AS BIGINT) AS epochs_ppm
+    FROM joined j CROSS JOIN budget b
+    """,
+)
+def corpus_recipe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe planner (the Dolma/Pile mixture computation): given per-
+    language token inventories and target mixture weights, find the largest
+    total token budget where no language exceeds the epoch ceiling —
+    budget = min_l(avail_l · max_epochs / w_l) — then the per-language
+    token demand and implied epochs (ppm). Integer throughout. One shuffle
+    (the per-language inventory); the weights dim is a broadcast literal and
+    the budget is a 5-row global min broadcast back — planner maths, not a
+    data-scale stage."""
+    cat = Catalog(spark, sf_dir)
+    avail = cat.documents.groupBy("lang").agg(
+        F.sum(F.expr("n_chars DIV 4")).alias("tokens_avail")
+    )
+    w = F.broadcast(
+        spark.createDataFrame(list(_WEIGHTS), ["lang", "weight_ppm"])
+    )
+    joined = avail.join(w, "lang").withColumn(
+        "cap", F.expr(f"tokens_avail * {_MAX_EPOCHS} * 1000000 DIV weight_ppm")
+    )
+    budget = joined.agg(F.min("cap").alias("total_tokens"))
+    return (
+        joined.crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            "tokens_avail",
+            F.col("weight_ppm").cast("bigint").alias("weight_ppm"),
+            F.expr("total_tokens * weight_ppm DIV 1000000").alias("tokens_needed"),
+            F.expr(
+                "(total_tokens * weight_ppm DIV 1000000) * 1000000"
+                " DIV tokens_avail"
+            ).alias("epochs_ppm"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Ops-audit suite: the audits must agree with the ground truth they predict.
+
+Parity proves Spark == DuckDB; these tests prove the audits mean what they
+claim — the join-size audit predicts the real join's row count, the skew
+report's shares are internally consistent, and the recipe planner's budget
+is tight (binding language at exactly the epoch ceiling, others under it).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+from hybrid_nutrition_data_pipeline_batch_streaming_spark.catalog import Catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_join_size_audit_predicts_actual_join(spark):
+    row = plans.QUERIES["join_size_audit"](spark, SF).collect()[0]
+    cat = Catalog(spark, SF)
+    actual = cat.customer.join(
+        cat.orders, F.col("c_custkey") == F.col("o_custkey")
+    ).count()
+    assert row.join_rows == actual
+    assert row.keys_common <= min(row.keys_left, row.keys_right)
+    assert row.max_key_fanout <= row.join_rows
+
+
+def test_skew_report_shares_are_consistent(spark):
+    rows = plans.QUERIES["skew_report"](spark, SF).collect()
+    assert {r.key_col for r in rows} == {
+        "lineitem.l_orderkey", "orders.o_custkey", "events.user_id"
+    }
+    for r in rows:
+        assert r.max_key_rows * 1_000_000 // r.n_rows == r.top_share_ppm
+        assert r.n_keys <= r.n_rows
+        # the heaviest key is at least as heavy as the average key
+        assert r.max_key_rows * 1_000_000 >= r.avg_key_rows_ppm * r.n_keys // r.n_keys
+
+
+def test_recipe_budget_is_tight_at_epoch_ceiling(spark):
+    rows = plans.QUERIES["corpus_recipe_plan"](spark, SF).collect()
+    assert sum(r.weight_ppm for r in rows) == 1_000_000
+    # No language exceeds the ceiling (2 epochs = 2_000_000 ppm); at least
+    # one sits within one integer-rounding step of it (the binding lang).
+    assert all(r.epochs_ppm <= 2_000_000 for r in rows)
+    assert max(r.epochs_ppm for r in rows) >= 1_990_000
+    for r in rows:
+        assert r.tokens_needed <= 2 * r.tokens_avail
+
+
+def test_audit_fact_shuffles_are_partial_agg(spark):
+    # Each profiled fact contributes ONE partial-agg shuffle; the per-key
+    # count tables never hit a single partition.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    df = plans.QUERIES["skew_report"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # 3 facts × (key shuffle) + 3 single-row summary exchanges at most;
+    # the count tables must show map-side partial aggregation.
+    assert plan.count("HashAggregate") >= 6
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
