@@ -1044,3 +1044,38 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_sampled")
         )
     )
+
+
+@query(
+    "sample_reservoir",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 8
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed reservoir sample: exactly k=8 documents per
+    language, uniform over the stream. The classic reservoir algorithm is
+    sequential; the distributed identity is "k smallest by a uniform random
+    key" — here the key is md5(doc_id), so the sample is a pure function of
+    the data (reproducible across retries/partitionings, the property random()
+    reservoirs lose under speculation). One shuffle partitioned by lang; at
+    100 TB the per-partition top-k pushes down (WindowGroupLimit prunes to k
+    rows per partition map-side before the exchange), so the shuffle carries
+    ~k rows per stratum, not the corpus."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        cat.documents.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 8)
+    )

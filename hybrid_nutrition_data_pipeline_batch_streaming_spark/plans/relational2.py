@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..functions.parity import MONEY
+from ..functions.parity import MONEY, dsum
 from .registry import query
 
 
@@ -559,4 +559,82 @@ def agg_having_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
+    )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_shipdate AS DATE) AS start_d,
+               CAST(l_shipdate AS DATE)
+                   + CAST(7 + l_orderkey % 21 AS INT) AS end_d
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND year(CAST(l_shipdate AS DATE)) = 1996
+    )
+    SELECT datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE)) // 7
+               AS week_bin,
+           CAST(COUNT(*) AS BIGINT)                    AS n_pairs,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue
+    FROM li JOIN orders o
+      ON CAST(o.o_orderdate AS DATE) BETWEEN li.start_d AND li.end_d
+    GROUP BY 1
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join where BOTH sides are large — the scale path for
+    J5 that ``join_range``'s broadcast-BNLJ deliberately is not. Each
+    lineitem defines a ship window [l_shipdate, +7..27 days]; the task is to
+    match every order placed inside any window. A naive non-equi join is
+    O(n·m); instead both sides map to 7-day bins — the interval side EXPLODES
+    to every bin it overlaps (``sequence`` + ``explode``, ≤ 5 bins per row),
+    the point side to its single bin — and the join becomes a plain
+    shuffled EQUI-join on week_bin with the exact BETWEEN as a residual
+    filter. Each (interval, point) pair meets in exactly one bin (the
+    point's), so no dedup pass is needed. Cost falls from n·m comparisons to
+    Σ_bin n_bin·m_bin — with date-partitioned storage the bins are partition-
+    pruned reads. This is the bin-equi-join rewrite range-join optimizers
+    apply internally (DuckDB's IEJoin answers the oracle natively — a nice
+    cross-check of the rewrite's exactness). Revenue is decimal-exact."""
+    cat = Catalog(spark, sf_dir)
+    li = (
+        cat.lineitem.where(
+            (F.col("l_returnflag") == "R")
+            & (F.year(F.col("l_shipdate").cast("date")) == 1996)
+        )
+        .select(
+            F.col("l_shipdate").cast("date").alias("start_d"),
+            F.expr(
+                "date_add(CAST(l_shipdate AS DATE),"
+                " CAST(7 + l_orderkey % 21 AS INT))"
+            ).alias("end_d"),
+        )
+        .withColumn(
+            "week_bin",
+            F.expr(
+                "explode(sequence(datediff(start_d, DATE '1992-01-01') DIV 7,"
+                " datediff(end_d, DATE '1992-01-01') DIV 7))"
+            ),
+        )
+    )
+    o = cat.orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_d"),
+    ).withColumn(
+        "week_bin", F.expr("datediff(o_d, DATE '1992-01-01') DIV 7")
+    )
+    return (
+        li.join(o, "week_bin")
+        .where(F.col("o_d").between(F.col("start_d"), F.col("end_d")))
+        .groupBy("week_bin")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
     )

@@ -161,3 +161,92 @@ def text_search_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
         .limit(TOP_DOCS)
     )
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text <> ''
+    ), tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, tok
+    ), dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT)  AS l_total
+        FROM dl
+    ), terms AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY tok
+        ORDER BY CAST(SUM(tf) AS BIGINT) DESC, tok LIMIT {N_QUERY_TERMS}
+    ), scored AS (
+        SELECT tf.doc_id,
+               ((n_docs - df) * 1000 // df)
+               * ((22000 * tf * l_total)
+                  // (10 * tf * l_total + 3 * l_total + 9 * dl.dl * n_docs))
+               AS s
+        FROM tf JOIN terms USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(SUM(s) AS BIGINT)   AS score_units,
+           CAST(COUNT(*) AS BIGINT) AS terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY score_units DESC, doc_id LIMIT {TOP_DOCS}
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (k1=1.2, b=0.75) in exact integer arithmetic — the
+    production upgrade of ``text_search_rank``'s flat tf·idf: term frequency
+    saturates (tf·(k1+1) / (tf + k1·…)) and long documents are penalized by
+    dl/avgdl. Multiplying the BM25 fraction through by 10·L (L = corpus
+    token count, so avgdl = L/N needs no division) gives
+    ``22000·tf·L DIV (10·tf·L + 3·L + 9·dl·N)`` — per-mille of the
+    saturation term — and idf is the rational surrogate (N−df)·1000 DIV df
+    (logs are not bit-stable across engines; the rational form preserves the
+    df ordering). Every operand is BIGINT, so both engines hash identically.
+
+    Plan: same single corpus explode as ``text_search_rank`` → tf table →
+    doc lengths + corpus stats re-aggregate IT (never the raw corpus) →
+    the term set broadcasts onto the index; dl joins doc-keyed (tf and dl
+    are co-partitioned — dl derives from tf). One extra map over the probe,
+    zero extra shuffles vs flat tf·idf. Reference parity: the word-cloud
+    chart's token statistics (`README.md:61-64`) generalized to ranked
+    retrieval."""
+    cat = Catalog(spark, sf_dir)
+    tok = cat.documents.where(F.col("text") != "").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("l_total")
+    )
+    terms = (
+        tf.groupBy("tok")
+        .agg(F.sum("tf").cast("long").alias("total"), F.count("*").alias("df"))
+        .orderBy(F.desc("total"), F.asc("tok"))
+        .limit(N_QUERY_TERMS)
+        .drop("total")
+    )
+    return (
+        tf.join(F.broadcast(terms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.expr(
+                "((n_docs - df) * 1000 DIV df) * ((22000 * tf * l_total)"
+                " DIV (10 * tf * l_total + 3 * l_total + 9 * dl * n_docs))"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("s").cast("long").alias("score_units"),
+            F.count("*").cast("long").alias("terms_hit"),
+        )
+        .orderBy(F.desc("score_units"), F.asc("doc_id"))
+        .limit(TOP_DOCS)
+    )
