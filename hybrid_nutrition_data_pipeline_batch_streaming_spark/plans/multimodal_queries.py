@@ -316,3 +316,120 @@ def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.min_by("frame_hash", "frame_idx").alias("keyframe_hash"),
     )
+
+
+# Audio stand-in parameters: 16 "samples" (bytes) per frame, DC offset 100,
+# voiced when frame energy exceeds the threshold. The PCM decode itself is
+# the same documented codec boundary as images (`operators/multimodal.py`);
+# the DSP downstream of it — framing, energy, activity detection, segment
+# assembly — is real and engine-side.
+AUDIO_FRAME = 16
+AUDIO_DC = 100
+AUDIO_THRESH = 6400
+AUDIO_MAX_FRAMES = 64
+
+
+@query(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                   CAST(least(len(text) // {AUDIO_FRAME},
+                              {AUDIO_MAX_FRAMES}) AS BIGINT) - 1)) AS f
+        FROM documents WHERE len(text) >= {AUDIO_FRAME}
+    ), e AS (
+        SELECT doc_id, f,
+               list_reduce(list_transform(generate_series(1, {AUDIO_FRAME}),
+                   k -> CAST((ascii(text[CAST(f * {AUDIO_FRAME} + k AS BIGINT)])
+                              - {AUDIO_DC})
+                           * (ascii(text[CAST(f * {AUDIO_FRAME} + k AS BIGINT)])
+                              - {AUDIO_DC}) AS BIGINT)),
+                   (a, b) -> a + b) AS energy
+        FROM f
+    ), isl AS (
+        SELECT doc_id,
+               f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS anchor
+        FROM e WHERE energy > {AUDIO_THRESH}
+    ), seg AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_segments
+        FROM isl GROUP BY doc_id
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN energy > {AUDIO_THRESH} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_voiced,
+           COALESCE(ANY_VALUE(seg.n_segments), 0) AS n_segments,
+           CAST(SUM(energy) AS BIGINT) AS energy_total,
+           CAST(MAX(energy) AS BIGINT) AS energy_max
+    FROM e LEFT JOIN seg ON seg.doc_id = e.doc_id
+    GROUP BY e.doc_id
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity detection over the multimodal payload (X4, audio leg):
+    frame the waveform ({AUDIO_FRAME} samples/frame, first {AUDIO_MAX_FRAMES}
+    frames), compute per-frame energy Σ(s−DC)² in exact BIGINT, flag voiced
+    frames against a fixed threshold, and stitch consecutive voiced frames
+    into segments with the same gaps-and-islands anchor used by
+    ``mm_scene_segments`` — the energy-gate VAD every speech pipeline runs
+    before transcription. The payload is the document's bytes read as PCM
+    (the codec decode is the documented stub boundary shared with the image
+    path); everything after the decode — framing, energy fold, gating,
+    segment assembly — is the real relational DSP and runs JVM-side via
+    higher-order array functions, no Python. Per-doc frame counts are capped,
+    so the explode is bounded; all shuffles key on doc_id and reuse one
+    exchange. At 100 TB this is the per-object map + one keyed aggregate —
+    embarrassingly parallel."""
+    cat = Catalog(spark, sf_dir)
+    f = cat.documents.where(F.length("text") >= AUDIO_FRAME).select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"explode(sequence(CAST(0 AS BIGINT),"
+            f" CAST(least(length(text) DIV {AUDIO_FRAME},"
+            f" {AUDIO_MAX_FRAMES}) AS BIGINT) - 1))"
+        ).alias("f"),
+    )
+    e = f.select(
+        "doc_id",
+        "f",
+        F.expr(
+            f"aggregate(sequence(1, {AUDIO_FRAME}), CAST(0 AS BIGINT),"
+            f" (acc, k) -> acc + CAST("
+            f" (ascii(substring(text, CAST(f * {AUDIO_FRAME} + k AS INT), 1))"
+            f" - {AUDIO_DC})"
+            f" * (ascii(substring(text, CAST(f * {AUDIO_FRAME} + k AS INT), 1))"
+            f" - {AUDIO_DC}) AS BIGINT))"
+        ).alias("energy"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("f")
+    isl = (
+        e.where(F.col("energy") > AUDIO_THRESH)
+        .withColumn("anchor", F.col("f") - F.row_number().over(w))
+    )
+    seg = isl.groupBy("doc_id").agg(
+        F.countDistinct("anchor").alias("n_segments")
+    )
+    return (
+        e.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum(F.when(F.col("energy") > AUDIO_THRESH, 1).otherwise(0))
+            .cast("long")
+            .alias("n_voiced"),
+            F.sum("energy").cast("long").alias("energy_total"),
+            F.max("energy").alias("energy_max"),
+        )
+        .join(seg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_voiced",
+            F.coalesce(F.col("n_segments"), F.lit(0).cast("long")).alias(
+                "n_segments"
+            ),
+            "energy_total",
+            "energy_max",
+        )
+    )
