@@ -117,10 +117,11 @@ def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-day activity streak per user (gaps-and-islands):
     distinct active days, anchor = day − row_number (constant within a
-    consecutive run), then run lengths and the per-user max. Every stage
-    keys on user_id — the distinct, the window, and both aggregates reuse
-    one hash partitioning, so the whole query is a single exchange over the
-    event log regardless of scale. The same anchor trick segments scenes in
+    consecutive run), then run lengths and the per-user max. Every exchange
+    keys on user_id (the day-distinct pre-aggregate on (user, day), the
+    window and final rollups on user) — two user-keyed shuffles total over
+    the event log, no self-joins, regardless of how many events back the
+    calendar. The same anchor trick segments scenes in
     ``mm_scene_segments``; here it runs on the calendar axis."""
     cat = Catalog(spark, sf_dir)
     days = cat.events.select("user_id", F.to_date("ts").alias("d")).distinct()
@@ -246,9 +247,10 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the level shifts. Scaled by n_days to stay in integers —
     S_d·nd = Σ_{i≤d} (c_i·nd − total) — so the peak day, its deviation, and
     the 2×-mean shift flag are all exact BIGINT math, no float means. The
-    event log collapses to (type × day) counts first (one shuffle); both
-    windows (CUSUM + argmax rank) partition by event_type over
-    calendar-bounded rows, reusing one exchange. At 100 TB the daily counts
+    event log collapses to (type × day) counts first (one shuffle, one scan);
+    per-type totals are an UNBOUNDED window — not an aggregate joined back —
+    so all three windows (totals, CUSUM, argmax rank) share the single
+    event_type exchange. At 100 TB the daily counts
     come straight from a date-partitioned rollup — the detector never
     re-touches raw events."""
     cat = Catalog(spark, sf_dir)
@@ -257,17 +259,27 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "d")
         .agg(F.count("*").alias("c"))
     )
-    tot = daily.groupBy("event_type").agg(
-        F.sum("c").cast("long").alias("t"), F.count("*").alias("nd")
+    # Per-type totals come from an UNBOUNDED window over the same partition
+    # key instead of an aggregate + join back — the daily rollup is computed
+    # once and every subsequent window (totals, CUSUM, argmax rank) reuses
+    # the one event_type exchange; the event log is scanned exactly once.
+    w_all = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     w_cus = (
         Window.partitionBy("event_type")
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cus = daily.join(tot, "event_type").withColumn(
-        "s_scaled",
-        F.sum(F.col("c") * F.col("nd") - F.col("t")).over(w_cus).cast("long"),
+    cus = (
+        daily.withColumn("t", F.sum("c").over(w_all).cast("long"))
+        .withColumn("nd", F.count("*").over(w_all))
+        .withColumn(
+            "s_scaled",
+            F.sum(F.col("c") * F.col("nd") - F.col("t")).over(w_cus).cast("long"),
+        )
     )
     w_rk = Window.partitionBy("event_type").orderBy(
         F.abs(F.col("s_scaled")).desc(), F.col("d").asc()

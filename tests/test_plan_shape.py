@@ -453,3 +453,82 @@ def test_ts_resample_ohlc_single_exchange(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert len(_re.findall(r"\bExchange\b", plan)) == 1
     assert plan.count("Window") == 2
+
+
+def test_running_distinct_window_is_calendar_bounded(spark):
+    """Cumulative-distinct: the only single-partition stage is the final
+    cumsum over per-day rows (calendar-bounded); the event-scale work — the
+    first-seen min and the daily distinct — runs in parallel aggregates, and
+    the day-keyed new-user side joins broadcast."""
+    plan = _plan(spark, "running_distinct", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_user_streaks_exchanges_all_key_on_user(spark):
+    """Gaps-and-islands streaks: every exchange hashes on user_id (alone or
+    with the day column) — no self-joins, no global shuffles."""
+    import re as _re
+    plan = _plan(spark, "user_streaks", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    exchanges = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, "expected hash exchanges"
+    for keys in exchanges:
+        assert "user_id" in keys, f"non-user-keyed exchange: {keys}"
+    assert "Join" not in plan
+
+
+def test_cusum_changepoint_is_joinless_single_type_exchange(spark):
+    """CUSUM: per-type totals come from an unbounded window, not an
+    aggregate joined back — the daily rollup is computed once and all three
+    windows share ONE event_type exchange (plus the rollup's own)."""
+    import re as _re
+    plan = _plan(spark, "cusum_changepoint", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    type_only = _re.findall(r"Exchange hashpartitioning\(event_type#\d+, \d+\)", plan)
+    assert len(type_only) == 1, type_only
+
+
+def test_bm25_probe_broadcasts_terms_and_stats(spark):
+    """BM25: the query-term set and the 1-row corpus stats broadcast onto
+    the posting table — the corpus-sized side never re-shuffles for them."""
+    plan = _plan(spark, "bm25_search", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan  # tf posting table built once, reused
+
+
+def test_join_range_binned_is_equi_join_no_bnlj(spark):
+    """The binned interval join must plan as a hash-partitioned EQUI-join on
+    week_bin (+ residual filter) — never a nested-loop/cartesian product,
+    which is exactly what the bin rewrite exists to avoid."""
+    plan = _plan(spark, "join_range_binned", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # slice predicate reaches the scan
+
+
+def test_sample_reservoir_prunes_to_k_per_partition(spark):
+    """k-smallest-by-hash reservoir: WindowGroupLimit prunes each map-side
+    partition to k rows BEFORE the lang exchange — the shuffle carries ~k
+    rows per stratum, not the corpus."""
+    plan = _plan(spark, "sample_reservoir", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan
+
+
+def test_mm_audio_energy_is_jvm_side_doc_keyed(spark):
+    """Audio VAD: all DSP runs in JVM expressions (no Python eval nodes) and
+    every exchange keys on doc_id."""
+    import re as _re
+    plan = _plan(spark, "mm_audio_energy", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    for keys in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" in keys, f"non-doc-keyed exchange: {keys}"
