@@ -84,6 +84,13 @@ HEADLINE = [
     "dedup_lines",
     "shard_balanced",
     "ts_motif_match",
+    # session-5 additions: BM25 retrieval, the both-sides-large binned range
+    # join, the cumulative-distinct growth curve, and the shuffle-free audio
+    # VAD over the multimodal payload
+    "bm25_search",
+    "join_range_binned",
+    "running_distinct",
+    "mm_audio_energy",
 ]
 
 

@@ -370,66 +370,56 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio activity detection over the multimodal payload (X4, audio leg):
     frame the waveform ({AUDIO_FRAME} samples/frame, first {AUDIO_MAX_FRAMES}
     frames), compute per-frame energy Σ(s−DC)² in exact BIGINT, flag voiced
-    frames against a fixed threshold, and stitch consecutive voiced frames
-    into segments with the same gaps-and-islands anchor used by
-    ``mm_scene_segments`` — the energy-gate VAD every speech pipeline runs
-    before transcription. The payload is the document's bytes read as PCM
-    (the codec decode is the documented stub boundary shared with the image
-    path); everything after the decode — framing, energy fold, gating,
-    segment assembly — is the real relational DSP and runs JVM-side via
-    higher-order array functions, no Python. Per-doc frame counts are capped,
-    so the explode is bounded; all shuffles key on doc_id and reuse one
-    exchange. At 100 TB this is the per-object map + one keyed aggregate —
-    embarrassingly parallel."""
+    frames against a fixed threshold, and count maximal runs of consecutive
+    voiced frames — the energy-gate VAD every speech pipeline runs before
+    transcription. The payload is the document's bytes read as PCM (the
+    codec decode is the documented stub boundary shared with the image
+    path); everything after the decode is the real DSP.
+
+    Plan shape: because a waveform's frames live INSIDE one row, the whole
+    detector is higher-order array expressions — slice frames once
+    (``transform`` + ``substring``), fold each slice to its energy, then
+    read every output (counts, run/segment count via rising edges, totals,
+    max) off the per-row energy array. ZERO shuffles, zero explode, no
+    window, no Python — a pure map over the object table, embarrassingly
+    parallel at 100 TB. (The oracle computes the identical answer the
+    relational way — explode + gaps-and-islands — cross-checking the
+    array-side segmentation against the window-side one.)"""
     cat = Catalog(spark, sf_dir)
-    f = cat.documents.where(F.length("text") >= AUDIO_FRAME).select(
+    # Frames sliced once per row; energies computed per slice; every stat
+    # derives from the one projected `en` array column.
+    en = F.expr(
+        f"transform("
+        f"  transform(sequence(CAST(0 AS BIGINT),"
+        f"    CAST(least(length(text) DIV {AUDIO_FRAME},"
+        f"         {AUDIO_MAX_FRAMES}) AS BIGINT) - 1),"
+        f"    f -> substring(text, CAST(f * {AUDIO_FRAME} + 1 AS INT),"
+        f"         {AUDIO_FRAME})),"
+        f"  s -> aggregate(sequence(1, {AUDIO_FRAME}), CAST(0 AS BIGINT),"
+        f"    (acc, k) -> acc + CAST((ascii(substring(s, k, 1)) - {AUDIO_DC})"
+        f"      * (ascii(substring(s, k, 1)) - {AUDIO_DC}) AS BIGINT)))"
+    )
+    base = (
+        cat.documents.where(F.length("text") >= AUDIO_FRAME)
+        .select("doc_id", en.alias("en"))
+    )
+    # A segment starts at every voiced frame whose predecessor is unvoiced
+    # (or absent) — counting rising edges equals counting islands.
+    rising = F.expr(
+        f"aggregate(sequence(1, size(en)), CAST(0 AS BIGINT),"
+        f" (acc, i) -> acc + IF(element_at(en, i) > {AUDIO_THRESH}"
+        f"   AND (i = 1 OR element_at(en, i - 1) <= {AUDIO_THRESH}),"
+        f"   CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
+    )
+    return base.select(
         "doc_id",
-        "text",
-        F.expr(
-            f"explode(sequence(CAST(0 AS BIGINT),"
-            f" CAST(least(length(text) DIV {AUDIO_FRAME},"
-            f" {AUDIO_MAX_FRAMES}) AS BIGINT) - 1))"
-        ).alias("f"),
-    )
-    e = f.select(
-        "doc_id",
-        "f",
-        F.expr(
-            f"aggregate(sequence(1, {AUDIO_FRAME}), CAST(0 AS BIGINT),"
-            f" (acc, k) -> acc + CAST("
-            f" (ascii(substring(text, CAST(f * {AUDIO_FRAME} + k AS INT), 1))"
-            f" - {AUDIO_DC})"
-            f" * (ascii(substring(text, CAST(f * {AUDIO_FRAME} + k AS INT), 1))"
-            f" - {AUDIO_DC}) AS BIGINT))"
-        ).alias("energy"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("f")
-    isl = (
-        e.where(F.col("energy") > AUDIO_THRESH)
-        .withColumn("anchor", F.col("f") - F.row_number().over(w))
-    )
-    seg = isl.groupBy("doc_id").agg(
-        F.countDistinct("anchor").alias("n_segments")
-    )
-    return (
-        e.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_frames"),
-            F.sum(F.when(F.col("energy") > AUDIO_THRESH, 1).otherwise(0))
-            .cast("long")
-            .alias("n_voiced"),
-            F.sum("energy").cast("long").alias("energy_total"),
-            F.max("energy").alias("energy_max"),
-        )
-        .join(seg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_frames",
-            "n_voiced",
-            F.coalesce(F.col("n_segments"), F.lit(0).cast("long")).alias(
-                "n_segments"
-            ),
-            "energy_total",
-            "energy_max",
-        )
+        F.size("en").cast("long").alias("n_frames"),
+        F.size(F.expr(f"filter(en, e -> e > {AUDIO_THRESH})"))
+        .cast("long")
+        .alias("n_voiced"),
+        rising.alias("n_segments"),
+        F.expr("aggregate(en, CAST(0 AS BIGINT), (a, b) -> a + b)").alias(
+            "energy_total"
+        ),
+        F.array_max("en").alias("energy_max"),
     )

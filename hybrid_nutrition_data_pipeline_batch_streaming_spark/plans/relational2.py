@@ -573,6 +573,7 @@ def agg_having_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         WHERE l_returnflag = 'R'
           AND year(CAST(l_shipdate AS DATE)) = 1996
+          AND quarter(CAST(l_shipdate AS DATE)) = 1
     )
     SELECT datediff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE)) // 7
                AS week_bin,
@@ -599,12 +600,16 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_bin n_bin·m_bin — with date-partitioned storage the bins are partition-
     pruned reads. This is the bin-equi-join rewrite range-join optimizers
     apply internally (DuckDB's IEJoin answers the oracle natively — a nice
-    cross-check of the rewrite's exactness). Revenue is decimal-exact."""
+    cross-check of the rewrite's exactness). The per-week rollup aggregates
+    TWO-LEVEL — (bin, order) partial counts first, then the bin — so the
+    distinct-order count never expands the pair stream twice; revenue is
+    decimal-exact (price × pair-multiplicity)."""
     cat = Catalog(spark, sf_dir)
     li = (
         cat.lineitem.where(
             (F.col("l_returnflag") == "R")
             & (F.year(F.col("l_shipdate").cast("date")) == 1996)
+            & (F.quarter(F.col("l_shipdate").cast("date")) == 1)
         )
         .select(
             F.col("l_shipdate").cast("date").alias("start_d"),
@@ -628,13 +633,21 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "week_bin", F.expr("datediff(o_d, DATE '1992-01-01') DIV 7")
     )
-    return (
+    per_order = (
         li.join(o, "week_bin")
         .where(F.col("o_d").between(F.col("start_d"), F.col("end_d")))
-        .groupBy("week_bin")
+        .groupBy("week_bin", "o_orderkey")
         .agg(
-            F.count("*").alias("n_pairs"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count("*").alias("cnt"),
+            F.first("o_totalprice").alias("o_totalprice"),
         )
+    )
+    return per_order.groupBy("week_bin").agg(
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.col("o_totalprice").cast(MONEY) * F.col("cnt")
+        )
+        .cast("double")
+        .alias("revenue"),
     )

@@ -522,13 +522,19 @@ def test_sample_reservoir_prunes_to_k_per_partition(spark):
     assert "WindowGroupLimit" in plan
 
 
-def test_mm_audio_energy_is_jvm_side_doc_keyed(spark):
-    """Audio VAD: all DSP runs in JVM expressions (no Python eval nodes) and
-    every exchange keys on doc_id."""
-    import re as _re
+def test_mm_audio_energy_is_shuffle_free_map(spark):
+    """Audio VAD: frames live inside each row, so the whole detector —
+    framing, energy folds, rising-edge segmentation — is higher-order array
+    expressions: a pure map with NO exchange, no window, no explode, and no
+    Python eval nodes."""
     plan = _plan(spark, "mm_audio_energy", execute=True)
     plan = plan.split("== Initial Plan ==")[0]
-    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
-        assert node not in plan
-    for keys in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert "doc_id" in keys, f"non-doc-keyed exchange: {keys}"
+    for node in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "Exchange",
+        "Window",
+        "Generate",  # explode
+    ):
+        assert node not in plan, f"unexpected node: {node}"
