@@ -192,3 +192,73 @@ def test_ivm_maintained_across_streaming_merges(spark, tmp_path):
     assert v2 > v1
     view = maintain(view, store.changes(v1, v2), _group_fn, "amount")
     assert _rows(view) == _rows(grouped_view(store.read(), _group_fn, "amount"))
+
+
+def test_ivm_maintains_decayed_engagement_score(spark, tmp_path):
+    """The decayed engagement score (plans/engagement.py::agg_decayed) is a
+    weighted SUM whose weight 2^(weeks since a FIXED epoch) is a pure
+    function of the row — so it is retractable and maintains from the CDF
+    exactly like any other sum. Late-arriving events, corrections (updates)
+    and GDPR deletes all land on the full recompute, bit-for-bit, because
+    the weighted units are integers. (The registered query derives its
+    epoch from the data for fixture-proofness; a maintained deployment pins
+    the epoch, as here — a data-derived epoch would re-weight history on a
+    new minimum and is NOT incrementally maintainable.)"""
+    epoch = datetime.date(2024, 1, 1)
+    schema = (
+        "event_id string, ingestion_ts timestamp, user_id long, d date,"
+        " cents long"
+    )
+
+    def with_wunits(df):
+        return df.withColumn(
+            "wunits",
+            F.expr(
+                "CAST(cents * shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(datediff(d, DATE '{epoch}') DIV 7 AS INT)) AS DOUBLE)"
+            ),
+        )
+
+    store = ParquetUpsertStore(
+        spark,
+        str(tmp_path / "decayed"),
+        key="event_id",
+        ts_col="ingestion_ts",
+        n_buckets=4,
+    )
+    rows = [
+        (f"e{i}", TS0, i % 5, epoch + datetime.timedelta(days=(i * 3) % 28), 100 + i)
+        for i in range(30)
+    ]
+    store.merge(with_wunits(spark.createDataFrame(rows, schema)))
+
+    group_fn = lambda c: c("user_id")  # noqa: E731
+    view = grouped_view(store.read(), group_fn, "wunits")
+
+    # Late event, a correction to an existing event's value, then a delete.
+    late = [
+        ("e100", TS0 + datetime.timedelta(hours=1), 1,
+         epoch + datetime.timedelta(days=27), 999),
+        ("e3", TS0 + datetime.timedelta(hours=1), 3,
+         epoch + datetime.timedelta(days=9), 5),
+    ]
+    store.merge(with_wunits(spark.createDataFrame(late, schema)))
+    view = maintain(view, store.changes(1, 2), group_fn, "wunits")
+
+    store.delete(spark.createDataFrame([("e7",)], "event_id string"))
+    view = maintain(view, store.changes(2, 3), group_fn, "wunits")
+
+    recomputed = grouped_view(store.read(), group_fn, "wunits")
+    assert _rows(view) == _rows(recomputed)
+
+    # Integer-exactness: the maintained decayed units match a direct
+    # integer-arithmetic recompute of the score per user.
+    direct = {
+        (r.user_id, r.units)
+        for r in store.read()
+        .groupBy("user_id")
+        .agg(F.sum(F.col("wunits").cast("long")).alias("units"))
+        .collect()
+    }
+    maintained = {(r.g, int(r.total)) for r in view.collect()}
+    assert maintained == direct
