@@ -103,6 +103,10 @@ def gen_embeddings(spark, m, out):
 
 
 def gen_graph_tables(spark, m, out):
+    # Date/price columns mirror the fixture distributions (orderdate over
+    # 1995-2001, shipdate over 1992-1998, ~25% 'R' return flag) so the
+    # relational scale queries (binned range join, flagship shapes) run on
+    # the same files as the graph ops.
     n_ord, n_li = 150_000 * m, 600_000 * m
     n_cust, n_supp = 15_000 * m, 1_000 * m
     (
@@ -110,6 +114,13 @@ def gen_graph_tables(spark, m, out):
         .select(
             F.col("id").alias("o_orderkey"),
             _pm(_h(F.col("id"), F.lit(4)), n_cust).alias("o_custkey"),
+            F.expr(
+                "CAST(date_add(DATE '1995-01-01',"
+                " CAST(pmod(xxhash64(id, 14), 2400) AS INT)) AS TIMESTAMP_NTZ)"
+            ).alias("o_orderdate"),
+            ((_pm(_h(F.col("id"), F.lit(15)), 45000000) + 90000) / 100.0).alias(
+                "o_totalprice"
+            ),
         )
         .write.mode("overwrite")
         .parquet(os.path.join(out, "orders.parquet"))
@@ -119,6 +130,15 @@ def gen_graph_tables(spark, m, out):
         .select(
             _pm(F.col("id"), n_ord).alias("l_orderkey"),
             _pm(_h(F.col("id"), F.lit(5)), n_supp).alias("l_suppkey"),
+            F.expr(
+                "CAST(date_add(DATE '1992-01-01',"
+                " CAST(pmod(xxhash64(id, 16), 2500) AS INT)) AS TIMESTAMP_NTZ)"
+            ).alias("l_shipdate"),
+            F.expr(
+                "CASE WHEN pmod(xxhash64(id, 17), 4) = 0 THEN 'R'"
+                " WHEN pmod(xxhash64(id, 17), 4) = 1 THEN 'A'"
+                " ELSE 'N' END"
+            ).alias("l_returnflag"),
         )
         .write.mode("overwrite")
         .parquet(os.path.join(out, "lineitem.parquet"))
