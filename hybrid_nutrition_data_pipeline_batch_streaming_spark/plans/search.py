@@ -250,3 +250,165 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_units"), F.asc("doc_id"))
         .limit(TOP_DOCS)
     )
+
+
+#: Late-interaction parameters: tokens per chunk, feature-hash dims (shared
+#: with plans/text.py::embed_feature_hash), query terms, result size.
+MAXSIM_CHUNK = 16
+MAXSIM_DIM = 8
+MAXSIM_TERMS = 3
+MAXSIM_TOP = 15
+
+_MAXSIM_C = ", ".join(
+    f"CAST(SUM(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS DOUBLE) AS c{i}"
+    for i in range(MAXSIM_DIM)
+)
+_MAXSIM_NORM = " + ".join(f"c{j} * c{j}" for j in range(MAXSIM_DIM))
+_MAXSIM_E = ", ".join(
+    f"c{i} / sqrt({_MAXSIM_NORM}) AS e{i}" for i in range(MAXSIM_DIM)
+)
+_MAXSIM_CASE = "CASE t.bucket " + " ".join(
+    f"WHEN {i} THEN e{i}" for i in range(MAXSIM_DIM)
+) + " END"
+
+
+@query(
+    "similarity_maxsim",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, i, string_split(text, ' ')[i] AS tok,
+               CAST((i - 1) // {MAXSIM_CHUNK} AS BIGINT) AS chunk
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+            FROM documents WHERE text <> ''
+        )
+    ), bucketed AS (
+        SELECT doc_id, chunk,
+               (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+                   % {MAXSIM_DIM} AS bucket
+        FROM toks
+    ), counts AS (
+        SELECT doc_id, chunk, {_MAXSIM_C}
+        FROM bucketed GROUP BY doc_id, chunk
+    ), vecs AS (
+        SELECT doc_id, chunk, {_MAXSIM_E} FROM counts
+    ), terms AS (
+        SELECT tok,
+               (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+                   % {MAXSIM_DIM} AS bucket,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS term_idx
+        FROM toks GROUP BY tok
+        ORDER BY COUNT(*) DESC, tok LIMIT {MAXSIM_TERMS}
+    ), comp AS (
+        SELECT v.doc_id, t.term_idx, MAX({_MAXSIM_CASE}) AS m
+        FROM vecs v CROSS JOIN terms t
+        GROUP BY v.doc_id, t.term_idx
+    ), final AS (
+        SELECT doc_id,
+               MAX(CASE WHEN term_idx = 1 THEN m END) AS m1,
+               MAX(CASE WHEN term_idx = 2 THEN m END) AS m2,
+               MAX(CASE WHEN term_idx = 3 THEN m END) AS m3
+        FROM comp GROUP BY doc_id
+    )
+    SELECT doc_id, m1, m2, m3, (m1 + m2 + m3) AS maxsim
+    FROM final ORDER BY maxsim DESC, doc_id LIMIT {MAXSIM_TOP}
+    """,
+)
+def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (multi-vector MaxSim): every
+    document becomes a BAG of chunk embeddings ({MAXSIM_CHUNK}-token chunks
+    through the same feature-hash embedder as
+    ``plans/text.py::embed_feature_hash``), and a query scores as
+    Σ_t max_chunk ⟨q_t, chunk⟩ — each query term matches its best chunk
+    independently, which is what lets late interaction beat single-vector
+    retrieval on long documents. The demo query terms are the corpus's top
+    tokens (fixture-proof, like ``bm25_search``); a hashed single token is a
+    basis vector, so its dot product selects one embedding component —
+    real dense query vectors swap the component pick for the zip_with fold
+    of ``similarity_topk`` on the identical plan.
+
+    Float parity: chunk components are the bit-stable pattern proven by
+    embed_feature_hash (integer counts → fixed-order squared-norm → one
+    sqrt/divide); per-term MAX is order-free; the final score is the fixed
+    three-term expression m1+m2+m3, never a float aggregate.
+
+    Scale shape: one explode → (doc, chunk)-keyed aggregate (the chunk
+    embedding table — at 100 TB this is the persisted multi-vector index,
+    ``operators/ann_index.py`` pattern) → {MAXSIM_TERMS}-row broadcast →
+    doc-keyed max-pool → TakeOrdered. Nothing all-pairs; the crossJoin side
+    is the bounded term set."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.where(F.col("text") != "").select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 1), 16, 10).cast("int")
+        % MAXSIM_DIM
+    )
+    counts = (
+        toks.select(
+            "doc_id",
+            (F.col("pos") / MAXSIM_CHUNK).cast("long").alias("chunk"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("doc_id", "chunk")
+        .agg(
+            *[
+                F.sum(F.when(F.col("bucket") == i, 1).otherwise(0))
+                .cast("double")
+                .alias(f"c{i}")
+                for i in range(MAXSIM_DIM)
+            ]
+        )
+    )
+    sq = None
+    for i in range(MAXSIM_DIM):
+        t = F.col(f"c{i}") * F.col(f"c{i}")
+        sq = t if sq is None else sq + t
+    vecs = counts.select(
+        "doc_id",
+        "chunk",
+        *[(F.col(f"c{i}") / F.sqrt(sq)).alias(f"e{i}") for i in range(MAXSIM_DIM)],
+    )
+    from pyspark.sql.window import Window as _W
+
+    terms = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(MAXSIM_TERMS)
+        .withColumn(
+            "term_idx",
+            F.row_number().over(_W.orderBy(F.desc("cnt"), F.asc("tok"))),
+        )
+        .select(bucket.alias("bucket"), "term_idx")
+    )
+    comp_val = F.element_at(
+        F.array(*[F.col(f"e{i}") for i in range(MAXSIM_DIM)]),
+        F.col("bucket") + 1,
+    )
+    comp = (
+        vecs.crossJoin(F.broadcast(terms))
+        .select("doc_id", "term_idx", comp_val.alias("comp"))
+        .groupBy("doc_id", "term_idx")
+        .agg(F.max("comp").alias("m"))
+    )
+    final = comp.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term_idx") == t, F.col("m"))).alias(f"m{t}")
+            for t in (1, 2, 3)
+        ]
+    )
+    return (
+        final.select(
+            "doc_id",
+            "m1",
+            "m2",
+            "m3",
+            (F.col("m1") + F.col("m2") + F.col("m3")).alias("maxsim"),
+        )
+        .orderBy(F.desc("maxsim"), F.asc("doc_id"))
+        .limit(MAXSIM_TOP)
+    )

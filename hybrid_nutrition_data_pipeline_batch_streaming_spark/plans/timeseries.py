@@ -726,3 +726,67 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "anomaly_seasonal",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ), base AS (
+        SELECT event_type, d, dow, c,
+               CAST(SUM(c) OVER (PARTITION BY event_type, dow) AS BIGINT) AS tb,
+               CAST(COUNT(*) OVER (PARTITION BY event_type, dow) AS BIGINT) AS nb
+        FROM daily
+    )
+    SELECT event_type, d, dow, c,
+           tb, nb,
+           CAST(c * nb * 1000000 // tb - 1000000 AS BIGINT) AS residual_ppm,
+           ABS(c * nb * 1000000 // tb - 1000000) > 500000 AS is_outlier
+    FROM base
+    """,
+)
+def anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: score each (type, day) against
+    its DAY-OF-WEEK baseline instead of a global level — the weekly rhythm
+    every traffic metric has, which global detectors (``anomaly_mad``)
+    misread as anomalies. Day-of-week is the engine-neutral
+    ``datediff(epoch) % 7`` (built-in dow numbering differs between
+    engines); the residual is the exact integer ppm deviation of the day's
+    count from its dow-mean — c·nb·10⁶ DIV tb − 10⁶ — and the outlier gate
+    is ±50%. Baselines come from unbounded windows over the (type, dow)
+    partition, joinless (the ``cusum_changepoint`` pattern): one daily
+    rollup shuffle + one calendar-bounded window exchange, and at 100 TB the
+    rollup reads a date-partitioned aggregate, never raw events."""
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.events.select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("c"))
+        .withColumn("dow", F.expr("datediff(d, DATE '2024-01-01') % 7"))
+    )
+    w = (
+        Window.partitionBy("event_type", "dow")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    base = daily.withColumn("tb", F.sum("c").over(w).cast("long")).withColumn(
+        "nb", F.count("*").over(w)
+    )
+    resid = F.expr("c * nb * 1000000 DIV tb - 1000000")
+    return base.select(
+        "event_type",
+        "d",
+        F.col("dow").cast("long").alias("dow"),
+        "c",
+        "tb",
+        "nb",
+        resid.cast("long").alias("residual_ppm"),
+        (F.abs(resid) > 500000).alias("is_outlier"),
+    )
