@@ -296,3 +296,43 @@ def stream_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("bucket_start", "event_type", "cnt", "rnk")
     )
+
+
+@query(
+    "stream_user_growth_live",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+        FROM events GROUP BY user_id
+    ), newby AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM firsts GROUP BY d
+    )
+    SELECT d, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM newby
+    """,
+)
+def stream_user_growth_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audience-growth curve computed LIVE (the streaming closure of
+    ``plans/engagement.py::running_distinct``): a streaming per-user MIN
+    first-active-day aggregate (complete mode — per-user state, min is
+    arrival-order independent, so the drained state equals the batch
+    answer no matter how micro-batches split), then the calendar-bounded
+    batch rollup over the drained state: per-day new-user counts and the
+    cumulative curve. The state size is one row per user — the same
+    first-seen decomposition that makes the batch form scale replaces
+    unbounded distinct-count state in the stream."""
+    stream = read_events_stream(spark, sf_dir)
+    firsts = (
+        stream.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("d"))
+    )
+    drained = run_to_memory(firsts, output_mode="complete")
+    newby = drained.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return newby.withColumn(
+        "cum_users", F.sum("new_users").over(w).cast("long")
+    )

@@ -298,3 +298,33 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(MONEY)).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CUME_DIST() OVER w AS price_cume,
+           PERCENT_RANK() OVER w AS price_pct_rank,
+           CAST(RANK() OVER w AS BIGINT) AS price_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position analytics (W4 completion): CUME_DIST (fraction
+    of the partition at-or-below this price), PERCENT_RANK and RANK per
+    order-priority band. All three are pure rank arithmetic — value ties get
+    identical positions in every engine, so doubles hash exactly (each is
+    one integer-over-integer division). One window exchange on the
+    partition key."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return cat.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("price_cume"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.rank().over(w).cast("long").alias("price_rank"),
+    )
