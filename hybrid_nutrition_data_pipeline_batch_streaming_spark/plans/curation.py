@@ -1079,3 +1079,63 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 8)
     )
+
+
+#: k-anonymity threshold: a quasi-identifier combination shared by fewer
+#: than K rows is re-identifiable and must be suppressed or generalized.
+KANON_K = 5
+
+
+@query(
+    "kanon_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source,
+               CAST(least(n_chars // 200, 9) AS BIGINT) AS len_band,
+               CAST(COUNT(*) AS BIGINT) AS cell_n
+        FROM documents
+        GROUP BY lang, source, least(n_chars // 200, 9)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                    AS n_cells,
+           CAST(SUM(CASE WHEN cell_n < {KANON_K} THEN 1 ELSE 0 END)
+                AS BIGINT)                             AS unsafe_cells,
+           CAST(SUM(CASE WHEN cell_n < {KANON_K} THEN cell_n ELSE 0 END)
+                AS BIGINT)                             AS rows_at_risk,
+           CAST(MIN(cell_n) AS BIGINT)                 AS min_cell,
+           CAST(SUM(cell_n) AS BIGINT)                 AS n_rows
+    FROM cells GROUP BY lang
+    """,
+)
+def kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (the release-gate sibling of ``pii_redact`` and the
+    GDPR delete path): treat (lang, source, length-band) as the
+    quasi-identifier tuple, count equivalence-class sizes, and report per
+    language how many classes fall below k={K} — the rows a publisher must
+    suppress or generalize before the dataset ships. Two keyed aggregates
+    (cell rollup, then per-lang summary), both partial-aggregated map-side;
+    the min over cell sizes is the dataset's actual k. Generalizing the
+    banding (coarser length bands, dropping `source`) re-runs the same plan
+    — the audit IS the generalization loop's fitness function.""".replace(
+        "{K}", str(KANON_K)
+    )
+    cat = Catalog(spark, sf_dir)
+    cells = (
+        cat.documents.select(
+            "lang",
+            "source",
+            F.expr("CAST(least(n_chars DIV 200, 9) AS BIGINT)").alias("len_band"),
+        )
+        .groupBy("lang", "source", "len_band")
+        .agg(F.count("*").alias("cell_n"))
+    )
+    unsafe = F.col("cell_n") < KANON_K
+    return cells.groupBy("lang").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.when(unsafe, 1).otherwise(0)).cast("long").alias("unsafe_cells"),
+        F.sum(F.when(unsafe, F.col("cell_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("cell_n").alias("min_cell"),
+        F.sum("cell_n").cast("long").alias("n_rows"),
+    )

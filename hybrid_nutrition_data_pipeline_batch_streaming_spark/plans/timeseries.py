@@ -790,3 +790,75 @@ def anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         resid.cast("long").alias("residual_ppm"),
         (F.abs(resid) > 500000).alias("is_outlier"),
     )
+
+
+@query(
+    "trend_ols",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)    AS n,
+               CAST(SUM(x) AS BIGINT)      AS sx,
+               CAST(SUM(y) AS BIGINT)      AS sy,
+               CAST(SUM(x * y) AS BIGINT)  AS sxy,
+               CAST(SUM(x * x) AS BIGINT)  AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy, sxy, sxx,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+    FROM s
+    """,
+)
+def trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend line per event type (is traffic growing?):
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) over (day-index, daily-count)
+    points. Distributed regression without MLlib or iteration — the five
+    sufficient statistics are exact BIGINT sums (associative, mergeable →
+    also IVM-maintainable), and slope/intercept are a fixed expression of
+    them, so the doubles hash identically across engines. The moment sums
+    are THE textbook map-reduce: one daily rollup + one per-type aggregate;
+    at 100 TB both read date-partitioned rollups. Extending to multiple
+    regressors is the same pattern with a k×k normal-equation matrix of
+    sums (k bounded), still closed-form."""
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.events.select(
+            "event_type",
+            F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')").alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count("*").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
