@@ -43,7 +43,17 @@ def connected_components(
 ) -> DataFrame:
     """(doc_id, cluster_rep): min doc_id reachable from each node over the
     undirected edge set. ``nodes`` must have column doc_id; ``edges``
-    columns doc_a/doc_b."""
+    columns doc_a/doc_b.
+
+    ``doc_id`` must be NUMERIC: the O(1)-per-round convergence test sums
+    labels, and a non-numeric label would cast to NULL and silently end
+    the loop after one round (string keys should be mapped to dense ids
+    first — see ``er_golden_records`` for the pattern)."""
+    if dict(nodes.dtypes).get("doc_id") not in ("bigint", "int", "smallint"):
+        raise ValueError(
+            "connected_components requires a numeric doc_id; map string "
+            f"keys to ids first (got {dict(nodes.dtypes).get('doc_id')})"
+        )
     # Lineage cut (not persist): pair generation sits on a DEEP plan
     # (shingling → minhash → band joins → Jaccard verify, itself over gated
     # inputs), and an iterative loop re-submits its lineage to Catalyst on

@@ -90,3 +90,111 @@ def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.sort_array("ts"), 1, 3), ",").alias("first3_sorted"),
         F.size(F.array_distinct("ts")).alias("distinct_tokens"),
     )
+
+
+_ER_PAIRS = """
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    pairs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM n a JOIN n b
+          ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+         AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    )
+"""
+
+
+@query(
+    "er_golden_records",
+    oracle=f"""
+    {_ER_PAIRS},
+    ids AS (
+        SELECT p_name, MIN(p_partkey) AS id FROM part GROUP BY p_name
+    ),
+    und AS (
+        SELECT ia.id AS src, ib.id AS dst
+        FROM pairs JOIN ids ia ON ia.p_name = pairs.name_a
+                   JOIN ids ib ON ib.p_name = pairs.name_b
+        UNION ALL
+        SELECT ib.id AS src, ia.id AS dst
+        FROM pairs JOIN ids ia ON ia.p_name = pairs.name_a
+                   JOIN ids ib ON ib.p_name = pairs.name_b
+    ),
+    comp AS (
+        WITH RECURSIVE walk(node, reach) AS (
+            SELECT id, id FROM ids
+            UNION
+            SELECT w.node, u.dst FROM walk w JOIN und u ON u.src = w.reach
+        )
+        SELECT node, MIN(reach) AS rep FROM walk GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.rep, p.p_partkey, p.p_name, p.p_retailprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.rep
+                   ORDER BY p.p_retailprice DESC, p.p_partkey ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY c.rep) AS n_records,
+               COUNT(DISTINCT p.p_name) OVER (PARTITION BY c.rep) AS n_names
+        FROM part p JOIN ids i ON i.p_name = p.p_name
+                    JOIN comp c ON c.node = i.id
+    )
+    SELECT rep AS cluster_rep,
+           CAST(n_records AS BIGINT)  AS n_records,
+           CAST(n_names AS BIGINT)    AS n_names,
+           p_partkey                  AS golden_partkey,
+           p_name                     AS golden_name,
+           p_retailprice              AS golden_price
+    FROM ranked WHERE rk = 1
+    """,
+)
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (master-data management): block + fuzzy
+    match the name vocabulary (``fuzzy_match_names``'s edge set), close the
+    match graph into entity clusters (min-label connected components — the
+    same ``operators``-backed propagation the dedup suite uses, here over
+    STRING nodes), then elect one golden record per entity by survivorship
+    rule (highest retail price, stable key tiebreak). This is the
+    vocabulary-granularity pattern: matching runs on distinct names (tiny),
+    and only the final attachment join touches the record table — at 100 TB
+    the record side is one broadcast-ish equi-join on name, never pairwise.
+    String match keys map to dense NUMERIC node ids (min record key per
+    name) before label propagation — the CC operator's O(1) convergence
+    test requires numeric labels and rejects strings loudly. The
+    survivorship window and the cluster-size counts share one cluster-rep
+    exchange."""
+    from .graph import connected_components
+
+    cat = Catalog(spark, sf_dir)
+    ids = cat.part.groupBy("p_name").agg(F.min("p_partkey").alias("id"))
+    pairs = (
+        fuzzy_match_names(spark, sf_dir)
+        .join(ids.select(F.col("p_name").alias("name_a"), F.col("id").alias("doc_a")), "name_a")
+        .join(ids.select(F.col("p_name").alias("name_b"), F.col("id").alias("doc_b")), "name_b")
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(
+        ids.select(F.col("id").alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias("id"), "cluster_rep")
+    from pyspark.sql.window import Window as _W
+
+    attached = cat.part.join(ids, "p_name").join(labels, "id")
+    w_rank = _W.partitionBy("cluster_rep").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    w_all = _W.partitionBy("cluster_rep")
+    return (
+        attached.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n_records", F.count("*").over(w_all))
+        .withColumn(
+            "n_names", F.size(F.collect_set("p_name").over(w_all)).cast("long")
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_rep",
+            F.col("n_records").cast("long").alias("n_records"),
+            "n_names",
+            F.col("p_partkey").alias("golden_partkey"),
+            F.col("p_name").alias("golden_name"),
+            F.col("p_retailprice").alias("golden_price"),
+        )
+    )
