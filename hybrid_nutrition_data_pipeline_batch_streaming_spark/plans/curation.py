@@ -1139,3 +1139,64 @@ def kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cell_n").alias("min_cell"),
         F.sum("cell_n").cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               CAST(1 + least(n_chars // 400, 3) AS BIGINT) AS weight
+        FROM documents
+    ), rep AS (
+        SELECT doc_id, weight, unnest(generate_series(1, weight)) AS copy
+        FROM w
+    ), keyed AS (
+        SELECT doc_id, weight,
+               md5(CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)) AS k
+        FROM rep
+    ), top AS (
+        SELECT * FROM keyed ORDER BY k, doc_id LIMIT 30
+    )
+    SELECT doc_id, ANY_VALUE(weight) AS weight,
+           CAST(COUNT(*) AS BIGINT) AS n_draws,
+           MIN(k) AS best_key
+    FROM top GROUP BY doc_id
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling by deterministic replication: each document gets
+    1..4 tickets proportional to a quality proxy (length band), every
+    ticket draws a reproducible md5 key, and the k smallest tickets win —
+    heavier documents are proportionally likelier to be drawn, and the
+    sample is a pure function of the data (stable under retries and
+    repartitioning, like ``sample_reservoir``). The integer-ticket trick is
+    the exactness-safe stand-in for exponential-key (A-ES) weighted
+    reservoirs, whose float pow() keys are not bit-stable across engines.
+    Plan: bounded explode (≤4×) → global top-k (TakeOrdered — never a
+    single-partition sort of the corpus) → group the k winners. At 100 TB
+    only k rows ever concentrate on one node."""
+    cat = Catalog(spark, sf_dir)
+    rep = (
+        cat.documents.select(
+            "doc_id",
+            F.expr("CAST(1 + least(n_chars DIV 400, 3) AS BIGINT)").alias(
+                "weight"
+            ),
+        )
+        .withColumn("copy", F.explode(F.expr("sequence(1, weight)")))
+        .withColumn(
+            "k",
+            F.md5(
+                F.concat_ws(
+                    "#", F.col("doc_id").cast("string"), F.col("copy").cast("string")
+                )
+            ),
+        )
+    )
+    top = rep.orderBy("k", "doc_id").limit(30)
+    return top.groupBy("doc_id").agg(
+        F.first("weight").alias("weight"),
+        F.count("*").alias("n_draws"),
+        F.min("k").alias("best_key"),
+    )
