@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import Catalog
 from ..functions.parity import MONEY, dsum
@@ -650,4 +651,90 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("revenue"),
+    )
+
+
+@query(
+    "pareto_frontier",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_partkey, p_name, p_retailprice, p_size,
+               MIN(p_size) OVER (
+                   ORDER BY p_retailprice ASC, p_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_size_cheaper
+        FROM part
+    )
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM ranked
+    WHERE best_size_cheaper IS NULL OR p_size < best_size_cheaper
+    """,
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (minimize price AND size): a part is
+    dominated if some part is both cheaper-or-equal and smaller. The naive
+    skyline is an O(n²) self-join; for two criteria it collapses to ONE
+    window pass — sort by price, keep rows strictly below the running
+    minimum size of everything cheaper (the standard sort-filter skyline).
+    The frame ends at 1 PRECEDING so equal-price rows compare only against
+    strictly-cheaper ones, with the key tiebreak making the frontier
+    deterministic. Global orderBy = range-partitioned sort at scale; the
+    running min is a streaming frame, no buffering. Integer sizes and
+    2-decimal prices keep the comparison exact."""
+    cat = Catalog(spark, sf_dir)
+    w = (
+        Window.orderBy(F.col("p_retailprice").asc(), F.col("p_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cat.part.select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    ).withColumn("best_size_cheaper", F.min("p_size").over(w))
+    return ranked.where(
+        F.col("best_size_cheaper").isNull()
+        | (F.col("p_size") < F.col("best_size_cheaper"))
+    ).select("p_partkey", "p_name", "p_retailprice", "p_size")
+
+
+@query(
+    "basket_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 3
+    ORDER BY support DESC, part_a, part_b LIMIT 25
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining (frequent pairs): parts bought in
+    the same order, counted across orders, thresholded by minimum support —
+    the pair-generation core of Apriori/FP-growth. The pair join is a SELF
+    equi-join on the basket key, so its cost is Σ_orders |basket|² with
+    baskets a handful of items — bounded fan-out, never corpus × corpus
+    (the same per-group-pairing discipline as the dedup band joins; a
+    pathological mega-basket is what a basket-size cap would guard at
+    100 TB). Distinct first so quantity/linenumber multiplicity doesn't
+    inflate support; top pairs via TakeOrdered."""
+    cat = Catalog(spark, sf_dir)
+    items = cat.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 3)
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(25)
     )

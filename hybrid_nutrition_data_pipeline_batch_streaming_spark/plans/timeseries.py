@@ -862,3 +862,147 @@ def trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+@query(
+    "interval_union_length",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   + CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     * 600000 AS e
+        FROM events
+    ), m AS (
+        SELECT user_id, event_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM iv
+    ), isl AS (
+        SELECT user_id, s, e,
+               SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS isl_id
+        FROM m
+    ), runs AS (
+        SELECT user_id, isl_id,
+               MIN(s) AS s0, MAX(e) AS e1, COUNT(*) AS n
+        FROM isl GROUP BY user_id, isl_id
+    )
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT)        AS n_events,
+           CAST(COUNT(*) AS BIGINT)      AS n_islands,
+           CAST(SUM(e1 - s0) AS BIGINT)  AS covered_us
+    FROM runs GROUP BY user_id
+    """,
+)
+def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (how much wall-clock was each user actually
+    active?): every event opens an interval [ts, ts + value minutes];
+    overlapping intervals merge and the union's total length is exact
+    epoch-microsecond arithmetic. The merge is the interval flavor of
+    gaps-and-islands: a running MAX of interval ends over strictly-prior
+    rows detects island starts, a running SUM numbers the islands, and a
+    per-island aggregate takes (min start, max end). ALL four stages —
+    both windows and both aggregates — key on user_id, one exchange
+    end-to-end. This is billing/uptime math (overlap-free usage seconds)
+    where naive SUM(duration) double-counts overlaps."""
+    cat = Catalog(spark, sf_dir)
+    iv = cat.events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            * F.lit(600000)
+        ).alias("e"),
+    )
+    order = [F.col("s").asc(), F.col("event_id").asc()]
+    w_prev = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = iv.withColumn("prev_max", F.max("e").over(w_prev))
+    isl = m.withColumn(
+        "isl_id",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    runs = isl.groupBy("user_id", "isl_id").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1"), F.count("*").alias("n")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("e1") - F.col("s0")).cast("long").alias("covered_us"),
+    )
+
+
+@query(
+    "conversion_latency",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+        SELECT e.user_id,
+               (epoch_us(MIN(CAST(e.ts AS TIMESTAMP)))
+                - epoch_us(MIN(s1.t1))) // 1000000 AS latency_s
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s1.t1
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)       AS n_converted,
+           CAST(MIN(latency_s) AS BIGINT) AS min_s,
+           quantile_cont(latency_s, 0.5)  AS median_s,
+           quantile_cont(latency_s, 0.9)  AS p90_s,
+           CAST(MAX(latency_s) AS BIGINT) AS max_s
+    FROM conv
+    """,
+)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (the funnel's latency cousin): seconds
+    from a user's first signup to their first at-or-after purchase, then
+    the exact latency quantiles — the SLA numbers product teams actually
+    track. Latencies are integer seconds (epoch-µs subtraction, integer
+    division); the interpolated percentiles follow the proven
+    ``agg_percentile`` parity (Spark percentile == DuckDB quantile_cont on
+    identical inputs). Two user-keyed aggregates joined on user_id, then
+    one scalar summary row."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(unix_micros(CAST(MIN(ts) AS TIMESTAMP)) - unix_micros(CAST(MIN(t1) AS TIMESTAMP))) DIV 1000000"
+            ).alias("latency_s")
+        )
+    )
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.min("latency_s").alias("min_s"),
+        F.percentile(F.col("latency_s"), F.lit(0.5)).alias("median_s"),
+        F.percentile(F.col("latency_s"), F.lit(0.9)).alias("p90_s"),
+        F.max("latency_s").alias("max_s"),
+    )
