@@ -673,26 +673,48 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto-frontier query (minimize price AND size): a part is
     dominated if some part is both cheaper-or-equal and smaller. The naive
-    skyline is an O(n²) self-join; for two criteria it collapses to ONE
-    window pass — sort by price, keep rows strictly below the running
-    minimum size of everything cheaper (the standard sort-filter skyline).
-    The frame ends at 1 PRECEDING so equal-price rows compare only against
-    strictly-cheaper ones, with the key tiebreak making the frontier
-    deterministic. Global orderBy = range-partitioned sort at scale; the
-    running min is a streaming frame, no buffering. Integer sizes and
-    2-decimal prices keep the comparison exact."""
+    skyline is an O(n²) self-join; for two criteria it collapses to a
+    sort-filter pass — keep rows strictly below the running minimum size of
+    everything cheaper (frame to 1 PRECEDING so equal prices compare only
+    against strictly-cheaper rows; key tiebreak makes it deterministic).
+
+    A bare global window would single-partition the table, so the running
+    min is DISTRIBUTED two-phase (the ``shard_balanced`` prefix-sum
+    pattern): the sort key buckets into monotone price BANDS — the
+    in-band running min runs band-partitioned in parallel, band minima
+    aggregate into a tiny prefix table (running min over bands, the one
+    legitimately single-partition stage at band cardinality), and each
+    row's effective predecessor-min is least(in-band, prior-bands). The
+    oracle computes the same frontier with the naive global window,
+    proving the decomposition exact."""
     cat = Catalog(spark, sf_dir)
-    w = (
-        Window.orderBy(F.col("p_retailprice").asc(), F.col("p_partkey").asc())
+    base = cat.part.select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    ).withColumn(
+        # 2-dollar price bands: monotone in the sort key, so band order ==
+        # price order and prefix minima compose correctly.
+        "band",
+        F.expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 200"),
+    )
+    w_band = (
+        Window.partitionBy("band")
+        .orderBy(F.col("p_retailprice").asc(), F.col("p_partkey").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = cat.part.select(
+    in_band = base.withColumn("in_band_min", F.min("p_size").over(w_band))
+    band_mins = base.groupBy("band").agg(F.min("p_size").alias("band_min"))
+    w_prefix = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = band_mins.withColumn(
+        "prior_bands_min", F.min("band_min").over(w_prefix)
+    ).select("band", "prior_bands_min")
+    joined = in_band.join(F.broadcast(prefix), "band")
+    best = F.least(
+        F.coalesce(F.col("in_band_min"), F.lit(2147483647)),
+        F.coalesce(F.col("prior_bands_min"), F.lit(2147483647)),
+    )
+    return joined.where(F.col("p_size") < best).select(
         "p_partkey", "p_name", "p_retailprice", "p_size"
-    ).withColumn("best_size_cheaper", F.min("p_size").over(w))
-    return ranked.where(
-        F.col("best_size_cheaper").isNull()
-        | (F.col("p_size") < F.col("best_size_cheaper"))
-    ).select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
 
 
 @query(

@@ -538,3 +538,56 @@ def test_mm_audio_energy_is_shuffle_free_map(spark):
         "Generate",  # explode
     ):
         assert node not in plan, f"unexpected node: {node}"
+
+
+def test_pareto_frontier_row_window_is_band_partitioned(spark):
+    """Distributed skyline: the row-level running min must run partitioned
+    by price band — exactly ONE SinglePartition stage (the band-cardinality
+    prefix table), never the full table."""
+    import re as _re
+    plan = _plan(spark, "pareto_frontier", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange SinglePartition") == 1
+    assert _re.search(r"Exchange hashpartitioning\(band#\d+", plan)
+    assert "BroadcastHashJoin" in plan  # band-prefix table broadcasts back
+
+
+def test_maxsim_broadcasts_terms_and_takes_ordered(spark):
+    """Late-interaction retrieval: the term set reaches the chunk table by
+    broadcast (the only nested-loop is the bounded 3-row cross join) and
+    the final top-k is TakeOrdered, not a global sort."""
+    plan = _plan(spark, "similarity_maxsim", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_union_exchanges_all_key_on_user(spark):
+    """Interval-union coverage: both windows and both aggregates key on
+    user_id — one exchange family, no self-joins."""
+    import re as _re
+    plan = _plan(spark, "interval_union_length", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    for keys in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "user_id" in keys, f"non-user-keyed exchange: {keys}"
+
+
+def test_basket_pairs_joins_on_basket_key(spark):
+    """Frequent-pair mining: the pair generation must be an equi-join on
+    the order key (bounded per-basket fan-out) with TakeOrdered on top —
+    never a cartesian pairing of the item universe."""
+    plan = _plan(spark, "basket_pairs", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_trend_ols_is_two_aggregates(spark):
+    """Closed-form OLS: one daily rollup + one moment aggregate — no window,
+    no join, no iteration."""
+    plan = _plan(spark, "trend_ols", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan and "Window" not in plan
