@@ -114,6 +114,10 @@ def gen_graph_tables(spark, m, out):
         .select(
             F.col("id").alias("o_orderkey"),
             _pm(_h(F.col("id"), F.lit(4)), n_cust).alias("o_custkey"),
+            F.expr("CASE pmod(xxhash64(id, 18), 5) WHEN 0 THEN '1-URGENT'"
+                   " WHEN 1 THEN '2-HIGH' WHEN 2 THEN '3-MEDIUM'"
+                   " WHEN 3 THEN '4-NOT SPECIFIED' ELSE '5-LOW' END"
+                   ).alias("o_orderpriority"),
             F.expr(
                 "CAST(date_add(DATE '1995-01-01',"
                 " CAST(pmod(xxhash64(id, 14), 2400) AS INT)) AS TIMESTAMP_NTZ)"
@@ -130,6 +134,7 @@ def gen_graph_tables(spark, m, out):
         .select(
             _pm(F.col("id"), n_ord).alias("l_orderkey"),
             _pm(_h(F.col("id"), F.lit(5)), n_supp).alias("l_suppkey"),
+            _pm(_h(F.col("id"), F.lit(19)), 20_000 * m).alias("l_partkey"),
             F.expr(
                 "CAST(date_add(DATE '1992-01-01',"
                 " CAST(pmod(xxhash64(id, 16), 2500) AS INT)) AS TIMESTAMP_NTZ)"
