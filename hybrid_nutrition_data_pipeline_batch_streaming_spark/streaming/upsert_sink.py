@@ -232,6 +232,40 @@ class ParquetUpsertStore:
             *self._bucket_paths(buckets)
         )
 
+    def read_keys(self, keys: list, version: int | None = None) -> DataFrame | None:
+        """Point lookups by primary key — the reference's Cassandra PK read
+        path (`consumer/consume_items.py:50-58`: PRIMARY KEY item_name
+        routes a read to one partition). Each requested key hashes to its
+        bucket and ONLY those bucket dirs are opened, then an exact filter
+        keeps the requested keys — O(requested buckets) I/O, never
+        O(store), at any store size.
+
+        ``keys`` must be a BOUNDED list of values of the key column's type
+        (a point-lookup API, not a join); the bucket ids are computed with
+        the same xxhash64 expression the writer uses, via one tiny local
+        job over the key list (no store data touched). For an unbounded
+        key set, join ``read()`` instead. Returns None when the store has
+        never committed."""
+        if version is None:
+            _, buckets = self._current_manifest()
+        else:
+            buckets = self._load_manifest(version)
+        if not buckets:
+            return None
+        kdf = self.spark.createDataFrame([(k,) for k in keys], [self.key])
+        wanted = sorted(
+            {r[0] for r in kdf.select(self._bucket()).distinct().collect()}
+        )
+        paths = self._bucket_paths(buckets, wanted)
+        if not paths:
+            # None of the requested keys' buckets exist in this snapshot.
+            return self.read(version=version).where(F.lit(False))
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .where(F.col(self.key).isin(keys))
+        )
+
     def _changed_buckets(self, v_from: int, v_to: int) -> list[int]:
         """Bucket ids whose snapshot dir differs between two versions — the
         manifest diff, no data I/O at all."""

@@ -931,3 +931,51 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     write(rsrc, [("flush-r", t1, 0)])
     got = drain()
     assert got == {("A", 100), ("B", None)}
+
+
+def test_upsert_store_point_lookup_reads_only_key_buckets(spark, tmp_path):
+    """read_keys is the Cassandra-PK read path: it must return exactly the
+    LWW rows for the requested keys while opening ONLY the bucket dirs
+    those keys hash to — never the whole store — and must honor time
+    travel."""
+    import datetime as _dt
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    ts0 = _dt.datetime(2024, 1, 1)
+    store = ParquetUpsertStore(
+        spark,
+        str(tmp_path / "pk"),
+        key="item_name",
+        ts_col="ingestion_ts",
+        n_buckets=8,
+    )
+    schema = "item_name string, ingestion_ts timestamp, data string"
+    store.merge(
+        spark.createDataFrame(
+            [(f"item{i}", ts0, f"v{i}") for i in range(40)], schema
+        )
+    )
+    store.merge(
+        spark.createDataFrame(
+            [("item3", ts0 + _dt.timedelta(hours=1), "v3-new")], schema
+        )
+    )
+
+    got = store.read_keys(["item3", "item17"])
+    rows = {r.item_name: r.data for r in got.collect()}
+    assert rows == {"item3": "v3-new", "item17": "v17"}
+
+    # Pruning: the lookup's input files are a strict subset of the store's.
+    all_files = set(store.read().inputFiles())
+    hit_files = set(got.inputFiles())
+    assert hit_files and hit_files < all_files
+
+    # Time travel: version 1 predates the item3 update.
+    v1 = {r.item_name: r.data for r in store.read_keys(["item3"], version=1).collect()}
+    assert v1 == {"item3": "v3"}
+
+    # Missing keys → empty result, not an error.
+    assert store.read_keys(["nope"]).where("item_name = 'nope'").count() == 0
