@@ -760,3 +760,57 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
         .limit(25)
     )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS total_rev
+        FROM lineitem
+        WHERE year(CAST(l_shipdate AS DATE)) = 1996
+          AND quarter(CAST(l_shipdate AS DATE)) = 1
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (view + scalar-max filter): quarterly revenue per
+    supplier as a derived view, then keep the supplier(s) hitting the view's
+    MAX — ties all surface, as Q15 specifies. Revenue is the decimal-exact
+    price×(1−discount) sum, so the max comparison is bit-safe. The view
+    aggregates once; the scalar MAX broadcasts as a 1-row subquery into the
+    filter (never a re-aggregation per row), and the supplier attachment is
+    a broadcast equi-join. Same plan at any fact size: one shuffle on
+    l_suppkey + two broadcasts."""
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.where(
+            (F.year(F.col("l_shipdate").cast("date")) == 1996)
+            & (F.quarter(F.col("l_shipdate").cast("date")) == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(MONEY)
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        cat.supplier.join(
+            rev, F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )

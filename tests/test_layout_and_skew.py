@@ -590,3 +590,47 @@ def test_static_overwrite_would_truncate_other_partitions(spark, tmp_path):
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
     day2.repartition(1).write.mode("overwrite").partitionBy("day").parquet(path)
     assert spark.read.parquet(path).count() == 5  # day 1 is gone
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
+    """Star-schema runtime pruning (the 100 TB date-partition pattern): a
+    fact table partitioned by day, joined to a dimension that is filtered
+    at runtime, must plan a dynamicpruning subquery in its PartitionFilters
+    — the fact scan then reads only the dimension-selected partitions
+    instead of every day."""
+    from pyspark.sql import functions as F
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.catalog import Catalog
+
+    cat = Catalog(spark, "/root/testdata/sf0.001")
+    fact_path = str(tmp_path / "fact_by_day")
+    (
+        cat.events.withColumn("d", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("d")
+        .parquet(fact_path)
+    )
+    dim_path = str(tmp_path / "dim_days")
+    (
+        cat.events.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .withColumn("grp", F.expr("datediff(d, DATE '2024-01-01') % 10"))
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("grp") == 3)
+    q = fact.join(dim, "d").groupBy("d").agg(F.count("*").alias("n"))
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery in the fact scan"
+    # The pruning expression must sit in the fact scan's PARTITION filters
+    # (runtime directory skipping), not merely as a post-scan data filter.
+    # (inputFiles() reports the static listing, so file counts can't verify
+    # the runtime skip — the plan's PartitionFilters clause is the contract.)
+    fact_scan = next(
+        seg for seg in plan.split("FileScan")[1:] if "fact_by_day" in seg
+    )
+    pf = fact_scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "dynamicpruning" in pf.lower(), f"DPP not in PartitionFilters: {pf}"
