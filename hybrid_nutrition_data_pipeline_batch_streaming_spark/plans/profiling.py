@@ -638,3 +638,67 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+@query(
+    "kth_order_statistics",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM c
+    ), k AS (
+        SELECT n_rows, (n_rows + 1) // 2 AS k50,
+               (9 * n_rows + 9) // 10 AS k90
+        FROM n
+    ), ranked AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS r FROM c
+    )
+    SELECT k.n_rows,
+           CAST(MAX(CASE WHEN r.r = k.k50 THEN r.cents END) AS BIGINT)
+               AS median_cents,
+           CAST(MAX(CASE WHEN r.r = k.k90 THEN r.cents END) AS BIGINT)
+               AS p90_cents
+    FROM ranked r CROSS JOIN k
+    GROUP BY k.n_rows
+    """,
+)
+def kth_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-th order statistics WITHOUT a global sort: money-typed values
+    live on a bounded integer domain (cents), so the exact median and p90
+    come from a domain-histogram — one partially-aggregated groupBy over
+    ~2k distinct cents, a cumulative count over that domain-cardinality
+    table (the only ordered stage, bounded by the VALUE DOMAIN, not the row
+    count), and a first-bucket-reaching-k pick. The oracle computes the
+    same ranks the naive way (global ROW_NUMBER), proving the histogram
+    decomposition exact. This is how exact percentiles stay feasible at
+    100 TB — `agg_percentile`'s sort-based exactness is per-GROUP; this is
+    the whole-table variant. For unbounded domains the same plan runs on a
+    quantized domain + per-bucket recursion (binary search), same shapes."""
+    cat = Catalog(spark, sf_dir)
+    hist = (
+        cat.events.select(
+            F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            )
+        )
+        .groupBy("cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = hist.agg(F.sum("cnt").cast("long").alias("n_rows"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("k50", F.expr("(n_rows + 1) DIV 2"))
+        .withColumn("k90", F.expr("(9 * n_rows + 9) DIV 10"))
+    )
+    return cum.groupBy("n_rows").agg(
+        F.min(F.when(F.col("cum") >= F.col("k50"), F.col("cents"))).alias(
+            "median_cents"
+        ),
+        F.min(F.when(F.col("cum") >= F.col("k90"), F.col("cents"))).alias(
+            "p90_cents"
+        ),
+    )
