@@ -1006,3 +1006,93 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("latency_s"), F.lit(0.9)).alias("p90_s"),
         F.max("latency_s").alias("max_s"),
     )
+
+
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(ts AS TIMESTAMP) END AS click_ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               END AS cents
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+        SELECT *,
+               MAX(click_ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts,
+                            CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                            event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_click_ts
+        FROM u
+    )
+    SELECT CAST(ts AS DATE) AS d,
+           last_click_ts IS NOT NULL
+               AND epoch_us(ts) - epoch_us(last_click_ts)
+                   <= {_ATTR_WINDOW_US} AS attributed,
+           CAST(COUNT(*) AS BIGINT)    AS n_purchases,
+           CAST(SUM(cents) AS BIGINT)  AS revenue_cents
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution with a 7-day lookback: each purchase
+    credits the user's most recent click, but only if it happened within
+    the attribution window — otherwise the purchase is organic. The
+    touch-to-conversion matching is the as-of-join union trick
+    (``join_asof``) with an EXPIRY gate on top: one user-partitioned window
+    carries the running MAX click timestamp (order-free, unlike
+    last-ignorenulls), the purchase row compares it against the window in
+    exact epoch-µs, and the daily rollup splits attributed vs organic
+    revenue in integer cents. One user-keyed window exchange + one
+    day-keyed aggregate — no purchase×click self-join at any scale. Clicks
+    sort before purchases at equal timestamps (inclusive touch)."""
+    cat = Catalog(spark, sf_dir)
+    u = cat.events.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        ).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts"),
+            F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)),
+            F.col("event_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = u.withColumn("last_click_ts", F.max("click_ts").over(w))
+    gate = F.col("last_click_ts").isNotNull() & (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("last_click_ts").cast("timestamp"))
+        <= _ATTR_WINDOW_US
+    )
+    return (
+        flagged.where(F.col("event_type") == "purchase")
+        .select(
+            F.to_date("ts").alias("d"),
+            gate.alias("attributed"),
+            "cents",
+        )
+        .groupBy("d", "attributed")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
