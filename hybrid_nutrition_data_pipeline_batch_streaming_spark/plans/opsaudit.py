@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import Catalog
 from .registry import query
@@ -204,4 +205,64 @@ def corpus_recipe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV tokens_avail"
             ).alias("epochs_ppm"),
         )
+    )
+
+
+@query(
+    "ooo_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS hwm
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN hwm IS NOT NULL AND ts_us < hwm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(MAX(CASE WHEN hwm IS NOT NULL AND ts_us < hwm
+                         THEN hwm - ts_us ELSE 0 END) AS BIGINT)
+               AS max_lateness_us,
+           CAST(SUM(CASE WHEN hwm IS NOT NULL AND ts_us < hwm
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS late_ppm
+    FROM arr GROUP BY event_type
+    """,
+)
+def ooo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the measurement that SIZES a watermark:
+    replay the stream in arrival order (event_id is the ingestion
+    sequence), track the per-type event-time high-water mark, and count
+    events arriving behind it plus the worst lateness. ``max_lateness_us``
+    is exactly the smallest watermark delay that would lose nothing;
+    ``late_ppm`` quantifies the loss for any tighter setting — measured
+    evidence replacing guessed `withWatermark` values
+    (`streaming/windows.py`). One window + one aggregate, both keyed on
+    event_type, exact integer µs."""
+    cat = Catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = cat.events.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).withColumn("hwm", F.max("ts_us").over(w))
+    late = F.col("hwm").isNotNull() & (F.col("ts_us") < F.col("hwm"))
+    return arr.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.max(F.when(late, F.col("hwm") - F.col("ts_us")).otherwise(0))
+        .cast("long")
+        .alias("max_lateness_us"),
+        F.expr(
+            "CAST(SUM(CASE WHEN hwm IS NOT NULL AND ts_us < hwm THEN 1 ELSE 0"
+            " END) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("late_ppm"),
     )
