@@ -382,3 +382,109 @@ def length_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (first(bucket) * count(*)) as bigint)"
         ).alias("waste_ppm"),
     )
+
+
+@query(
+    "kmv_overlap",
+    oracle=f"""
+    WITH a AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE event_type = 'click'
+    ), b AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), ska AS (
+        SELECT h FROM (SELECT {_duck_hex_int('md5(v)', '1', 12)} AS h FROM a)
+        ORDER BY h LIMIT {KMV_K}
+    ), skb AS (
+        SELECT h FROM (SELECT {_duck_hex_int('md5(v)', '1', 12)} AS h FROM b)
+        ORDER BY h LIMIT {KMV_K}
+    ), uni AS (
+        SELECT h FROM (
+            SELECT h FROM ska UNION SELECT h FROM skb
+        ) ORDER BY h LIMIT {KMV_K}
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+               MAX(u.h) AS kth_hash,
+               CAST(SUM(CASE WHEN u.h IN (SELECT h FROM ska)
+                              AND u.h IN (SELECT h FROM skb)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS j_common
+        FROM uni u
+    ), ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap
+        FROM (SELECT v FROM a INTERSECT SELECT v FROM b)
+    )
+    SELECT k_used, j_common,
+           CAST((k_used - 1) * {_KMV_SPACE} // kth_hash AS BIGINT) AS union_est,
+           CAST(j_common * ((k_used - 1) * {_KMV_SPACE} // kth_hash)
+                // k_used AS BIGINT) AS inter_est,
+           exact_overlap
+    FROM stats CROSS JOIN ex
+    """,
+)
+def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based SET INTERSECTION between two corpus slices (clicking vs
+    purchasing users) — the KMV identity: the k smallest hashes of A∪B are
+    a uniform sample of the union, so the fraction of them present in BOTH
+    bottom-k sketches estimates Jaccard, and J·|A∪B|-estimate estimates the
+    overlap. Each side ships only its k-row sketch (mergeable, constant
+    size), so two 100 TB-side slices compare by exchanging k hashes —
+    audience-overlap math without co-shuffling either side. Membership
+    against the union's k smallest needs only the sketches themselves (any
+    union-bottom-k hash from A is necessarily in A's bottom k). Exact
+    overlap is reported beside the estimate, integer arithmetic
+    throughout."""
+    cat = Catalog(spark, sf_dir)
+
+    def sketch(etype: str) -> DataFrame:
+        return (
+            cat.events.where(F.col("event_type") == etype)
+            .select(F.col("user_id").cast("string").alias("v"))
+            .distinct()
+            .select(
+                F.conv(F.substring(F.md5(F.col("v")), 1, 12), 16, 10)
+                .cast("long")
+                .alias("h")
+            )
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    ska, skb = sketch("click"), sketch("purchase")
+    uni = ska.union(skb).distinct().orderBy("h").limit(KMV_K)
+    flagged = (
+        uni.join(ska.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"), "left")
+        .join(skb.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"), "left")
+    )
+    stats = flagged.agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.sum(
+            F.when(F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("j_common"),
+    )
+    a_users = (
+        cat.events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").cast("string").alias("v"))
+        .distinct()
+    )
+    b_users = (
+        cat.events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").cast("string").alias("v"))
+        .distinct()
+    )
+    ex = a_users.intersect(b_users).agg(F.count("*").alias("exact_overlap"))
+    est = F.expr(f"(k_used - 1) * {_KMV_SPACE} DIV kth_hash")
+    return stats.crossJoin(F.broadcast(ex)).select(
+        "k_used",
+        "j_common",
+        est.cast("long").alias("union_est"),
+        F.expr(
+            f"j_common * ((k_used - 1) * {_KMV_SPACE} DIV kth_hash) DIV k_used"
+        )
+        .cast("long")
+        .alias("inter_est"),
+        "exact_overlap",
+    )
