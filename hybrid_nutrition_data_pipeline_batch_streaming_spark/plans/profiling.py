@@ -702,3 +702,67 @@ def kth_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_cents"
         ),
     )
+
+
+@query(
+    "weighted_median",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS w_cents
+        FROM lineitem
+    ), hist AS (
+        SELECT qty, CAST(SUM(w_cents) AS BIGINT) AS w
+        FROM c GROUP BY qty
+    ), tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM hist
+    ), cum AS (
+        SELECT qty, w,
+               CAST(SUM(w) OVER (ORDER BY qty ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+               w_total
+        FROM hist CROSS JOIN tot
+    )
+    SELECT w_total,
+           CAST(MIN(CASE WHEN 2 * cw >= w_total THEN qty END) AS BIGINT)
+               AS weighted_median_qty,
+           CAST(MIN(CASE WHEN 10 * cw >= 9 * w_total THEN qty END) AS BIGINT)
+               AS weighted_p90_qty
+    FROM cum GROUP BY w_total
+    """,
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted order statistics: the quantity level below which
+    half (and 90%) of the REVENUE sits — weighted quantiles, the inventory
+    cut a merchandiser actually uses (unweighted medians over-weight cheap
+    high-volume lines). Same bounded-domain histogram shape as
+    ``kth_order_statistics`` with decimal-exact cent WEIGHTS instead of row
+    counts: one partial-aggregated histogram over ~50 quantity levels, a
+    domain-cardinality cumulative weight, and threshold picks via integer
+    cross-multiplication (2·cw ≥ W, 10·cw ≥ 9·W — no division at all). No
+    table-scale sort at any size."""
+    cat = Catalog(spark, sf_dir)
+    hist = (
+        cat.lineitem.select(
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("w_cents"),
+        )
+        .groupBy("qty")
+        .agg(F.sum("w_cents").cast("long").alias("w"))
+    )
+    tot = hist.agg(F.sum("w").cast("long").alias("w_total"))
+    w_cum = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cw", F.sum("w").over(w_cum).cast("long")).crossJoin(
+        F.broadcast(tot)
+    )
+    return cum.groupBy("w_total").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("w_total"), F.col("qty")))
+        .cast("long")
+        .alias("weighted_median_qty"),
+        F.min(F.when(10 * F.col("cw") >= 9 * F.col("w_total"), F.col("qty")))
+        .cast("long")
+        .alias("weighted_p90_qty"),
+    )

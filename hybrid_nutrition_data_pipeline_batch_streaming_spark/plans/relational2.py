@@ -814,3 +814,107 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_rev") == F.col("mx"))
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_shipdate AS DATE) AS s1,
+               CAST(l_shipdate AS DATE)
+                   + CAST(7 + l_orderkey % 21 AS INT) AS e1
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND year(CAST(l_shipdate AS DATE)) = 1996
+          AND quarter(CAST(l_shipdate AS DATE)) = 1
+    ), o AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS s2,
+               CAST(o_orderdate AS DATE) + 14 AS e2
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1995-11-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1996-06-01'
+    )
+    SELECT datediff('day', DATE '1992-01-01', li.s1) // 7 AS week_bin,
+           CAST(COUNT(*) AS BIGINT)                       AS n_pairs,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT)   AS n_orders
+    FROM li JOIN o ON li.s1 <= o.e2 AND o.s2 <= li.e1
+    GROUP BY 1
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join, both sides large — the general form
+    of J5 (``join_range_binned`` handles point-in-interval). Two intervals
+    overlap iff s1 ≤ e2 AND s2 ≤ e1; both sides explode to their spanned
+    7-day bins and the join becomes a bin equi-join + residual predicate.
+    Unlike the point case, a pair can now MEET IN SEVERAL BINS, so the
+    rewrite needs the dedup step the point form provably doesn't: assign
+    each potential pair ONE canonical meeting bin — the bin of
+    max(s1, s2), the overlap's first day, which both rows always span —
+    and keep only the candidate row where the join bin equals it. Each
+    true pair then survives exactly once with zero duplicate-eliminating
+    shuffle (a greatest/filter, not a distinct). Aggregation is the same
+    two-level (bin, order) rollup; the oracle runs the naive non-equi
+    join, proving rewrite + canonicalization exact."""
+    cat = Catalog(spark, sf_dir)
+    li = (
+        cat.lineitem.where(
+            (F.col("l_returnflag") == "R")
+            & (F.year(F.col("l_shipdate").cast("date")) == 1996)
+            & (F.quarter(F.col("l_shipdate").cast("date")) == 1)
+        )
+        .select(
+            F.col("l_shipdate").cast("date").alias("s1"),
+            F.expr(
+                "date_add(CAST(l_shipdate AS DATE),"
+                " CAST(7 + l_orderkey % 21 AS INT))"
+            ).alias("e1"),
+        )
+        .withColumn(
+            "week_bin",
+            F.expr(
+                "explode(sequence(datediff(s1, DATE '1992-01-01') DIV 7,"
+                " datediff(e1, DATE '1992-01-01') DIV 7))"
+            ),
+        )
+    )
+    o = (
+        cat.orders.where(
+            (F.col("o_orderdate").cast("date") >= F.lit("1995-11-01").cast("date"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1996-06-01").cast("date"))
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("s2"),
+            F.expr("date_add(CAST(o_orderdate AS DATE), 14)").alias("e2"),
+        )
+        .withColumn(
+            "week_bin",
+            F.expr(
+                "explode(sequence(datediff(s2, DATE '1992-01-01') DIV 7,"
+                " datediff(e2, DATE '1992-01-01') DIV 7))"
+            ),
+        )
+    )
+    pairs = (
+        li.join(o, "week_bin")
+        .where((F.col("s1") <= F.col("e2")) & (F.col("s2") <= F.col("e1")))
+        # Canonical meeting bin: the overlap's first day. Every true pair
+        # produces candidates in each shared bin; exactly one candidate has
+        # join-bin == canonical bin, so this filter IS the dedup.
+        .where(
+            F.col("week_bin")
+            == F.expr(
+                "datediff(greatest(s1, s2), DATE '1992-01-01') DIV 7"
+            )
+        )
+    )
+    per_order = pairs.groupBy(
+        F.expr("datediff(s1, DATE '1992-01-01') DIV 7").alias("ship_bin"),
+        F.col("o_orderkey"),
+    ).agg(F.count("*").alias("cnt"))
+    return per_order.groupBy(F.col("ship_bin").alias("week_bin")).agg(
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        F.count("*").alias("n_orders"),
+    )
