@@ -135,6 +135,13 @@ def gen_graph_tables(spark, m, out):
             _pm(F.col("id"), n_ord).alias("l_orderkey"),
             _pm(_h(F.col("id"), F.lit(5)), n_supp).alias("l_suppkey"),
             _pm(_h(F.col("id"), F.lit(19)), 20_000 * m).alias("l_partkey"),
+            (_pm(_h(F.col("id"), F.lit(20)), 50) + 1).cast("double").alias(
+                "l_quantity"
+            ),
+            ((_pm(_h(F.col("id"), F.lit(21)), 9000000) + 100000) / 100.0).alias(
+                "l_extendedprice"
+            ),
+            (_pm(_h(F.col("id"), F.lit(22)), 11) / 100.0).alias("l_discount"),
             F.expr(
                 "CAST(date_add(DATE '1992-01-01',"
                 " CAST(pmod(xxhash64(id, 16), 2500) AS INT)) AS TIMESTAMP_NTZ)"
