@@ -91,6 +91,8 @@ HEADLINE = [
     "join_range_binned",
     "running_distinct",
     "mm_audio_energy",
+    "similarity_maxsim",
+    "kth_order_statistics",
 ]
 
 
