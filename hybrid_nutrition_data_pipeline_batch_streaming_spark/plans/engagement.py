@@ -297,3 +297,72 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("s_scaled")) > 2 * F.col("t")).alias("shifted"),
         )
     )
+
+
+@query(
+    "activity_bitmap",
+    oracle="""
+    WITH epoch AS (
+        SELECT MIN(CAST(ts AS DATE)) AS day0 FROM events
+    ), bits AS (
+        SELECT user_id,
+               bit_or(CAST(1 AS BIGINT) << CAST(least(
+                   datediff('day', day0, CAST(ts AS DATE)), 62) AS INT))
+                   AS days_bitmap
+        FROM events CROSS JOIN epoch
+        GROUP BY user_id
+    )
+    SELECT user_id, days_bitmap,
+           CAST(bit_count(days_bitmap) AS BIGINT) AS active_days,
+           CAST(len(bin(days_bitmap & -days_bitmap)) - 1 AS BIGINT)
+               AS first_day_idx,
+           CAST(len(bin(days_bitmap)) - 1 AS BIGINT) AS last_day_idx,
+           CAST(CAST(bit_count(days_bitmap) AS BIGINT) * 1000000
+                // (len(bin(days_bitmap)) - len(bin(days_bitmap & -days_bitmap))
+                    + 1) AS BIGINT) AS density_ppm
+    FROM bits
+    """,
+)
+def activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index engagement analytics: each user's activity calendar
+    packs into ONE BIGINT (bit d = active on day d since the corpus
+    epoch) via a ``bit_or`` aggregate — the roaring-bitmap representation
+    at word granularity. Downstream stats are pure bit arithmetic:
+    popcount for active days, lowest/highest set bit (isolated with
+    ``b & -b``, positioned with the binary-string length — no float log)
+    for first/last day, and span density in integer ppm. A 64-bit word
+    covers ~2 months; production shards epochs into word-per-period rows
+    (exactly roaring's container scheme) and every stat stays a word-wise
+    fold. One shuffle; the bitmap replaces a per-(user, day) distinct
+    table a hundred times its size — the point of bitmap indexes. The
+    62-bit clamp is the overflow guard (no-op on the fixture).
+    Cross-check: ``tests/test_engagement_contracts.py`` recomputes streaks
+    from these bitmaps and matches ``user_streaks`` exactly."""
+    cat = Catalog(spark, sf_dir)
+    epoch = cat.events.agg(F.min(F.to_date("ts")).alias("day0"))
+    bits = (
+        cat.events.crossJoin(F.broadcast(epoch))
+        .select(
+            "user_id",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(least(datediff(CAST(ts AS DATE), day0), 62) AS INT))"
+            ).alias("day_bit"),
+        )
+        .groupBy("user_id")
+        .agg(F.bit_or("day_bit").alias("days_bitmap"))
+    )
+    b = F.col("days_bitmap")
+    low = F.expr("days_bitmap & -days_bitmap")
+    return bits.select(
+        "user_id",
+        "days_bitmap",
+        F.bit_count(b).cast("long").alias("active_days"),
+        (F.length(F.bin(low)) - 1).cast("long").alias("first_day_idx"),
+        (F.length(F.bin(b)) - 1).cast("long").alias("last_day_idx"),
+        F.expr(
+            "CAST(CAST(bit_count(days_bitmap) AS BIGINT) * 1000000"
+            " DIV (length(bin(days_bitmap))"
+            " - length(bin(days_bitmap & -days_bitmap)) + 1) AS BIGINT)"
+        ).alias("density_ppm"),
+    )

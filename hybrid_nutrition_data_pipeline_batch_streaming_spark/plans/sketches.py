@@ -488,3 +488,103 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("inter_est"),
         "exact_overlap",
     )
+
+
+#: HLL geometry: m=64 registers (top 6 hash bits), rho over the low 42 bits.
+HLL_M = 64
+_HLL_REST = 2**42
+_HLL_SCALE = 2**50  # Σ 2^(50 − M_j) stays exact BIGINT for any M_j ≤ 43
+
+
+@query(
+    "sketch_hll",
+    oracle=f"""
+    WITH vals AS (
+        SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+    ), h AS (
+        SELECT {_duck_hex_int('md5(v)', '1', 12)} AS h FROM vals
+    ), parts AS (
+        SELECT h // {_HLL_REST} AS reg, h % {_HLL_REST} AS rest FROM h
+    ), rho AS (
+        SELECT reg,
+               CASE WHEN rest = 0 THEN 43
+                    ELSE 43 - len(bin(rest)) END AS rho
+        FROM parts
+    ), regs AS (
+        SELECT r.range AS reg, COALESCE(MAX(rho.rho), 0) AS m_j
+        FROM range({HLL_M}) r LEFT JOIN rho ON rho.reg = r.range
+        GROUP BY r.range
+    ), s AS (
+        SELECT CAST(SUM(CAST(POWER(2, 50 - m_j) AS BIGINT)) AS BIGINT)
+                   AS s_scaled,
+               CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_regs
+        FROM regs
+    ), ex AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders
+    )
+    SELECT s_scaled, n_zero_regs,
+           (CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M} * {_HLL_SCALE})
+               / CAST(s_scaled AS DOUBLE) AS est_raw,
+           exact_distinct
+    FROM s CROSS JOIN ex
+    """,
+)
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with VALUE-CHECKABLE cells (completing A5's sketch tier
+    the portable way — Spark's builtin approx_count_distinct carries opaque
+    binary state that no oracle can compare): md5-derived 48-bit hashes
+    split into a 6-bit register index and a 42-bit tail whose
+    leading-zero rank is the classic rho; per-register MAX is the mergeable
+    aggregate. The harmonic mean's fractional sum Σ2^(−M_j) is scaled to
+    the EXACT integer Σ2^(50−M_j) (every term a power of two — no float
+    accumulation), so both engines hash the sketch state identically and
+    the one float division at the end is bit-stable. ``est_raw`` is the
+    uncorrected HLL estimate; the small-range linear-counting correction
+    needs ln() (not bit-portable) and is applied by the CALLER from the
+    shipped n_zero_regs — the sketch state, not the presentation, is the
+    contract. Build cost: one distinct + one 64-group aggregate."""
+    cat = Catalog(spark, sf_dir)
+    h = (
+        cat.orders.select(F.col("o_custkey").cast("string").alias("v"))
+        .distinct()
+        .select(
+            F.conv(F.substring(F.md5(F.col("v")), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+    )
+    rho = h.select(
+        F.expr(f"h DIV {_HLL_REST}").alias("reg"),
+        F.expr(
+            f"CASE WHEN h % {_HLL_REST} = 0 THEN 43"
+            f" ELSE 43 - length(bin(h % {_HLL_REST})) END"
+        ).alias("rho"),
+    )
+    regs = (
+        spark.range(HLL_M)
+        .withColumnRenamed("id", "reg")
+        .join(rho.groupBy("reg").agg(F.max("rho").alias("rho")), "reg", "left")
+        .select(F.coalesce(F.col("rho"), F.lit(0)).alias("m_j"))
+    )
+    s = regs.agg(
+        F.sum(F.expr("CAST(POWER(2, 50 - m_j) AS BIGINT)"))
+        .cast("long")
+        .alias("s_scaled"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_regs"),
+    )
+    ex = cat.orders.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return s.crossJoin(F.broadcast(ex)).select(
+        "s_scaled",
+        "n_zero_regs",
+        (
+            F.lit(0.709).cast("double") * HLL_M * HLL_M * F.lit(_HLL_SCALE)
+            / F.col("s_scaled").cast("double")
+        ).alias("est_raw"),
+        "exact_distinct",
+    )

@@ -148,3 +148,32 @@ def test_attribution_splits_all_purchases(spark):
         .count()
     )
     assert total == raw
+
+
+def test_bitmap_streaks_match_gaps_and_islands(spark):
+    """Two independent algorithms, one truth: the longest run of set bits in
+    each user's activity bitmap must equal the gaps-and-islands streak, and
+    popcount must equal its active-day total."""
+    bmp = {r.user_id: r for r in plans.QUERIES["activity_bitmap"](spark, SF).collect()}
+    stk = {r.user_id: r for r in plans.QUERIES["user_streaks"](spark, SF).collect()}
+    assert set(bmp) == set(stk)
+
+    def longest_run(b: int) -> int:
+        n = 0
+        while b:
+            b &= b << 1
+            n += 1
+        return n
+
+    for uid, r in bmp.items():
+        assert r.active_days == stk[uid].active_days, uid
+        assert longest_run(r.days_bitmap) == stk[uid].longest_streak, uid
+
+
+def test_hll_estimate_within_standard_error(spark):
+    """HLL with m=64 has relative standard error 1.04/√64 ≈ 13%; the raw
+    estimate must land within ~3σ of the exact count on the fixture."""
+    r = plans.QUERIES["sketch_hll"](spark, SF).collect()[0]
+    assert r.exact_distinct > 0
+    rel = abs(r.est_raw - r.exact_distinct) / r.exact_distinct
+    assert rel < 0.4, (r.est_raw, r.exact_distinct)
