@@ -366,3 +366,81 @@ def activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - length(bin(days_bitmap & -days_bitmap)) + 1) AS BIGINT)"
         ).alias("density_ppm"),
     )
+
+
+@query(
+    "bitmap_segment_overlap",
+    oracle="""
+    WITH seg AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE event_type IN ('click', 'purchase', 'signup')
+    ), words AS (
+        SELECT event_type, user_id // 63 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS bits
+        FROM seg GROUP BY event_type, user_id // 63
+    ), pairs AS (
+        SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+               a.word_idx, a.bits & b.bits AS both_bits,
+               a.bits AS bits_a, b.bits AS bits_b
+        FROM words a JOIN words b
+          ON a.word_idx = b.word_idx AND a.event_type < b.event_type
+    )
+    SELECT seg_a, seg_b,
+           CAST(SUM(bit_count(both_bits)) AS BIGINT)          AS n_overlap,
+           CAST(SUM(bit_count(bits_a | bits_b)) AS BIGINT)    AS n_union,
+           CAST(SUM(bit_count(xor(bits_a, bits_b))) AS BIGINT) AS n_sym_diff
+    FROM pairs GROUP BY seg_a, seg_b
+    """,
+)
+def bitmap_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience overlap between behavior segments via bitmap joins —
+    the Druid/Pinot answer to COUNT(DISTINCT A ∩ B): each segment's user
+    set packs into 64-bit words keyed by user_id DIV 64 (``bit_or``
+    aggregate — mergeable, order-free), and every set operation becomes a
+    word-wise equi-join on word_idx with AND/OR/XOR + popcount. The wire
+    carries |users|/64 words per segment instead of the user sets; the
+    overlap join compares words, never users. This is the exact
+    counterpart of ``kmv_overlap``'s constant-size estimate — pick by
+    whether |users|/64 rows still fit the exchange budget. Spark and
+    DuckDB agree bit-for-bit on &, |, ^ and bit_count over BIGINT."""
+    cat = Catalog(spark, sf_dir)
+    seg = (
+        cat.events.where(
+            F.col("event_type").isin("click", "purchase", "signup")
+        )
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    words = seg.groupBy(
+        "event_type", F.expr("user_id DIV 63").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+        ).alias("bits")
+    )
+    a = words.select(
+        F.col("event_type").alias("seg_a"),
+        "word_idx",
+        F.col("bits").alias("bits_a"),
+    )
+    b = words.select(
+        F.col("event_type").alias("seg_b"),
+        "word_idx",
+        F.col("bits").alias("bits_b"),
+    )
+    return (
+        a.join(b, "word_idx")
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.sum(F.bit_count(F.expr("bits_a & bits_b")))
+            .cast("long")
+            .alias("n_overlap"),
+            F.sum(F.bit_count(F.expr("bits_a | bits_b")))
+            .cast("long")
+            .alias("n_union"),
+            F.sum(F.bit_count(F.expr("bits_a ^ bits_b")))
+            .cast("long")
+            .alias("n_sym_diff"),
+        )
+    )
