@@ -1096,3 +1096,158 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+_FUNNEL_CAP_US = 7 * 86400 * 1_000_000
+
+
+@query(
+    "funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click'
+          AND CAST(e.ts AS TIMESTAMP) >= s1.t1
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(s1.t1)
+              <= {_FUNNEL_CAP_US}
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) >= s2.t2
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(s2.t2)
+              <= {_FUNNEL_CAP_US}
+        GROUP BY e.user_id
+    ), base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM s1)
+    SELECT stage, step, users,
+           CAST(users AS DOUBLE) / (SELECT n0 FROM base) AS conversion
+    FROM (
+        SELECT 'signup' AS stage, 1 AS step, CAST(COUNT(*) AS BIGINT) AS users
+        FROM s1
+        UNION ALL SELECT 'click', 2, CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL SELECT 'purchase', 3, CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    """,
+)
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-capped funnel (the analytics-product default, vs
+    ``funnel_conversion``'s unbounded stages): each stage must follow the
+    previous one WITHIN 7 days, so stale conversions don't count — "did
+    the click happen because of the signup" gets a causality window. Stage
+    gates compare exact epoch-µs differences; otherwise identical chained
+    per-user aggregates on one user_id key. The cap makes stage counts
+    NON-monotone-safe to assume — a user can convert late and drop out of
+    step 2 while another converts in-window — which is precisely why
+    real funnels are windowed."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("user_id", "event_type", "ts")
+
+    def within(e_ts, prev_ts):
+        return (
+            F.unix_micros(e_ts.cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+            <= _FUNNEL_CAP_US
+        )
+
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("ts") >= F.col("t1")) & within(F.col("ts"), F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ts") >= F.col("t2")) & within(F.col("ts"), F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    base = s1.agg(F.count("*").alias("n0"))
+    stages = (
+        s1.agg(F.count("*").alias("users")).select(
+            F.lit("signup").alias("stage"), F.lit(1).alias("step"), "users"
+        )
+        .unionByName(
+            s2.agg(F.count("*").alias("users")).select(
+                F.lit("click").alias("stage"), F.lit(2).alias("step"), "users"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count("*").alias("users")).select(
+                F.lit("purchase").alias("stage"), F.lit(3).alias("step"), "users"
+            )
+        )
+    )
+    return stages.crossJoin(F.broadcast(base)).select(
+        "stage",
+        "step",
+        F.col("users").cast("long").alias("users"),
+        (F.col("users").cast("double") / F.col("n0")).alias("conversion"),
+    )
+
+
+@query(
+    "retention_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+        GROUP BY user_id
+    ), cohort AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM firsts
+    ), activity AS (
+        SELECT DISTINCT e.user_id,
+               datediff('day', f.d0, CAST(e.ts AS DATE)) AS day_n
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ), marks AS (
+        SELECT day_n, CAST(COUNT(*) AS BIGINT) AS retained
+        FROM activity WHERE day_n IN (1, 7, 14, 28)
+        GROUP BY day_n
+    )
+    SELECT CAST(m.day_n AS BIGINT) AS day_n, m.retained, c.n_users,
+           CAST(m.retained * 1000000 // c.n_users AS BIGINT) AS retained_ppm
+    FROM marks m CROSS JOIN cohort c
+    """,
+)
+def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D1/D7/D14/D28 retention curve — the canonical product-health
+    metric (``retention_cohorts`` slices by monthly cohort; this is the
+    whole-population day-offset curve): a user counts as retained on day N
+    when active exactly N days after their OWN first day. One user-keyed
+    first-day aggregate, an equi-join back to events on the same key, a
+    distinct per (user, offset), and a four-row rollup; retention ships in
+    integer ppm. All shuffles key on user_id until the final
+    bounded-cardinality aggregate."""
+    cat = Catalog(spark, sf_dir)
+    firsts = (
+        cat.events.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d0"))
+    )
+    cohort = firsts.agg(F.count("*").alias("n_users"))
+    activity = (
+        cat.events.select("user_id", F.to_date("ts").alias("d"))
+        .join(firsts, "user_id")
+        .select("user_id", F.expr("datediff(d, d0)").alias("day_n"))
+        .where(F.col("day_n").isin(1, 7, 14, 28))
+        .distinct()
+    )
+    marks = activity.groupBy("day_n").agg(F.count("*").alias("retained"))
+    return marks.crossJoin(F.broadcast(cohort)).select(
+        F.col("day_n").cast("long").alias("day_n"),
+        "retained",
+        "n_users",
+        F.expr("CAST(retained * 1000000 DIV n_users AS BIGINT)").alias(
+            "retained_ppm"
+        ),
+    )
