@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Catalog
-from .registry import query
+from .registry import ORACLE, query
 
 N_QUERIES = 20  # bounded probe set
 TOP_K = 5
@@ -1506,3 +1506,65 @@ def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "cand_id", "mmr_score", F.lit(3).alias("pick_rank")
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+def _recall_oracle() -> str:
+    exact_sql = ORACLE["similarity_topk"].strip()
+    approx_sql = ORACLE["similarity_ann_lsh"].strip()
+    return f"""
+    WITH exact_top AS (
+        SELECT query_id, neighbor_id FROM ({exact_sql}) x
+    ), approx_top AS (
+        SELECT query_id, neighbor_id FROM ({approx_sql}) a
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM exact_top e
+    LEFT JOIN approx_top a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("ann_recall_eval", oracle=_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the LSH ANN tier against the exact scan — the
+    "measure, don't guess" closure of the similarity suite: both result
+    sets are deterministic, so their per-query overlap is an exact,
+    oracle-checkable number (the contract tests pin recall FLOORS; this
+    query ships the full per-query report a tuning loop reads before
+    touching band geometry). Composes the two registered pipelines
+    verbatim — exact top-k and banded-LSH top-k — and left-joins approx
+    onto exact per (query, neighbor): misses surface as NULLs, recall in
+    integer ppm. Evaluation cost is the two searches plus a k·|queries|
+    join — negligible; at 100 TB the exact side runs on a held-out sample,
+    same plan."""
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        similarity_ann_lsh(spark, sf_dir)
+        .select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    )
+    return (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["a_neighbor"]),
+            "left",
+        )
+        .select(exact["query_id"].alias("query_id"), "neighbor_id", "a_neighbor")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+            F.expr(
+                "CAST(SUM(CASE WHEN a_neighbor IS NOT NULL THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
