@@ -918,3 +918,74 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("n_pairs"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev
+    ), ranked AS (
+        SELECT l_partkey, cents,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents,
+               total
+        FROM rev CROSS JOIN tot
+    ), classed AS (
+        SELECT *,
+               CASE WHEN cum_cents * 100 <= total * 80 THEN 'A'
+                    WHEN cum_cents * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT)      AS n_parts,
+           CAST(SUM(cents) AS BIGINT)    AS class_cents,
+           CAST(SUM(cents) * 1000000 // MAX(total) AS BIGINT)
+               AS revenue_share_ppm
+    FROM classed GROUP BY abc_class
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto-share classification (inventory's 80/95 rule): rank
+    parts by revenue, accumulate the share, and label the parts covering
+    the first 80% of revenue A, the next 15% B, the tail C. Thresholds
+    compare by integer cross-multiplication (cum·100 ≤ total·80) on
+    decimal-exact cents, so class boundaries are bit-identical. The
+    revenue rollup is a partial-aggregated part-key shuffle; the ranking
+    window runs over PART-cardinality rows (the aggregate output, not the
+    fact table), which is the shape worth pinning: the cumulative pass
+    touches n_parts rows no matter how many billions of lineitems feed
+    it. Summary ships three rows."""
+    cat = Catalog(spark, sf_dir)
+    rev = cat.lineitem.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT)"
+        ).alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_cents", F.sum("cents").over(w).cast("long")
+    )
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(F.col("cum_cents") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("cents").cast("long").alias("class_cents"),
+        F.expr(
+            "CAST(SUM(cents) * 1000000 DIV MAX(total) AS BIGINT)"
+        ).alias("revenue_share_ppm"),
+    )

@@ -1251,3 +1251,99 @@ def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retained_ppm"
         ),
     )
+
+
+@query(
+    "cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+        GROUP BY user_id
+    ), cohorts AS (
+        SELECT d0 - CAST(datediff('day', DATE '2024-01-01', d0) % 7 AS INT)
+                   AS cohort_week, user_id, d0
+        FROM firsts
+    ), sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM cohorts GROUP BY cohort_week
+    ), rev AS (
+        SELECT c.cohort_week,
+               datediff('day', c.d0, CAST(e.ts AS DATE)) // 7 AS age_weeks,
+               CAST(SUM(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY c.cohort_week, datediff('day', c.d0, CAST(e.ts AS DATE)) // 7
+    )
+    SELECT r.cohort_week, CAST(r.age_weeks AS BIGINT) AS age_weeks,
+           s.cohort_users, r.cents,
+           CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_week
+                ORDER BY r.age_weeks ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum_cents,
+           CAST(CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_week
+                ORDER BY r.age_weeks ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) // s.cohort_users AS BIGINT)
+               AS ltv_cents_per_user
+    FROM rev r JOIN sizes s ON s.cohort_week = r.cohort_week
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped into weekly signup
+    cohorts (first-active week, aligned to the corpus epoch so the
+    boundary is engine-neutral), purchase revenue accumulated by cohort
+    AGE in weeks, and the running LTV per user in integer cents — the
+    growth metric that tells whether newer cohorts monetize faster. One
+    user-keyed first-day aggregate, a user-keyed join back, a
+    (cohort × age) rollup, then a cumulative window over calendar-bounded
+    rows per cohort. Exact cents end-to-end; the per-user division is
+    integer (floor) on both engines."""
+    cat = Catalog(spark, sf_dir)
+    firsts = (
+        cat.events.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d0"))
+    )
+    cohorts = firsts.select(
+        "user_id",
+        "d0",
+        F.expr(
+            "date_sub(d0, datediff(d0, DATE '2024-01-01') % 7)"
+        ).alias("cohort_week"),
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    rev = (
+        cat.events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week", F.expr("datediff(d, d0) DIV 7").alias("age_weeks")
+        )
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+        .select(
+            "cohort_week",
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            "cohort_users",
+            "cents",
+            "cum_cents",
+            F.expr("CAST(cum_cents DIV cohort_users AS BIGINT)").alias(
+                "ltv_cents_per_user"
+            ),
+        )
+    )
