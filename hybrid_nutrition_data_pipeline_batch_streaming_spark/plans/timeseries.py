@@ -1347,3 +1347,91 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ts_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), trended AS (
+        SELECT *,
+               CAST(SUM(c) OVER w7 AS BIGINT)   AS win_sum,
+               CAST(COUNT(*) OVER w7 AS BIGINT) AS win_n
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detr AS (
+        -- detrended, scaled by win_n: d_scaled = c·win_n − win_sum
+        SELECT *, c * win_n - win_sum AS d_scaled FROM trended
+    ), seas AS (
+        SELECT event_type AS et2, dow AS dow2,
+               CAST(SUM(d_scaled) AS BIGINT)  AS s_sum,
+               CAST(COUNT(*) AS BIGINT)       AS s_n
+        FROM detr GROUP BY event_type, dow
+    )
+    SELECT event_type, d, c,
+           win_sum, win_n,
+           CAST(d_scaled AS BIGINT)                          AS detrended_scaled,
+           CAST(s_sum // s_n AS BIGINT)                      AS seasonal_scaled,
+           CAST(d_scaled - s_sum // s_n AS BIGINT)           AS residual_scaled
+    FROM detr JOIN seas ON et2 = event_type AND dow2 = dow
+    """,
+)
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite), exactly: per type,
+    trend = centered 7-day moving window, seasonal = day-of-week mean of
+    the detrended series, residual = what's left. Float division never
+    happens — the detrended value is SCALED by the window row count
+    (c·n − Σ), and the seasonal component is an integer-floored mean of
+    those scaled values, so all three components hash bit-for-bit
+    (interpret by dividing by win_n downstream). Edge days keep their
+    truncated windows (win_n < 7), the standard moving-average boundary
+    convention, carried explicitly so the scale factor is honest. Shapes:
+    one daily rollup, one type-keyed window, one (type × dow) aggregate
+    joined back at dimension cardinality — calendar-bounded after the
+    first shuffle, like every detector in this module."""
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.events.select("event_type", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("c"))
+        .withColumn("dow", F.expr("datediff(d, DATE '2024-01-01') % 7"))
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    detr = (
+        daily.withColumn("win_sum", F.sum("c").over(w7).cast("long"))
+        .withColumn("win_n", F.count("*").over(w7))
+        .withColumn(
+            "d_scaled", F.col("c") * F.col("win_n") - F.col("win_sum")
+        )
+    )
+    seas = detr.groupBy(
+        F.col("event_type").alias("et2"), F.col("dow").alias("dow2")
+    ).agg(
+        F.sum("d_scaled").cast("long").alias("s_sum"),
+        F.count("*").alias("s_n"),
+    )
+    return (
+        detr.join(
+            F.broadcast(seas),
+            (F.col("et2") == F.col("event_type")) & (F.col("dow2") == F.col("dow")),
+        )
+        .select(
+            "event_type",
+            "d",
+            "c",
+            "win_sum",
+            "win_n",
+            F.col("d_scaled").cast("long").alias("detrended_scaled"),
+            F.expr("CAST(s_sum DIV s_n AS BIGINT)").alias("seasonal_scaled"),
+            F.expr("CAST(d_scaled - s_sum DIV s_n AS BIGINT)").alias(
+                "residual_scaled"
+            ),
+        )
+    )
