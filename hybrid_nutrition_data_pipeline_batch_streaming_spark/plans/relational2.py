@@ -969,13 +969,18 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT)"
         ).alias("cents")
     )
-    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
-    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    # Grand total via an unbounded frame over the SAME ordered partition the
+    # ranking uses — one window pass computes both, so the fact table is
+    # scanned and the part rollup shuffled exactly once (a separate
+    # aggregate + crossJoin would recompute the rollup).
+    order = [F.col("cents").desc(), F.col("l_partkey")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+    ranked = rev.withColumn(
         "cum_cents", F.sum("cents").over(w).cast("long")
-    )
+    ).withColumn("total", F.sum("cents").over(w_all).cast("long"))
     classed = ranked.withColumn(
         "abc_class",
         F.when(F.col("cum_cents") * 100 <= F.col("total") * 80, "A")

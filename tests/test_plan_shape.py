@@ -591,3 +591,42 @@ def test_trend_ols_is_two_aggregates(spark):
     plan = _plan(spark, "trend_ols", execute=True)
     plan = plan.split("== Initial Plan ==")[0]
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_abc_cumulative_window_runs_on_aggregate_output(spark):
+    """ABC classification: the ranking window must consume the part-keyed
+    AGGREGATE (part-cardinality rows), so the single-partition cumulative
+    stage is bounded by the part count, never lineitem volume — one
+    SinglePartition exchange fed by a partial-aggregated shuffle."""
+    plan = _plan(spark, "abc_classification", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("HashAggregate") >= 2  # partial+final revenue rollup
+
+
+def test_bitmap_overlap_joins_on_word_index(spark):
+    """Segment overlap: the word-wise comparison is an equi-join on
+    word_idx — never a cartesian pairing of segments × users."""
+    plan = _plan(spark, "bitmap_segment_overlap", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_registers_aggregate_is_bounded(spark):
+    """HLL: after the distinct, everything reduces to the 64-register
+    aggregate — no join wider than the register table, no Python."""
+    plan = _plan(spark, "sketch_hll", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_cohort_ltv_windows_by_cohort(spark):
+    """LTV: the cumulative revenue window partitions by cohort_week over
+    (cohort × age) rollup rows — calendar-bounded, never event rows."""
+    import re as _re
+    plan = _plan(spark, "cohort_ltv", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert _re.search(r"Exchange hashpartitioning\(cohort_week#\d+", plan)
+    assert "CartesianProduct" not in plan
