@@ -444,3 +444,83 @@ def bitmap_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_sym_diff"),
         )
     )
+
+
+@query(
+    "ctr_wilson",
+    oracle="""
+    WITH pairs AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS views,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clicks
+        FROM events GROUP BY user_id
+    ), banded AS (
+        SELECT CAST(least(views // 10, 4) AS BIGINT) AS view_band,
+               CAST(COUNT(*) AS BIGINT)  AS n_users,
+               CAST(SUM(views) AS BIGINT)  AS views,
+               CAST(SUM(clicks) AS BIGINT) AS clicks
+        FROM pairs GROUP BY least(views // 10, 4)
+        HAVING SUM(views) + SUM(clicks) > 0
+    )
+    SELECT view_band, n_users, views, clicks,
+           CAST(clicks AS DOUBLE) / (views + clicks) AS click_share,
+           (CAST(clicks AS DOUBLE) / (views + clicks)
+            + 1.92199208 / (2 * (views + clicks))
+            - 1.96 * sqrt((CAST(clicks AS DOUBLE) / (views + clicks))
+                          * (1 - CAST(clicks AS DOUBLE) / (views + clicks))
+                          / (views + clicks)
+                          + 1.92199208
+                            / (4 * (views + clicks) * (views + clicks))))
+               / (1 + 1.92199208 / (views + clicks)) AS share_wilson_low
+    FROM banded
+    """,
+)
+def ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interaction click-share with the Wilson score lower bound — the
+    ranking statistic that keeps low-traffic segments from winning on one
+    lucky click (plain rates are what naive dashboards sort by; Wilson is
+    what ranking systems use). The binomial is clicks out of ALL
+    view+click interactions, so the proportion is well-defined ∈ [0,1]
+    whatever the event mix. Inputs are exact integer counts per engagement
+    band; the bound is a FIXED expression of them —
+    every +, ×, /, sqrt is a single correctly-rounded IEEE op on identical
+    operands, the same bit-stability argument as ``embed_feature_hash`` —
+    so even this algebraically heavy float hashes identically (z=1.96,
+    z²=3.8416 folded to literal constants: 1.92199208 = z²/2). Two keyed
+    aggregates, band-cardinality output."""
+    cat = Catalog(spark, sf_dir)
+    pairs = cat.events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("views"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+    )
+    banded = (
+        pairs.groupBy(
+            F.expr("CAST(least(views DIV 10, 4) AS BIGINT)").alias("view_band")
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("views").cast("long").alias("views"),
+            F.sum("clicks").cast("long").alias("clicks"),
+        )
+        .where(F.col("views") + F.col("clicks") > 0)
+    )
+    n = F.col("views") + F.col("clicks")
+    p = F.col("clicks").cast("double") / n
+    z2h = 1.92199208  # z²/2 for z = 1.96
+    wilson_low = (
+        p + z2h / (2 * n) - 1.96 * F.sqrt(p * (1 - p) / n + z2h / (4 * n * n))
+    ) / (1 + z2h / n)
+    return banded.select(
+        "view_band",
+        "n_users",
+        "views",
+        "clicks",
+        p.alias("click_share"),
+        wilson_low.alias("share_wilson_low"),
+    )
