@@ -336,3 +336,91 @@ def stream_user_growth_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return newby.withColumn(
         "cum_users", F.sum("new_users").over(w).cast("long")
     )
+
+
+@query(
+    "stream_cusum_live",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), tot AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT)   AS t,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM daily GROUP BY event_type
+    ), cus AS (
+        SELECT daily.event_type, d, c, t, nd,
+               CAST(SUM(c * nd - t) OVER (
+                   PARTITION BY daily.event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS s_scaled
+        FROM daily JOIN tot USING (event_type)
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY ABS(s_scaled) DESC, d ASC) AS rk
+        FROM cus
+    )
+    SELECT event_type,
+           d        AS changepoint_day,
+           c        AS day_events,
+           s_scaled AS max_dev_scaled,
+           t        AS total_events,
+           nd       AS n_days,
+           ABS(s_scaled) > 2 * t AS shifted
+    FROM ranked WHERE rk = 1
+    """,
+)
+def stream_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over a LIVE stream — streaming anomaly
+    detection with the stream/batch parity contract: the stream maintains
+    per-(type, day) counters (linear, domain-bounded state — the same
+    reduction ``cusum_changepoint`` performs batch-side), and the CUSUM +
+    argmax windows run over the drained complete-mode counters, where
+    every day is final. Counter aggregation is arrival-order independent,
+    so the live detector lands exactly on the batch oracle however
+    micro-batches split. In production the drained-counter stage is the
+    maintained daily-rollup TABLE (foreachBatch merge → IVM) and the
+    detector re-runs per trigger over calendar-bounded rows."""
+    stream = read_events_stream(spark, sf_dir)
+    daily = (
+        stream.select("event_type", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("c"))
+    )
+    drained = run_to_memory(daily, output_mode="complete")
+    w_all = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_cus = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cus = (
+        drained.withColumn("t", F.sum("c").over(w_all).cast("long"))
+        .withColumn("nd", F.count("*").over(w_all))
+        .withColumn(
+            "s_scaled",
+            F.sum(F.col("c") * F.col("nd") - F.col("t")).over(w_cus).cast("long"),
+        )
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.col("d").asc()
+    )
+    return (
+        cus.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("changepoint_day"),
+            F.col("c").alias("day_events"),
+            F.col("s_scaled").alias("max_dev_scaled"),
+            F.col("t").alias("total_events"),
+            F.col("nd").alias("n_days"),
+            (F.abs(F.col("s_scaled")) > 2 * F.col("t")).alias("shifted"),
+        )
+    )
