@@ -100,3 +100,76 @@ def test_shard_balanced_shards_are_contiguous_and_bounded(spark, sf_dir):
     # every non-final shard is full up to the budget boundary
     for sid in ids[:-1]:
         assert sum(by_shard[sid]) + max(by_shard[sid + 1]) > SHARD_TOKEN_BUDGET
+
+
+def test_planted_neardup_recall_against_ground_truth(spark, tmp_path):
+    """Ground-truth dedup evaluation (not parity — MEASUREMENT): the scale
+    generator plants one-token-edit near-duplicate pairs at known ids
+    (doc_id % 20 == 7 duplicates doc_id−1), so recall/precision of the
+    banded-MinHash detector are computable against the actual answer key.
+    The planted edit distance is tiny (1 token in 15-74), so the detector
+    must find most of them; any pair it reports must be genuinely similar
+    (verified-Jaccard stage guarantees ≥ 0.5 by construction — precision
+    here checks the GROUND-TRUTH label, a stronger claim)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from make_scale_data import gen_documents
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+
+    out = str(tmp_path / "planted")
+    gen_documents(spark, 1, out)  # 5 000 docs, ~250 planted pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in plans.QUERIES["dedup_minhash_banded"](spark, out)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    planted = {
+        (i - 1, i) for i in range(1, 5000) if i % 20 == 7
+    }
+    found_planted = {p for p in pairs if p in planted}
+    recall = len(found_planted) / len(planted)
+    assert recall >= 0.6, f"recall {recall:.2f} over {len(planted)} planted pairs"
+    # Precision vs ground truth: reported non-planted pairs may exist
+    # (word-salad collisions are possible) but must stay a small minority.
+    precision = len(found_planted) / max(len(pairs), 1)
+    assert precision >= 0.8, f"precision {precision:.2f} ({len(pairs)} reported)"
+
+
+def test_crypto_shredding_per_user_keys(spark, tmp_path):
+    """GDPR crypto-erasure: PII encrypts under per-user AES keys kept in a
+    separate key table; deleting a user's KEY row makes their ciphertext
+    permanently undecryptable while every other row still decrypts — the
+    erasure pattern for immutable storage, complementing the store's
+    physical delete + vacuum path."""
+    from pyspark.sql import functions as F
+
+    users = spark.createDataFrame(
+        [(i, f"user{i}@example.com") for i in range(8)], "uid int, email string"
+    )
+    keys = spark.createDataFrame(
+        [(i, f"{i:016d}") for i in range(8)], "uid int, k string"
+    )
+    enc = (
+        users.join(keys, "uid")
+        .select(
+            "uid", F.expr("base64(aes_encrypt(email, k))").alias("email_enc")
+        )
+    )
+    enc.write.mode("overwrite").parquet(str(tmp_path / "pii"))
+
+    # Shred user 3: the key row is dropped; ciphertext remains on disk.
+    keys_after = keys.where(F.col("uid") != 3)
+    stored = spark.read.parquet(str(tmp_path / "pii"))
+    dec = stored.join(keys_after, "uid", "left").select(
+        "uid",
+        F.expr(
+            "CAST(try_aes_decrypt(unbase64(email_enc), coalesce(k, '')) AS STRING)"
+        ).alias("email"),
+    )
+    rows = {r.uid: r.email for r in dec.collect()}
+    assert rows[3] is None  # unrecoverable
+    assert all(rows[i] == f"user{i}@example.com" for i in range(8) if i != 3)
