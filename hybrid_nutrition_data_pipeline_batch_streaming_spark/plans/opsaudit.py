@@ -266,3 +266,69 @@ def ooo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END) * 1000000 DIV COUNT(*) AS BIGINT)"
         ).alias("late_ppm"),
     )
+
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = [
+        f"""SELECT '{child}.{ck}' AS fk_edge,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS child_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+                WHERE c.{ck} IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pk} = c.{ck})) AS orphans,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+                WHERE {ck} IS NULL) AS null_fks"""
+        for child, ck, parent, pk in _FK_EDGES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("fk_audit", oracle=_fk_oracle())
+def fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit: every foreign-key edge of
+    the star schema checked for orphans (child keys with no parent) and
+    NULL keys in one report — the constraint enforcement a warehouse
+    schema declares but a lake must VERIFY (``dq_checks`` samples one
+    edge; this is the complete closure). Each edge is a null-safe
+    LEFT ANTI join — broadcast for dimension parents, shuffled equi-join
+    for fact-fact — plus two counts; the seven single-row results union
+    into the audit table. At 100 TB each edge remains one pass over its
+    child table with the parent's key set as the join side."""
+    cat = Catalog(spark, sf_dir)
+    out = None
+    for child, ck, parent, pk in _FK_EDGES:
+        c = cat.table(child)
+        p = cat.table(parent).select(F.col(pk).alias(ck)).distinct()
+        orphans = (
+            c.where(F.col(ck).isNotNull())
+            .join(p, ck, "left_anti")
+            .agg(F.count("*").alias("orphans"))
+        )
+        totals = c.agg(
+            F.count("*").alias("child_rows"),
+            F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("null_fks"),
+        )
+        row = (
+            totals.crossJoin(orphans)
+            .select(
+                F.lit(f"{child}.{ck}").alias("fk_edge"),
+                "child_rows",
+                "orphans",
+                "null_fks",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
