@@ -1568,3 +1568,96 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+
+
+_CSIM_DIMS = 64
+_CSIM_SUM = ", ".join(
+    f"CAST(SUM(CAST(e[{d + 1}] AS DECIMAL(25,12))) AS DOUBLE)"
+    f" / COUNT(*) AS c{d}"
+    for d in range(_CSIM_DIMS)
+)
+_CSIM_LIST = "list_value(" + ", ".join(f"c{d}" for d in range(_CSIM_DIMS)) + ")"
+
+
+@query(
+    "centroid_similarity",
+    oracle=f"""
+    WITH base AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS (
+        SELECT label, COUNT(*) AS n_members, {_CSIM_SUM}
+        FROM base GROUP BY label
+    ), vecs AS (
+        SELECT label, n_members, {_CSIM_LIST} AS cv FROM cent
+    ), withn AS (
+        SELECT label, n_members, cv,
+               sqrt(list_reduce(list_transform(generate_series(1, {_CSIM_DIMS}),
+                    i -> cv[i] * cv[i]), (a, b) -> a + b)) AS nrm
+        FROM vecs
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(a.n_members AS BIGINT) AS n_a,
+           CAST(b.n_members AS BIGINT) AS n_b,
+           list_reduce(list_transform(generate_series(1, {_CSIM_DIMS}),
+                i -> a.cv[i] * b.cv[i]), (x, y) -> x + y)
+               / (a.nrm * b.nrm) AS cosine
+    FROM withn a JOIN withn b ON a.label < b.label
+    """,
+)
+def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-cluster centroid similarity matrix — the clustering QA
+    artifact (merge candidates, confusable classes, embedding-space
+    collapse all show up as high off-diagonal cosines). Per-label
+    centroids use the decimal-exact order-independent mean discipline of
+    ``cluster_centroids`` over all 64 dims; the pairwise cosine over the
+    BOUNDED centroid set (k² pairs of k centroids — never touching the
+    corpus again) folds left-to-right via zip_with/aggregate, the
+    bit-stable array path proven by ``similarity_topk``. The centroids
+    travel through the tiny self-join as ARRAY columns — a 64-scalar-wide
+    theta-join plans a combinatorial expression tree (Catalyst OOM, found
+    the hard way); arrays keep the plan linear. One partial-aggregated
+    label shuffle, then k rows join k rows."""
+    cat = Catalog(spark, sf_dir)
+    e = _to_double(F.col("embedding"))
+    cent = (
+        cat.embeddings.select("label", e.alias("e"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            *[
+                (
+                    F.sum(F.element_at("e", d + 1).cast("decimal(25,12)"))
+                    .cast("double")
+                    / F.count("*")
+                ).alias(f"c{d}")
+                for d in range(_CSIM_DIMS)
+            ],
+        )
+    )
+    vecs = cent.select(
+        "label",
+        "n_members",
+        F.array(*[F.col(f"c{d}") for d in range(_CSIM_DIMS)]).alias("cv"),
+    )
+    withn = vecs.withColumn("nrm", _norm(F.col("cv")))
+    a = withn.select(
+        F.col("label").alias("label_a"),
+        F.col("n_members").alias("n_a"),
+        F.col("cv").alias("cva"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = withn.select(
+        F.col("label").alias("label_b"),
+        F.col("n_members").alias("n_b"),
+        F.col("cv").alias("cvb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return a.join(b, F.col("label_a") < F.col("label_b")).select(
+        "label_a",
+        "label_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (_dot(F.col("cva"), F.col("cvb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+            "cosine"
+        ),
+    )
