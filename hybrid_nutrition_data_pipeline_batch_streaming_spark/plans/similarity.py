@@ -1571,9 +1571,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CSIM_DIMS = 64
+# Quantize each dimension with an explicit floor to 1e-9 before summing:
+# floor is bit-identical across engines, whereas the DECIMAL cast's
+# tie-rounding differs (Spark HALF_UP, DuckDB half-even) and at corpus row
+# counts a tie eventually lands on some dimension.
 _CSIM_SUM = ", ".join(
-    f"CAST(SUM(CAST(e[{d + 1}] AS DECIMAL(25,12))) AS DOUBLE)"
-    f" / COUNT(*) AS c{d}"
+    f"(CAST(SUM(CAST(floor(e[{d + 1}] * 1000000000) AS BIGINT)) AS DOUBLE)"
+    f" / 1000000000) / COUNT(*) AS c{d}"
     for d in range(_CSIM_DIMS)
 )
 _CSIM_LIST = "list_value(" + ", ".join(f"c{d}" for d in range(_CSIM_DIMS)) + ")"
@@ -1608,8 +1612,11 @@ def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-cluster centroid similarity matrix — the clustering QA
     artifact (merge candidates, confusable classes, embedding-space
     collapse all show up as high off-diagonal cosines). Per-label
-    centroids use the decimal-exact order-independent mean discipline of
-    ``cluster_centroids`` over all 64 dims; the pairwise cosine over the
+    centroids use an order-independent exact mean over all 64 dims —
+    dimensions floor-quantized to integer nano-units before the sum
+    (floor is bit-identical across engines; the DECIMAL-cast variant of
+    ``cluster_centroids`` hits the engines' differing tie-rounding once
+    enough rows land on a tie); the pairwise cosine over the
     BOUNDED centroid set (k² pairs of k centroids — never touching the
     corpus again) folds left-to-right via zip_with/aggregate, the
     bit-stable array path proven by ``similarity_topk``. The centroids
@@ -1626,8 +1633,12 @@ def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_members"),
             *[
                 (
-                    F.sum(F.element_at("e", d + 1).cast("decimal(25,12)"))
-                    .cast("double")
+                    F.sum(
+                        F.floor(F.element_at("e", d + 1) * 1000000000).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / 1000000000
                     / F.count("*")
                 ).alias(f"c{d}")
                 for d in range(_CSIM_DIMS)
