@@ -40,6 +40,14 @@ HEAVY = [
     "sessionize_batch",
     "rolling_7d_features",
     "anomaly_mad",
+    # session-5 additions with genuinely input-scaling work
+    "join_range_binned",
+    "join_interval_overlap",
+    "graph_kcore",
+    "bm25_search",
+    "similarity_maxsim",
+    "er_golden_records",
+    "ann_recall_eval",
 ]
 
 
