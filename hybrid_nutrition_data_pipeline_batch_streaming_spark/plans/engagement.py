@@ -524,3 +524,54 @@ def ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("click_share"),
         wilson_low.alias("share_wilson_low"),
     )
+
+
+@query(
+    "path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY event_type || '>' || t2 || '>' || t3
+    ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path mining (behavioral n-grams): the most common three-step
+    event sequences across all users — the "what do people actually do"
+    report behind funnel design (funnels test a HYPOTHESIZED path; this
+    surfaces the real ones to hypothesize from). The trigram build is the
+    event-stream twin of the text bigram machinery: two LEADs over one
+    user-time window (no self-joins — the classic path-analysis trap is
+    the triple self-join on user), then a path-keyed count and
+    TakeOrdered. Deterministic ordering via the (ts, event_id) composite;
+    cross-user boundaries never leak because the window partitions by
+    user."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), F.col("event_id")
+    )
+    seq = cat.events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )

@@ -994,3 +994,37 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(cents) * 1000000 DIV MAX(total) AS BIGINT)"
         ).alias("revenue_share_ppm"),
     )
+
+
+@query(
+    "topk_with_ties",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (ANSI FETCH FIRST ... WITH TIES semantics): RANK
+    instead of ROW_NUMBER, so equal-priced orders at the boundary ALL
+    surface — the semantics reports need when truncating ties would
+    misstate "the top 3" (``topk_per_group`` is the arbitrary-tiebreak
+    variant; both are correct, for different questions, and the output
+    cardinality differs — that is the point). WindowGroupLimit still
+    prunes map-side: rank ≤ k bounds per-partition candidates the same
+    way row_number does."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    return (
+        cat.orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
