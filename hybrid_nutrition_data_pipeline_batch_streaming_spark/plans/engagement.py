@@ -575,3 +575,92 @@ def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "stickiness_dau_mau",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), spine AS (
+        SELECT DISTINCT d FROM days
+    ), dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM days GROUP BY d
+    ), mau AS (
+        SELECT s.d, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau
+        FROM spine s JOIN days a
+          ON a.d BETWEEN s.d - 27 AND s.d
+        GROUP BY s.d
+    )
+    SELECT dau.d, dau.dau, mau.mau,
+           CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN mau ON mau.d = dau.d
+    """,
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — the engagement-health ratio — with MAU computed
+    the SCALABLE way: "distinct users in a trailing 28-day window per day"
+    naively needs a range self-join plus a windowed COUNT DISTINCT (the
+    oracle does exactly that — quadratic in the calendar and re-counting
+    users per day). The engine instead uses the interval identity: a user
+    counts toward MAU(d) iff d falls in some [active_day, active_day+27]
+    interval, so per user those intervals MERGE (gaps-and-islands — runs
+    of days < 28 apart collapse), each merged island contributes +1 at its
+    start and −1 after its end, and MAU is the running sum of the DIFF
+    ARRAY over the day spine. Shuffles: user-keyed island merge, then
+    day-keyed delta aggregate + calendar-bounded cumsum — no range join,
+    no distinct-in-window, each user processed once."""
+    cat = Catalog(spark, sf_dir)
+    days = cat.events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = days.groupBy("d").agg(F.count("*").alias("dau"))
+    # Merge each user's [d, d+27] cover intervals: a new island starts when
+    # the day is > 27 days after the previous day (gap exceeds the window).
+    w_prev = Window.partitionBy("user_id").orderBy("d")
+    isl = (
+        days.withColumn("prev_d", F.lag("d").over(w_prev))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev_d").isNull()
+                | (F.datediff(F.col("d"), F.col("prev_d")) > 27),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl_id",
+            F.sum("new_isl").over(
+                w_prev.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    runs = isl.groupBy("user_id", "isl_id").agg(
+        F.min("d").alias("s0"), F.expr("date_add(MAX(d), 27)").alias("e1")
+    )
+    deltas = (
+        runs.select(F.col("s0").alias("d"), F.lit(1).alias("delta"))
+        .unionByName(
+            runs.select(
+                F.expr("date_add(e1, 1)").alias("d"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    bounds = days.agg(
+        F.min("d").alias("d_min"), F.max("d").alias("d_max")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d_min, d_max)")).alias("d")
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    mau = (
+        spine.join(deltas, "d", "left")
+        .withColumn("delta", F.coalesce(F.col("delta"), F.lit(0)))
+        .withColumn("mau", F.sum("delta").over(w_cum).cast("long"))
+    )
+    return dau.join(mau.select("d", "mau"), "d").select(
+        "d",
+        "dau",
+        "mau",
+        F.expr("CAST(dau * 1000000 DIV mau AS BIGINT)").alias("stickiness_ppm"),
+    )
