@@ -664,3 +664,59 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.expr("CAST(dau * 1000000 DIV mau AS BIGINT)").alias("stickiness_ppm"),
     )
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS t_from,
+               LEAD(event_type, 1) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t_to
+        FROM events
+    ), pairs AS (
+        SELECT t_from, t_to, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE t_to IS NOT NULL
+        GROUP BY t_from, t_to
+    )
+    SELECT t_from, t_to, n,
+           CAST(SUM(n) OVER (PARTITION BY t_from) AS BIGINT) AS n_from,
+           CAST(n * 1000000 //
+                SUM(n) OVER (PARTITION BY t_from) AS BIGINT) AS p_ppm
+    FROM pairs
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior Markov chain: the event-to-next-event transition
+    matrix with row-normalized probabilities in integer ppm — the
+    micro-level complement of ``path_trigrams`` (paths show WHAT sequences
+    happen; the transition matrix is the generative model you simulate or
+    anomaly-score against, and its rows feed the same perplexity machinery
+    as ``ngram_bigram_lm`` does for text). One user-time LEAD window, a
+    (from, to)-keyed count, and a from-partitioned window for the
+    denominator — the transition matrix is event-type² cells, so
+    everything after the pair count is dimension-sized."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), F.col("event_id")
+    )
+    seq = cat.events.select(
+        F.col("event_type").alias("t_from"),
+        F.lead("event_type", 1).over(w).alias("t_to"),
+    )
+    pairs = (
+        seq.where(F.col("t_to").isNotNull())
+        .groupBy("t_from", "t_to")
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("t_from")
+    return pairs.select(
+        "t_from",
+        "t_to",
+        "n",
+        F.sum("n").over(w_from).cast("long").alias("n_from"),
+        F.expr(
+            "CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY t_from) AS BIGINT)"
+        ).alias("p_ppm"),
+    )
