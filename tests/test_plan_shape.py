@@ -630,3 +630,23 @@ def test_cohort_ltv_windows_by_cohort(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert _re.search(r"Exchange hashpartitioning\(cohort_week#\d+", plan)
     assert "CartesianProduct" not in plan
+
+
+def test_stickiness_has_no_range_join(spark):
+    """The diff-array MAU must never plan the naive day-range self-join —
+    no nested-loop/cartesian anywhere; the only single-partition stages are
+    calendar-bounded (bounds row, day spine, cumsum)."""
+    plan = _plan(spark, "stickiness_dau_mau", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_path_trigrams_single_user_window(spark):
+    """Path mining: both LEADs share ONE user-time window (no triple
+    self-join); the trigram count ends in TakeOrdered."""
+    plan = _plan(spark, "path_trigrams", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert "TakeOrderedAndProject" in plan
