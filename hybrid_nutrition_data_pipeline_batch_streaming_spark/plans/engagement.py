@@ -720,3 +720,91 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY t_from) AS BIGINT)"
         ).alias("p_ppm"),
     )
+
+
+@query(
+    "growth_accounting",
+    oracle="""
+    WITH weeks AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+        FROM events
+    ), flagged AS (
+        SELECT user_id, wk,
+               MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+               LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+        FROM weeks
+    ), classed AS (
+        SELECT wk,
+               CASE WHEN wk = first_wk THEN 'new'
+                    WHEN prev_wk = wk - 1 THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM flagged
+    ), actives AS (
+        SELECT wk, status, CAST(COUNT(*) AS BIGINT) AS n
+        FROM classed GROUP BY wk, status
+    ), churned AS (
+        SELECT f.wk + 1 AS wk, 'churned' AS status,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM flagged f
+        WHERE NOT EXISTS (
+            SELECT 1 FROM weeks w2
+            WHERE w2.user_id = f.user_id AND w2.wk = f.wk + 1
+        ) AND f.wk + 1 <= (SELECT MAX(wk) FROM weeks)
+        GROUP BY f.wk + 1
+    )
+    SELECT CAST(wk AS BIGINT) AS wk, status, n FROM actives
+    UNION ALL
+    SELECT CAST(wk AS BIGINT) AS wk, status, n FROM churned
+    """,
+)
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the new/retained/resurrected/churned quad — the
+    standard MAU-decomposition every growth team reports): per week, every
+    active user is NEW (first week ever), RETAINED (active the previous
+    week too), or RESURRECTED (returning after a gap); users active in
+    week w but not w+1 count as CHURNED in w+1. Classification needs only
+    each user's OWN week sequence — one user-partitioned window pass
+    (first week via MIN, previous week via LAG) and an anti-join for
+    churn, all user-keyed; the report is (weeks × 4) rows. The invariant
+    actives(w) = actives(w−1) + new + resurrected − churned is what makes
+    this the accounting identity dashboards reconcile against."""
+    cat = Catalog(spark, sf_dir)
+    weeks = (
+        cat.events.select(
+            "user_id",
+            F.expr(
+                "datediff(CAST(ts AS DATE), DATE '2024-01-01') DIV 7"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    w_all = Window.partitionBy("user_id")
+    w_seq = Window.partitionBy("user_id").orderBy("wk")
+    flagged = weeks.withColumn("first_wk", F.min("wk").over(w_all)).withColumn(
+        "prev_wk", F.lag("wk").over(w_seq)
+    )
+    classed = flagged.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    actives = classed.groupBy("wk", "status").agg(F.count("*").alias("n"))
+    max_wk = weeks.agg(F.max("wk").alias("max_wk"))
+    nxt = flagged.select("user_id", (F.col("wk") + 1).alias("wk"))
+    churned = (
+        nxt.join(weeks, ["user_id", "wk"], "left_anti")
+        .crossJoin(F.broadcast(max_wk))
+        .where(F.col("wk") <= F.col("max_wk"))
+        .groupBy("wk")
+        .agg(F.count("*").alias("n"))
+        .select("wk", F.lit("churned").alias("status"), "n")
+    )
+    return (
+        actives.select(F.col("wk").cast("long").alias("wk"), "status", "n")
+        .unionByName(
+            churned.select(F.col("wk").cast("long").alias("wk"), "status", "n")
+        )
+    )

@@ -177,3 +177,31 @@ def test_hll_estimate_within_standard_error(spark):
     assert r.exact_distinct > 0
     rel = abs(r.est_raw - r.exact_distinct) / r.exact_distinct
     assert rel < 0.4, (r.est_raw, r.exact_distinct)
+
+
+def test_growth_accounting_identity_reconciles(spark):
+    """The accounting identity the quad exists for: actives(w) =
+    actives(w−1) + new(w) + resurrected(w) − churned(w) for every week
+    after the first."""
+    rows = plans.QUERIES["growth_accounting"](spark, SF).collect()
+    byweek: dict[int, dict[str, int]] = {}
+    for r in rows:
+        byweek.setdefault(r.wk, {}).setdefault(r.status, 0)
+        byweek[r.wk][r.status] += r.n
+    weeks = sorted(byweek)
+
+    def actives(w):
+        d = byweek.get(w, {})
+        return d.get("new", 0) + d.get("retained", 0) + d.get("resurrected", 0)
+
+    for prev, cur in zip(weeks, weeks[1:]):
+        if cur != prev + 1:
+            continue
+        d = byweek[cur]
+        expect = (
+            actives(prev)
+            + d.get("new", 0)
+            + d.get("resurrected", 0)
+            - d.get("churned", 0)
+        )
+        assert actives(cur) == expect, (cur, d, actives(prev))
