@@ -319,8 +319,15 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _LOOKBACK_US
         )
     )
+    # Window keys = (user_id, purchase_id): purchase_id is globally unique
+    # (event_id), so the count is identical to PARTITION BY purchase_id —
+    # but ClusteredDistribution(user_id, purchase_id) is satisfied by the
+    # join's hashpartitioning(user_id), so when both sides are large (SMJ
+    # at 100 TB) the window adds NO exchange. partitionBy(purchase_id)
+    # alone would re-shuffle the whole pair set.
     pairs = pairs.withColumn(
-        "n_touch", F.count("*").over(Window.partitionBy("purchase_id"))
+        "n_touch",
+        F.count("*").over(Window.partitionBy("user_id", "purchase_id")),
     )
     return (
         pairs.select(

@@ -650,3 +650,60 @@ def test_path_trigrams_single_user_window(spark):
     assert "Join" not in plan
     assert plan.count("Window") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cep_is_joinless_single_user_exchange(spark):
+    """CEP as journey-regex: no self-join per pattern step (the classic
+    relational CEP trap) — the only data exchange is the user_id grouping;
+    everything after the grouped sort is map-side."""
+    plan = _plan(spark, "cep_pattern_match", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_srm_is_single_exchange_closed_form(spark):
+    """SRM audit: pure two-level aggregate — exactly one hash exchange
+    (event_type), the chi-square is a projected closed form, and the
+    variant hash never becomes a Python UDF."""
+    plan = _plan(spark, "ab_srm_check", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_shuffles_fact_once_broadcasts_anchor(spark):
+    """RFM: orders hit exactly one hashpartitioning exchange (o_custkey);
+    the recency anchor is a broadcast 1-row aggregate; the NTILE sorts run
+    on the reduced customer-level table (documented small-table step)."""
+    plan = _plan(spark, "rfm_segments", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row anchor cross join
+    assert plan.count("ntile(5)") == 3
+
+
+def test_attribution_linear_window_reuses_join_partitioning(spark):
+    """Linear attribution at scale: clicks join purchases on user_id with
+    the lookback as a residual (equi-join, never a global range join), and
+    the per-purchase touch-count window keys on (user_id, purchase_id) so
+    it rides the join's hashpartitioning(user_id) — with both sides large
+    (broadcast off → SMJ) the window inserts NO extra exchange."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(spark, "attribution_linear")
+        assert "SortMergeJoin [user_id" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # Exchanges: the two join inputs + the final day rollup — none
+        # between the join and the window.
+        assert plan.count("Exchange hashpartitioning") == 3
+        join_pos = plan.find("SortMergeJoin")
+        win_pos = plan.find("Window ")
+        assert 0 <= win_pos < join_pos  # window directly above the join
+        between = plan[win_pos:join_pos]
+        assert "Exchange" not in between
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
