@@ -48,6 +48,12 @@ HEAVY = [
     "similarity_maxsim",
     "er_golden_records",
     "ann_recall_eval",
+    # session-6 experiments family: journey CEP (per-user collect +
+    # regex), exact-integer SRM, RFM quintiles, linear attribution
+    "cep_pattern_match",
+    "ab_srm_check",
+    "rfm_segments",
+    "attribution_linear",
 ]
 
 
