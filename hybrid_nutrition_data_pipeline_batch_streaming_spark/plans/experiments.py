@@ -340,3 +340,129 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit").cast("long").alias("credited_micro_cents"),
         )
     )
+
+
+@query(
+    "ab_cuped",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+                   AS variant,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  AND CAST(ts AS TIMESTAMP)
+                                      < TIMESTAMP '2024-01-16'
+                             THEN CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                       AS BIGINT) // 100 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  AND CAST(ts AS TIMESTAMP)
+                                      >= TIMESTAMP '2024-01-16'
+                             THEN CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                       AS BIGINT) // 100 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT CAST(COUNT(*) AS BIGINT)     AS n,
+               CAST(SUM(x) AS BIGINT)       AS sx,
+               CAST(SUM(y) AS BIGINT)       AS sy,
+               CAST(SUM(x * y) AS BIGINT)   AS sxy,
+               CAST(SUM(x * x) AS BIGINT)   AS sxx
+        FROM per_user
+    ), v AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS BIGINT)   AS sx_v,
+               CAST(SUM(y) AS BIGINT)   AS sy_v
+        FROM per_user GROUP BY variant
+    )
+    SELECT v.variant, v.n_users, v.sx_v, v.sy_v,
+           CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+               / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE) AS theta,
+           CAST(v.sy_v AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+             - CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                 / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+               * (CAST(v.sx_v AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+                  - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+               AS adj_mean
+    FROM v CROSS JOIN g
+    """,
+)
+def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — the
+    technique every experimentation platform applies before reading a
+    treatment effect): per-user PRE-period purchase spend is the covariate
+    X, post-period spend the metric Y; θ = cov(X,Y)/var(X) from EXACT
+    BIGINT moment sums (the ``trend_ols`` pattern), and each variant's
+    adjusted mean is mean(Y) − θ·(mean(X) − mean(X)_global) as one fixed
+    double expression — every float op correctly rounded in the same order,
+    so both engines hash identically. Spend is whole dollars (per-event
+    truncating cents÷100) to keep n·Σxy far from BIGINT overflow at scale.
+
+    Plan: ONE user-keyed shuffle builds the per-user (variant, x, y) table;
+    the global moments and the two variant rows are both tiny aggregates of
+    it, recombined by a broadcast cross join of the 1-row moments. Nothing
+    after the first rollup touches fact rows — CUPED at 100 TB costs one
+    pass over events."""
+    cat = Catalog(spark, sf_dir)
+    dollars = F.expr(
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 100"
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    pre = F.col("ts").cast("timestamp") < F.lit("2024-01-16").cast("timestamp")
+    per_user = (
+        cat.events.groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_purchase & pre, dollars).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(is_purchase & ~pre, dollars).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("variant"),
+            "x",
+            "y",
+        )
+    )
+    g = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").cast("long").alias("sx_v"),
+        F.sum("y").cast("long").alias("sy_v"),
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    adj = (
+        F.col("sy_v").cast("double") / F.col("n_users").cast("double")
+        - theta
+        * (
+            F.col("sx_v").cast("double") / F.col("n_users").cast("double")
+            - F.col("sx").cast("double") / F.col("n").cast("double")
+        )
+    )
+    return v.crossJoin(F.broadcast(g)).select(
+        "variant",
+        "n_users",
+        "sx_v",
+        "sy_v",
+        theta.alias("theta"),
+        adj.alias("adj_mean"),
+    )

@@ -513,3 +513,99 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in census[1:]:
         out = out.union(c)
     return out
+
+# ---------------------------------------------------------------------------
+# k-hop BFS reachability from seed nodes (bounded frontier expansion)
+# ---------------------------------------------------------------------------
+
+_BFS_EDGES_SQL = """
+        SELECT DISTINCT l_partkey * 2     AS s, l_suppkey * 2 + 1 AS t
+        FROM lineitem
+        UNION ALL
+        SELECT DISTINCT l_suppkey * 2 + 1 AS s, l_partkey * 2     AS t
+        FROM lineitem
+"""
+
+
+def _bfs_oracle() -> str:
+    return f"""
+    WITH U AS ({_BFS_EDGES_SQL}),
+    L0 AS (
+        SELECT DISTINCT l_partkey * 2 AS node FROM lineitem
+        WHERE l_partkey % 1000 = 0
+    ),
+    L1 AS (
+        SELECT DISTINCT t AS node FROM U JOIN L0 ON U.s = L0.node
+        WHERE t NOT IN (SELECT node FROM L0)
+    ),
+    L2 AS (
+        SELECT DISTINCT t AS node FROM U JOIN L1 ON U.s = L1.node
+        WHERE t NOT IN (SELECT node FROM L0)
+          AND t NOT IN (SELECT node FROM L1)
+    ),
+    L3 AS (
+        SELECT DISTINCT t AS node FROM U JOIN L2 ON U.s = L2.node
+        WHERE t NOT IN (SELECT node FROM L0)
+          AND t NOT IN (SELECT node FROM L1)
+          AND t NOT IN (SELECT node FROM L2)
+    )
+    SELECT CAST(0 AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM L0
+    UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM L1
+    UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM L2
+    UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM L3
+    """
+
+
+@query("graph_bfs_khop", oracle=_bfs_oracle())
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-hop BFS from a seed set — the blast-radius query ("if these
+    parts are recalled, which suppliers are exposed, and which other parts
+    do THOSE suppliers feed?"). The graph is the part–supplier bipartite
+    edge set distilled from lineitem (node ids parity-encoded into one
+    space: part→2k, supplier→2k+1), seeds are every 1000th part, and the
+    result is the EXACT BFS level census — nodes first reached at hop 1
+    (direct suppliers), hop 2 (co-supplied parts), hop 3 (their other
+    suppliers).
+
+    Plan: textbook distributed frontier expansion — per hop, one equi-join
+    of the (small) frontier against the edge list plus one distinct and one
+    anti-join against the visited set; three hops unroll into ONE lazy plan
+    (no driver loop — the hop count is a constant, unlike
+    ``connected_components``' data-dependent fixpoint). Frontier and
+    visited sets stay node-scale; only the edge join touches edge-scale
+    data. At 100 TB the edge distillation is the dominant shuffle (once,
+    reusable), the visited anti-join gains a bloom pre-filter, and hub skew
+    lands on AQE's skew-join split."""
+    li = Catalog(spark, sf_dir).lineitem
+    pk, sk = F.col("l_partkey") * 2, F.col("l_suppkey") * 2 + 1
+    fwd = li.select(pk.alias("s"), sk.alias("t")).distinct()
+    rev = li.select(sk.alias("s"), pk.alias("t")).distinct()
+    # Cut lineage at the edge list and each frontier: level h's plan
+    # otherwise EMBEDS levels 0..h-1 (frontier ⋈ edges, anti ⋈ visited) —
+    # exponential plan growth and per-level re-analysis even under cache
+    # (same measured pathology as the CC loop; see module docstring).
+    # Frontiers are node-scale, so the cut is cheap.
+    und = checkpoint_truncate(fwd.union(rev))
+    l0 = checkpoint_truncate(
+        li.where(F.col("l_partkey") % 1000 == 0)
+        .select((F.col("l_partkey") * 2).alias("node"))
+        .distinct()
+    )
+    visited, levels = l0, [l0]
+    for _ in range(3):
+        frontier = checkpoint_truncate(
+            und.join(levels[-1], und["s"] == levels[-1]["node"])
+            .select(F.col("t").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        levels.append(frontier)
+        visited = checkpoint_truncate(visited.union(frontier))
+    out = None
+    for hop, lvl in enumerate(levels):
+        row = lvl.agg(F.count("*").cast("long").alias("n_nodes")).select(
+            F.lit(hop).cast("long").alias("hop"), "n_nodes"
+        )
+        out = row if out is None else out.union(row)
+    return out

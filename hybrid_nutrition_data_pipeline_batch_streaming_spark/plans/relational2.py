@@ -1028,3 +1028,201 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.rank().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyset (cursor) pagination — the OFFSET-free paging pattern
+# ---------------------------------------------------------------------------
+
+@query(
+    "keyset_pagination",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) > DATE '1998-03-15'
+       OR (CAST(o_orderdate AS DATE) = DATE '1998-03-15' AND o_orderkey > 0)
+    ORDER BY d, o_orderkey
+    LIMIT 20
+    """,
+)
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination: the page after cursor (1998-03-15, 0)
+    under the total order (o_orderdate, o_orderkey) — the scale-correct
+    replacement for OFFSET paging, whose cost grows with the page number
+    because every earlier row must still be sorted and skipped. The tuple
+    comparison compiles to a pushable disjunction, so the parquet scan
+    skips row groups entirely before the cursor (min/max stats on the sort
+    key), and the LIMIT plans as TakeOrderedAndProject — per-partition
+    top-20 heaps, never a global sort. Deterministic because the cursor key
+    is unique; every API that pages a 100 TB table serves from exactly this
+    plan."""
+    cat = Catalog(spark, sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    cursor_d = F.lit("1998-03-15").cast("date")
+    return (
+        cat.orders.where(
+            (d > cursor_d) | ((d == cursor_d) & (F.col("o_orderkey") > 0))
+        )
+        .select(
+            "o_orderkey",
+            d.alias("d"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            ).alias("price_cents"),
+        )
+        .orderBy("d", "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical mode per group (argmax of the value-frequency table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                   AS dow,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, dow
+    ), r AS (
+        SELECT event_type, dow, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, dow) AS rn
+        FROM c
+    )
+    SELECT event_type,
+           CAST(dow AS BIGINT) AS mode_dow,
+           cnt                 AS mode_cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group (which weekday is each event type's
+    busiest?): the frequency table argmax, with ties broken toward the
+    smaller value so the answer is a pure function of the data. Mode is the
+    aggregate SQL forgot — it can't fold into one pass like sum/min/max
+    because it needs the full frequency table; the scalable form is exactly
+    this two-level shape: one (group, value) rollup (partial-agg friendly),
+    then a per-group top-1, which Spark executes as WindowGroupLimit — a
+    running top-1 heap per group, no per-group sort materialization. The
+    day-of-week is engine-neutral integer date arithmetic (datediff % 7),
+    not locale-dependent dayofweek()."""
+    cat = Catalog(spark, sf_dir)
+    c = (
+        cat.events.select(
+            "event_type",
+            (
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+                % 7
+            ).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("dow"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("mode_dow"),
+            F.col("cnt").alias("mode_cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental join maintenance (the delta-join IVM identity, verified)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_delta_maintain",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_delta_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance, the algebra a materialized join view
+    runs on every micro-batch: with both inputs split into base ∪ delta
+    (here an md5 hash gate marks ~5% of orderkeys as the "new batch"),
+
+        (O_b ∪ ΔO) ⋈ (L_b ∪ ΔL)
+            = O_b⋈L_b  ∪  O_b⋈ΔL  ∪  ΔO⋈L_b  ∪  ΔO⋈ΔL
+
+    — the three delta terms are what an IVM engine computes per batch
+    (O_b⋈L_b is the stored view). This query evaluates the full
+    decomposition and aggregates it; the oracle aggregates the PLAIN join,
+    so the driver's value-hash proves the identity end-to-end, not just on
+    a toy. The two gates are deliberately INDEPENDENT functions (orders
+    split on the orderkey hash, lineitems on the (orderkey, linenumber)
+    hash) — as in real CDC, where a batch carries new lineitems for old
+    orders. A join-key-only split would let Catalyst's constraint
+    propagation prove both cross terms empty and delete them (it does —
+    verified), which is correct but demonstrates nothing.
+
+    Scale shape: all four terms are equi-joins on l_orderkey=o_orderkey
+    sharing one partitioning; the delta sides are small, so the per-batch
+    incremental cost is |Δ|-proportional (the stored-view term is a read).
+    The union feeds ONE partial-aggregating rollup."""
+    cat = Catalog(spark, sf_dir)
+    is_delta_o = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 20
+        == 0
+    )
+    is_delta_l = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 20
+        == 0
+    )
+    o = cat.orders.select("o_orderkey", "o_orderpriority")
+    li_cols = [
+        "l_orderkey",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    ]
+    o_b, o_d = o.where(~is_delta_o), o.where(is_delta_o)
+    l_b = cat.lineitem.where(~is_delta_l).select(*li_cols)
+    l_d = cat.lineitem.where(is_delta_l).select(*li_cols)
+    on = F.col("l_orderkey") == F.col("o_orderkey")
+    full = (
+        o_b.join(l_b, on)
+        .unionByName(o_b.join(l_d, on))
+        .unionByName(o_d.join(l_b, on))
+        .unionByName(o_d.join(l_d, on))
+    )
+    return full.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

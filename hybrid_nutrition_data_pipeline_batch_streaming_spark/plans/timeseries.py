@@ -1435,3 +1435,218 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average over irregular samples (the TimescaleDB
+# time_weight() capability, exact-integer form)
+# ---------------------------------------------------------------------------
+
+@query(
+    "twap_irregular",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ), w AS (
+        SELECT event_type, d, cents,
+               COALESCE(
+                   LEAD(t_us) OVER (PARTITION BY event_type, d
+                                    ORDER BY t_us, event_id),
+                   epoch_us(CAST(d + INTERVAL 1 DAY AS TIMESTAMP))
+               ) - t_us AS dur_us
+        FROM s
+    )
+    SELECT event_type, d,
+           CAST(COUNT(*) AS BIGINT)            AS n_samples,
+           CAST(SUM(dur_us) AS BIGINT)         AS held_us,
+           CAST(SUM(cents * dur_us) AS BIGINT) AS weighted_sum,
+           CAST(SUM(cents * dur_us) // SUM(dur_us) AS BIGINT) AS twap_cents
+    FROM w GROUP BY event_type, d
+    """,
+)
+def twap_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value over IRREGULARLY-sampled events (the
+    TimescaleDB ``time_weight`` / kdb+ twap capability): each sample holds
+    its value until the next sample in the same (event_type, day) series —
+    the last one until midnight — so the average weights by HELD TIME, not
+    by sample count (a burst of ticks no longer dominates the day). All
+    arithmetic is exact: durations in µs, values in cents, the average a
+    truncating BIGINT division, so both engines hash identically.
+
+    Plan: one (event_type, day)-keyed window for the LEAD (the sort is
+    per-day-bounded), then a partial-aggregating rollup on the same keys —
+    the exchange is shared. At 100 TB the series key is (symbol, day) and
+    the same two-stage shape reads date-partitioned input with the window
+    running inside each partition."""
+    cat = Catalog(spark, sf_dir)
+    s = cat.events.select(
+        "event_type",
+        F.col("ts").cast("timestamp").cast("date").alias("d"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("t_us", "event_id")
+    held = s.select(
+        "event_type",
+        "d",
+        "cents",
+        (
+            F.coalesce(
+                F.lead("t_us").over(w),
+                F.unix_micros(
+                    F.date_add(F.col("d"), 1).cast("timestamp")
+                ),
+            )
+            - F.col("t_us")
+        ).alias("dur_us"),
+    )
+    return held.groupBy("event_type", "d").agg(
+        F.count("*").alias("n_samples"),
+        F.sum("dur_us").cast("long").alias("held_us"),
+        F.sum(F.col("cents") * F.col("dur_us")).cast("long").alias(
+            "weighted_sum"
+        ),
+        F.expr("SUM(cents * dur_us) DIV SUM(dur_us)")
+        .cast("long")
+        .alias("twap_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown (running-peak shortfall) per series
+# ---------------------------------------------------------------------------
+
+@query(
+    "drawdown_max",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ), dd AS (
+        SELECT event_type, cents,
+               MAX(cents) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - cents AS drawdown
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)      AS n_days,
+           CAST(MAX(cents) AS BIGINT)    AS peak_cents,
+           CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_cents
+    FROM dd GROUP BY event_type
+    """,
+)
+def drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series (the risk metric: worst drop from a
+    running peak): daily value totals per event type, a running MAX window,
+    and the largest peak-minus-current gap. Exact integer cents throughout.
+
+    Plan: the fact table reduces to (type, day) rows FIRST (one shuffle);
+    the running-peak window and the final rollup both run on the
+    calendar-bounded daily table and share its type-keyed exchange. The
+    unbounded-preceding MAX is a streaming frame — no second sort, no
+    self-join (the naive form joins each day to all earlier days)."""
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.events.select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("d"),
+            F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "event_type",
+        "cents",
+        (F.max("cents").over(w) - F.col("cents")).alias("drawdown"),
+    )
+    return dd.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.max("cents").cast("long").alias("peak_cents"),
+        F.max("drawdown").cast("long").alias("max_drawdown_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period comparison (MoM / YoY), calendar-aligned
+# ---------------------------------------------------------------------------
+
+@query(
+    "period_over_period",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY date_trunc('month', CAST(o_orderdate AS DATE))
+    )
+    SELECT cur.m,
+           cur.rev_cents,
+           cur.rev_cents - mom.rev_cents AS mom_delta_cents,
+           cur.rev_cents - yoy.rev_cents AS yoy_delta_cents
+    FROM monthly cur
+    LEFT JOIN monthly mom ON mom.m = cur.m - INTERVAL 1 MONTH
+    LEFT JOIN monthly yoy ON yoy.m = cur.m - INTERVAL 12 MONTH
+    """,
+)
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue deltas, CALENDAR-aligned:
+    each month left-joins the month exactly one/twelve months earlier by
+    date arithmetic — not LAG(1)/LAG(12), which silently compares against
+    the wrong period whenever a month is missing from the data (the classic
+    dashboard bug). Missing comparison periods yield NULL deltas, exactly
+    as a reporting layer wants them.
+
+    Plan: the fact table collapses to ~|months| rows in one partial-agg
+    shuffle; both alignment joins are broadcasts of that tiny aggregate.
+    At 100 TB the monthly rollup reads date-partitioned parquet and the
+    join pattern is unchanged — deltas never touch fact-table rows."""
+    cat = Catalog(spark, sf_dir)
+    monthly = (
+        cat.orders.select(
+            F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("m"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("m")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    cur = monthly.alias("cur")
+    mom = monthly.select(
+        F.add_months(F.col("m"), 1).alias("m_next"),
+        F.col("rev_cents").alias("mom_rev"),
+    )
+    yoy = monthly.select(
+        F.add_months(F.col("m"), 12).alias("m_next_y"),
+        F.col("rev_cents").alias("yoy_rev"),
+    )
+    return (
+        cur.join(F.broadcast(mom), F.col("cur.m") == F.col("m_next"), "left")
+        .join(F.broadcast(yoy), F.col("cur.m") == F.col("m_next_y"), "left")
+        .select(
+            F.col("cur.m").alias("m"),
+            "rev_cents",
+            (F.col("rev_cents") - F.col("mom_rev")).alias("mom_delta_cents"),
+            (F.col("rev_cents") - F.col("yoy_rev")).alias("yoy_delta_cents"),
+        )
+    )

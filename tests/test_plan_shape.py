@@ -707,3 +707,95 @@ def test_attribution_linear_window_reuses_join_partitioning(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_twap_window_and_rollup_share_one_exchange(spark):
+    """TWAP: the LEAD window and the (type, day) rollup both key on the
+    same columns — ONE hash exchange total, no join, no Python."""
+    plan = _plan(spark, "twap_irregular", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_drawdown_running_peak_is_streaming_frame(spark):
+    """Max drawdown: daily rollup first (fact rows reduce before any
+    window), then an unbounded-preceding running MAX — never the naive
+    day×earlier-days self-join."""
+    plan = _plan(spark, "drawdown_max", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_period_over_period_aligns_with_broadcast_joins(spark):
+    """MoM/YoY: the fact table collapses to the monthly rollup in one
+    exchange; both calendar-alignment joins broadcast that tiny aggregate."""
+    plan = _plan(spark, "period_over_period", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_cuped_single_fact_shuffle(spark):
+    """CUPED: one user-keyed shuffle builds (variant, x, y); the global
+    moments recombine via a broadcast of a 1-row aggregate; θ and the
+    adjusted mean are projected closed forms (no Python, no MLlib)."""
+    plan = _plan(spark, "ab_cuped", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    live = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(live) == 1
+    # The variant rollup and the global moments share that one shuffle.
+    assert "ReusedExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row moments cross join
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark):
+    """Keyset paging: the cursor disjunction reaches the scan (row groups
+    before the cursor never decompress) and the page is a
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    plan = _plan(spark, "keyset_pagination")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [Or(" in plan
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_agg_mode_uses_window_group_limit(spark):
+    """Mode: two-level aggregate then per-group top-1 via WindowGroupLimit
+    (running heap), never a full per-group sort materialization."""
+    plan = _plan(spark, "agg_mode")
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_join_delta_maintain_all_terms_equi_join(spark):
+    """IVM delta-join: all four decomposition terms are equi-joins on the
+    orderkey (broadcast or shuffled — never nested-loop), unioned into ONE
+    partial-aggregating rollup."""
+    plan = _plan(spark, "join_delta_maintain", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    joins = plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert joins == 4
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_bfs_khop_frontiers_are_lineage_cut_equi_joins(spark):
+    """k-hop BFS: every hop is frontier ⋈ edges + anti ⋈ visited — all
+    equi-joins, no cartesian — and each level is lineage-cut so the final
+    census plan stays FLAT (embedding level h-1's plan in level h grows
+    the plan exponentially in depth)."""
+    plan = _plan(spark, "graph_bfs_khop")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Lineage cut: the census unions read materialized RDD scans, not the
+    # re-derived edge pipeline.
+    assert "Scan ExistingRDD" in plan
