@@ -133,6 +133,8 @@ def gen_graph_tables(spark, m, out):
         spark.range(n_li)
         .select(
             _pm(F.col("id"), n_ord).alias("l_orderkey"),
+            # row id DIV order count = a stable per-order line number
+            (F.col("id") / n_ord).cast("int").alias("l_linenumber"),
             _pm(_h(F.col("id"), F.lit(5)), n_supp).alias("l_suppkey"),
             _pm(_h(F.col("id"), F.lit(19)), 20_000 * m).alias("l_partkey"),
             (_pm(_h(F.col("id"), F.lit(20)), 50) + 1).cast("double").alias(
