@@ -93,6 +93,14 @@ HEADLINE = [
     "mm_audio_energy",
     "similarity_maxsim",
     "kth_order_statistics",
+    # session-6 additions: journey CEP, linear attribution, RFM quintiles,
+    # the bounded k-hop BFS, and the four-term delta-join IVM identity
+    "cep_pattern_match",
+    "attribution_linear",
+    "rfm_segments",
+    "graph_bfs_khop",
+    "join_delta_maintain",
+    "twap_irregular",
 ]
 
 

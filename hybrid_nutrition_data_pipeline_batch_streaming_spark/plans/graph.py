@@ -579,8 +579,12 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands on AQE's skew-join split."""
     li = Catalog(spark, sf_dir).lineitem
     pk, sk = F.col("l_partkey") * 2, F.col("l_suppkey") * 2 + 1
-    fwd = li.select(pk.alias("s"), sk.alias("t")).distinct()
-    rev = li.select(sk.alias("s"), pk.alias("t")).distinct()
+    # ONE distinct over the fact table; both orientations derive from it
+    # (distinct-then-mirror halves the heavy shuffle vs per-direction
+    # distincts).
+    pairs = li.select(pk.alias("s"), sk.alias("t")).distinct()
+    fwd = pairs
+    rev = pairs.select(F.col("t").alias("s"), F.col("s").alias("t"))
     # Cut lineage at the edge list and each frontier: level h's plan
     # otherwise EMBEDS levels 0..h-1 (frontier ⋈ edges, anti ⋈ visited) —
     # exponential plan growth and per-level re-analysis even under cache
