@@ -808,3 +808,86 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             churned.select(F.col("wk").cast("long").alias("wk"), "status", "n")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Restartable running sum (cumulative metric with conditional resets)
+# ---------------------------------------------------------------------------
+
+@query(
+    "running_sum_reset",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               CAST(ts AS TIMESTAMP) AS t,
+               CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_reset,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    ELSE 0 END AS cents
+        FROM events
+    ), epochs AS (
+        SELECT user_id, cents,
+               SUM(is_reset) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS epoch
+        FROM ev
+    ), runs AS (
+        SELECT user_id, epoch,
+               CAST(SUM(cents) AS BIGINT) AS epoch_cents,
+               CAST(COUNT(*) AS BIGINT)   AS epoch_events
+        FROM epochs GROUP BY user_id, epoch
+    )
+    SELECT CAST(epoch AS BIGINT)            AS epoch,
+           CAST(COUNT(*) AS BIGINT)         AS n_users,
+           CAST(SUM(epoch_cents) AS BIGINT) AS total_cents,
+           CAST(MAX(epoch_cents) AS BIGINT) AS max_epoch_cents
+    FROM runs GROUP BY epoch
+    """,
+)
+def running_sum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restartable cumulative sum — the accumulator that RESETS on a marker
+    event (spend since last re-signup; balance since last settlement;
+    mileage since last service). SQL has no native "sum with reset"; the
+    scalable encoding is two STACKED windows on the same (user, time)
+    order: the running count of reset markers numbers the epochs (each
+    reset starts a new island), then grouping by (user, epoch) folds each
+    island. Rolled up here per epoch index: how much accumulates before
+    the 1st/2nd/... reset.
+
+    Plan: both the epoch window and the island fold key on user_id — one
+    fact shuffle; the final epoch rollup moves island-level rows only. No
+    self-join (the naive encoding joins each row to its most recent reset —
+    a range join over the fact table)."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.when(F.col("event_type") == "signup", 1).otherwise(0).alias(
+            "is_reset"
+        ),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        ev.withColumn("epoch", F.sum("is_reset").over(w))
+        .groupBy("user_id", "epoch")
+        .agg(
+            F.sum("cents").cast("long").alias("epoch_cents"),
+            F.count("*").alias("epoch_events"),
+        )
+    )
+    return runs.groupBy(F.col("epoch").cast("long").alias("epoch")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("epoch_cents").cast("long").alias("total_cents"),
+        F.max("epoch_cents").cast("long").alias("max_epoch_cents"),
+    )

@@ -332,3 +332,104 @@ def fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-table amount reconciliation (header vs detail totals)
+# ---------------------------------------------------------------------------
+
+@query(
+    "recon_order_totals",
+    oracle="""
+    WITH detail AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS detail_cents
+        FROM lineitem GROUP BY l_orderkey
+    ), recon AS (
+        SELECT o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                   AS header_cents,
+               COALESCE(d.detail_cents, 0) AS detail_cents,
+               ABS(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+                        AS BIGINT) - COALESCE(d.detail_cents, 0))
+                   AS abs_dev_cents
+        FROM orders o LEFT JOIN detail d ON d.l_orderkey = o.o_orderkey
+    ), bucketed AS (
+        SELECT CASE
+                   WHEN detail_cents = 0 THEN 'no_detail'
+                   WHEN abs_dev_cents * 1000000 // header_cents < 10000
+                       THEN 'reconciled_1pct'
+                   WHEN abs_dev_cents * 1000000 // header_cents < 200000
+                       THEN 'minor_20pct'
+                   ELSE 'major'
+               END AS bucket,
+               header_cents, abs_dev_cents
+        FROM recon
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT)           AS n_orders,
+           CAST(SUM(header_cents) AS BIGINT)  AS header_total_cents,
+           CAST(SUM(abs_dev_cents) AS BIGINT) AS total_abs_dev_cents
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def recon_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail amount reconciliation — the finance-ops audit every
+    double-entry pipeline runs: does each order header's total match the
+    sum of its line items, and by how much is it off? Orders with NO
+    line-item detail are their own bucket (the referential gap ``fk_audit``
+    counts, here weighted by money at stake); the rest bucket by relative
+    deviation in exact ppm (truncating DIV on non-negative operands).
+
+    Plan: detail reduces per orderkey FIRST (partial-agg shuffle on the
+    join key), so the reconciliation join is aggregate-vs-header — one row
+    per order on each side, never a fact×fact row explosion; the bucket
+    rollup is map-side foldable. At 100 TB both sides bucket by orderkey
+    and the join is co-partitioned."""
+    cat = Catalog(spark, sf_dir)
+    detail = (
+        cat.lineitem.select(
+            "l_orderkey",
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("cents").cast("long").alias("detail_cents"))
+    )
+    recon = (
+        cat.orders.select(
+            "o_orderkey",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            ).alias("header_cents"),
+        )
+        .join(detail, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .select(
+            "header_cents",
+            F.coalesce(F.col("detail_cents"), F.lit(0)).alias("detail_cents"),
+            F.abs(
+                F.col("header_cents")
+                - F.coalesce(F.col("detail_cents"), F.lit(0))
+            ).alias("abs_dev_cents"),
+        )
+    )
+    rel_ppm = F.expr("abs_dev_cents * 1000000 DIV header_cents")
+    bucket = (
+        F.when(F.col("detail_cents") == 0, "no_detail")
+        .when(rel_ppm < 10000, "reconciled_1pct")
+        .when(rel_ppm < 200000, "minor_20pct")
+        .otherwise("major")
+    )
+    return (
+        recon.select(
+            bucket.alias("bucket"), "header_cents", "abs_dev_cents"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("header_cents").cast("long").alias("header_total_cents"),
+            F.sum("abs_dev_cents").cast("long").alias("total_abs_dev_cents"),
+        )
+    )

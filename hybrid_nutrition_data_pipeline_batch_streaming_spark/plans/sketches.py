@@ -588,3 +588,126 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_raw"),
         "exact_distinct",
     )
+
+
+@query(
+    "sketch_hll_merge",
+    oracle=f"""
+    WITH vals AS (
+        SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+               CAST(o_custkey AS VARCHAR) AS v
+        FROM orders
+    ), h AS (
+        SELECT m, {_duck_hex_int('md5(v)', '1', 12)} AS h FROM vals
+    ), rho AS (
+        SELECT m, h // {_HLL_REST} AS reg,
+               CASE WHEN h % {_HLL_REST} = 0 THEN 43
+                    ELSE 43 - len(bin(h % {_HLL_REST})) END AS rho
+        FROM h
+    ), partials AS (
+        SELECT m, reg, MAX(rho) AS m_j FROM rho GROUP BY m, reg
+    ), merged AS (
+        SELECT r.range AS reg, COALESCE(MAX(p.m_j), 0) AS m_j
+        FROM range({HLL_M}) r LEFT JOIN partials p ON p.reg = r.range
+        GROUP BY r.range
+    ), direct AS (
+        SELECT r.range AS reg, COALESCE(MAX(rho.rho), 0) AS m_j
+        FROM range({HLL_M}) r LEFT JOIN rho ON rho.reg = r.range
+        GROUP BY r.range
+    ), sm AS (
+        SELECT CAST(SUM(CAST(POWER(2, 50 - m_j) AS BIGINT)) AS BIGINT)
+                   AS s_scaled,
+               CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_regs
+        FROM merged
+    ), sd AS (
+        SELECT CAST(SUM(CAST(POWER(2, 50 - m_j) AS BIGINT)) AS BIGINT)
+                   AS s_direct
+        FROM direct
+    ), np AS (
+        SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS n_partials FROM vals
+    )
+    SELECT n_partials, s_scaled, n_zero_regs,
+           (CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M} * {_HLL_SCALE})
+               / CAST(s_scaled AS DOUBLE) AS est_raw,
+           s_scaled = s_direct AS matches_direct
+    FROM sm CROSS JOIN sd CROSS JOIN np
+    """,
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGE — the property that justifies sketches at 100 TB: build a
+    partial sketch per month (each worker/day/partition summarizes its own
+    slice), then combine by per-register MAX into the corpus sketch —
+    byte-identical to the sketch built directly over all data
+    (``matches_direct`` ships that proof in-band; max is associative,
+    commutative, idempotent, so ANY merge tree gives the same registers).
+    This is how a metrics store answers "distinct customers, any date
+    range" from per-day sketch rows without re-scanning facts.
+
+    Plan: per-month distinct + (month, reg) partial max + 64-group merge —
+    all partial-agg friendly; the direct rebuild here exists only to verify
+    the merge (a production store reads, never rebuilds). Same exact-
+    integer state as ``sketch_hll`` (Σ2^(50−M_j), powers of two only)."""
+    cat = Catalog(spark, sf_dir)
+    vals = cat.orders.select(
+        F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("m"),
+        F.col("o_custkey").cast("string").alias("v"),
+    ).distinct()
+    rho = vals.select(
+        "m",
+        F.conv(F.substring(F.md5(F.col("v")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).select(
+        "m",
+        F.expr(f"h DIV {_HLL_REST}").alias("reg"),
+        F.expr(
+            f"CASE WHEN h % {_HLL_REST} = 0 THEN 43"
+            f" ELSE 43 - length(bin(h % {_HLL_REST})) END"
+        ).alias("rho"),
+    )
+    partials = rho.groupBy("m", "reg").agg(F.max("rho").alias("m_j"))
+    regs = spark.range(HLL_M).withColumnRenamed("id", "reg")
+    merged = (
+        regs.join(
+            partials.groupBy("reg").agg(F.max("m_j").alias("m_j")),
+            "reg",
+            "left",
+        )
+        .select(F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j"))
+        .agg(
+            F.sum(F.expr("CAST(POWER(2, 50 - m_j) AS BIGINT)"))
+            .cast("long")
+            .alias("s_scaled"),
+            F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_regs"),
+        )
+    )
+    direct = (
+        regs.join(rho.groupBy("reg").agg(F.max("rho").alias("rho")), "reg", "left")
+        .select(F.coalesce(F.col("rho"), F.lit(0)).alias("m_j"))
+        .agg(
+            F.sum(F.expr("CAST(POWER(2, 50 - m_j) AS BIGINT)"))
+            .cast("long")
+            .alias("s_direct")
+        )
+    )
+    np_ = vals.agg(F.countDistinct("m").alias("n_partials"))
+    return (
+        merged.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_partials",
+            "s_scaled",
+            "n_zero_regs",
+            (
+                F.lit(0.709).cast("double")
+                * HLL_M
+                * HLL_M
+                * F.lit(_HLL_SCALE)
+                / F.col("s_scaled").cast("double")
+            ).alias("est_raw"),
+            (F.col("s_scaled") == F.col("s_direct")).alias("matches_direct"),
+        )
+    )

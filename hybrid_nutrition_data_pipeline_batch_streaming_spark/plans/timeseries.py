@@ -1650,3 +1650,163 @@ def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_cents") - F.col("yoy_rev")).alias("yoy_delta_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (sweep-line over interval endpoints)
+# ---------------------------------------------------------------------------
+
+@query(
+    "concurrency_peak",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   + CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     * 600000 AS e
+        FROM events
+    ), pts AS (
+        SELECT event_type, s AS t, CAST(1 AS BIGINT) AS delta, event_id
+        FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, CAST(-1 AS BIGINT) AS delta, event_id
+        FROM iv
+    ), run AS (
+        SELECT event_type,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS conc
+        FROM pts
+    )
+    SELECT event_type,
+           CAST(MAX(conc) AS BIGINT)    AS peak_concurrency,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM run GROUP BY event_type
+    """,
+)
+def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per series — the sweep-line classic (max simultaneous
+    calls / sessions / jobs): each interval contributes a +1 at its start
+    and a −1 at its end, and the peak is the max of the running sum over
+    endpoints. Intervals derive from events exactly as in
+    ``join_interval_overlap`` (value-proportional duration). Endpoint ties
+    process ends BEFORE starts (ORDER BY t, delta: −1 < +1), so touching
+    intervals never count as concurrent; event_id completes the total
+    order, making the running sum — and therefore its max — identical on
+    both engines.
+
+    Plan: map-side endpoint explosion (UNION ALL of two projections), one
+    type-keyed exchange shared by the window and the rollup. The naive
+    form is a self-join counting overlaps per interval — quadratic in the
+    overlap density; the sweep line is O(n log n) in the per-key sort that
+    the window already pays. At 100 TB, partition-local sweeps merge via
+    per-partition (boundary offset, max) summaries — the same associative
+    trick as ``shard_balanced``'s distributed prefix sum."""
+    cat = Catalog(spark, sf_dir)
+    iv = cat.events.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            * 600000
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "event_type",
+        F.col("s").alias("t"),
+        F.lit(1).cast("long").alias("delta"),
+        "event_id",
+    ).unionByName(
+        iv.select(
+            "event_type",
+            F.col("e").alias("t"),
+            F.lit(-1).cast("long").alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("event_type", F.sum("delta").over(w).alias("conc"))
+    return run.groupBy("event_type").agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation (wMAPE, exact-integer)
+# ---------------------------------------------------------------------------
+
+@query(
+    "forecast_eval_naive",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ), scored AS (
+        SELECT a.event_type,
+               ABS(a.y - f.y) AS abs_err,
+               a.y            AS actual
+        FROM daily a JOIN daily f
+          ON f.event_type = a.event_type AND f.d = a.d - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)       AS n_days_scored,
+           CAST(SUM(abs_err) AS BIGINT)   AS total_abs_err,
+           CAST(SUM(actual) AS BIGINT)    AS total_actual,
+           CAST(SUM(abs_err) * 1000000 // SUM(actual) AS BIGINT)
+               AS wmape_ppm
+    FROM scored GROUP BY event_type
+    """,
+)
+def forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (ŷ(d) = y(d−7), the baseline
+    every forecasting system must beat): per event type, the weighted MAPE
+    of same-weekday-last-week against actuals, in exact ppm integers
+    (Σ|err|·10⁶ DIV Σactual — no per-day float division, and wMAPE
+    sidesteps MAPE's divide-by-zero on quiet days). The forecast aligns by
+    CALENDAR join (d−7), not LAG(7) over an assumed-dense day sequence —
+    missing days silently misalign a lag but simply drop out of a join.
+
+    Plan: one daily rollup (the only fact-table shuffle), a self-join of
+    that calendar-bounded aggregate on (type, d−7), one final per-type
+    fold. At 100 TB the daily table is the pre-aggregated metrics store;
+    scoring any horizon h is the same join with d−h."""
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.events.select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("y"))
+    )
+    f = daily.select(
+        F.col("event_type").alias("et_f"),
+        F.date_add(F.col("d"), 7).alias("d_f"),
+        F.col("y").alias("y_hat"),
+    )
+    scored = daily.join(
+        f,
+        (F.col("event_type") == F.col("et_f")) & (F.col("d") == F.col("d_f")),
+    ).select(
+        "event_type",
+        F.abs(F.col("y") - F.col("y_hat")).alias("abs_err"),
+        F.col("y").alias("actual"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days_scored"),
+        F.sum("abs_err").cast("long").alias("total_abs_err"),
+        F.sum("actual").cast("long").alias("total_actual"),
+        F.expr("SUM(abs_err) * 1000000 DIV SUM(actual)")
+        .cast("long")
+        .alias("wmape_ppm"),
+    )

@@ -799,3 +799,62 @@ def test_bfs_khop_frontiers_are_lineage_cut_equi_joins(spark):
     # Lineage cut: the census unions read materialized RDD scans, not the
     # re-derived edge pipeline.
     assert "Scan ExistingRDD" in plan
+
+
+def _live_exchanges(plan: str, key: str = "") -> int:
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if f"Exchange hashpartitioning({key}" in ln and "ReusedExchange" not in ln
+    )
+
+
+def test_running_sum_reset_stacked_windows_share_user_shuffle(spark):
+    """Sum-with-reset: the epoch window and the island fold share ONE
+    user_id exchange (ClusteredDistribution(user, epoch) is satisfied by
+    hash(user)); no self-join to the most recent reset marker."""
+    plan = _plan(spark, "running_sum_reset", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert _live_exchanges(plan, "user_id") == 1
+
+
+def test_concurrency_peak_sweep_is_joinless_single_exchange(spark):
+    """Sweep-line peak concurrency: endpoint explosion is map-side; the
+    running sum and the rollup share one type-keyed exchange. Never the
+    quadratic interval×interval overlap self-join."""
+    plan = _plan(spark, "concurrency_peak", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert _live_exchanges(plan) == 1
+
+
+def test_forecast_eval_joins_aggregates_not_facts(spark):
+    """Seasonal-naive backtest: the d−7 alignment join runs on the daily
+    AGGREGATE (broadcast at this scale), never fact×fact."""
+    plan = _plan(spark, "forecast_eval_naive", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_recon_detail_aggregates_before_join(spark):
+    """Reconciliation: lineitem reduces per orderkey BEFORE meeting orders
+    (the join is aggregate-vs-header), with map-side partial aggregation."""
+    plan = _plan(spark, "recon_order_totals", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _live_exchanges(plan, "l_orderkey") == 1
+    join_pos = plan.find("HashJoin")
+    agg_before_join = plan.find("partial_sum", join_pos)
+    assert agg_before_join > 0  # detail partial agg sits under the join
+
+
+def test_sketch_hll_merge_is_jvm_only(spark):
+    """Sketch merge: partial-per-month + register-max re-agg, all JVM
+    expressions — no Python, no fact-table re-scan wider than the
+    (month, custkey) distinct."""
+    plan = _plan(spark, "sketch_hll_merge", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in plan
+    assert "partial_max" in plan or "partial" in plan.lower()
