@@ -1200,3 +1200,70 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_draws"),
         F.min("k").alias("best_key"),
     )
+
+
+#: l-diversity threshold: a quasi-identifier cell whose sensitive attribute
+#: takes fewer than L distinct values discloses that attribute even when the
+#: cell is k-anonymous.
+LDIV_L = 2
+
+
+@query(
+    "ldiv_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT source,
+               CAST(least(n_chars // 200, 9) AS BIGINT) AS len_band,
+               CAST(COUNT(*) AS BIGINT)              AS cell_n,
+               CAST(COUNT(DISTINCT lang) AS BIGINT)  AS diversity
+        FROM documents
+        GROUP BY source, least(n_chars // 200, 9)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN diversity < {LDIV_L} THEN 1 ELSE 0 END)
+                AS BIGINT)          AS undiverse_cells,
+           CAST(SUM(CASE WHEN diversity < {LDIV_L} THEN cell_n ELSE 0 END)
+                AS BIGINT)          AS rows_at_risk,
+           CAST(MIN(diversity) AS BIGINT) AS min_diversity
+    FROM cells GROUP BY source
+    """,
+)
+def ldiv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the disclosure check k-anonymity misses: a cell
+    can hold ≥k rows yet still leak its SENSITIVE attribute if every row
+    agrees on it (all five people in the cell share one language → knowing
+    someone is in the cell reveals their language). Per quasi-identifier
+    cell (source × length band), count distinct sensitive values (lang) and
+    flag cells below L=2; rolled up per source with the rows at risk.
+    Companion to ``kanon_audit`` (cell SIZE) — together they implement the
+    Machanavajjhala et al. release gate.
+
+    Plan: one (QI-cell) rollup carrying a distinct-count (two-level
+    aggregate — partial on (cell, lang), final on cell), then a tiny
+    per-source fold. Same 100 TB shape as any grouped distinct."""
+    cat = Catalog(spark, sf_dir)
+    cells = (
+        cat.documents.select(
+            "source",
+            F.least(F.expr("n_chars DIV 200"), F.lit(9))
+            .cast("long")
+            .alias("len_band"),
+            "lang",
+        )
+        .groupBy("source", "len_band")
+        .agg(
+            F.count("*").alias("cell_n"),
+            F.countDistinct("lang").alias("diversity"),
+        )
+    )
+    return cells.groupBy("source").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.when(F.col("diversity") < LDIV_L, 1).otherwise(0))
+        .cast("long")
+        .alias("undiverse_cells"),
+        F.sum(F.when(F.col("diversity") < LDIV_L, F.col("cell_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("diversity").cast("long").alias("min_diversity"),
+    )

@@ -433,3 +433,108 @@ def recon_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("abs_dev_cents").cast("long").alias("total_abs_dev_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Table diff (version-to-version data comparison by key)
+# ---------------------------------------------------------------------------
+
+_DIFF_GATE = "CAST(list_reduce(list_transform(range(0, 4), i -> " \
+    "CAST(strpos('0123456789abcdef', substr(md5(CAST({k} AS VARCHAR))," \
+    " 1 + i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 50 AS BIGINT)"
+
+
+@query(
+    "table_diff_audit",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ), gated AS (
+        SELECT k, cents, {_DIFF_GATE.format(k='k')} AS g FROM v1
+    ), v2 AS (
+        SELECT k, cents + 100 AS cents FROM gated WHERE g = 0
+        UNION ALL
+        SELECT k, cents FROM gated WHERE g >= 2
+        UNION ALL
+        SELECT k + 10000000 AS k, cents FROM gated WHERE g = 2
+    ), d AS (
+        SELECT COALESCE(a.k, b.k) AS k,
+               a.cents AS c1, b.cents AS c2,
+               CASE WHEN a.k IS NULL THEN 'added'
+                    WHEN b.k IS NULL THEN 'removed'
+                    WHEN a.cents <> b.cents THEN 'changed'
+                    ELSE 'unchanged' END AS kind
+        FROM v1 a FULL OUTER JOIN v2 b ON b.k = a.k
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN kind = 'changed' THEN c2 - c1 ELSE 0 END)
+                AS BIGINT) AS changed_delta_cents
+    FROM d GROUP BY kind
+    """,
+)
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version TABLE DIFF by primary key (the data-diff /
+    deployment-validation op: "what changed between yesterday's build and
+    today's?"): FULL OUTER join on the key, classify each key as
+    added / removed / changed / unchanged, and roll up counts plus the net
+    money moved by changes. The "v2" here is a deterministic in-query
+    perturbation of orders (2% price bumps, 2% deletions, 2% inserted
+    clones under shifted keys — an md5 gate, so both engines derive the
+    identical v2); in production v2 is the other table/version and the
+    diff plan is unchanged.
+
+    Plan: ONE full-outer equi-join on the key (co-partitioned at 100 TB —
+    this is the dominant shuffle and it is unavoidable for a full diff),
+    then a map-side classification and a 4-group fold. Column-level diffs
+    extend the CASE, not the join count. For GIANT tables where full
+    row-compare is too hot, ``table_checksum``'s order-insensitive word
+    sums pre-screen partitions — diff only the buckets whose checksums
+    disagree (the ``ParquetUpsertStore`` manifest-diff trick)."""
+    cat = Catalog(spark, sf_dir)
+    v1 = cat.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    gated = v1.withColumn(
+        "g",
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 50,
+    )
+    v2 = (
+        gated.where(F.col("g") == 0)
+        .select("k", (F.col("cents") + 100).alias("cents"))
+        .unionByName(gated.where(F.col("g") >= 2).select("k", "cents"))
+        .unionByName(
+            gated.where(F.col("g") == 2).select(
+                (F.col("k") + 10_000_000).alias("k"), "cents"
+            )
+        )
+    )
+    d = v1.alias("a").join(
+        v2.alias("b"), F.col("b.k") == F.col("a.k"), "full_outer"
+    ).select(
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.cents") != F.col("b.cents"), "changed")
+        .otherwise("unchanged")
+        .alias("kind"),
+        F.col("a.cents").alias("c1"),
+        F.col("b.cents").alias("c2"),
+    )
+    return d.groupBy("kind").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("kind") == "changed", F.col("c2") - F.col("c1")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("changed_delta_cents"),
+    )

@@ -1226,3 +1226,82 @@ def join_delta_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped median without per-group sorts (histogram decomposition)
+# ---------------------------------------------------------------------------
+
+@query(
+    "grouped_median_exact",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(CAST(value AS DECIMAL(12,2))
+                                                * 100 AS BIGINT)) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT)     AS n,
+           CAST(cents AS BIGINT) AS median_cents
+    FROM v WHERE rk = (n + 1) // 2
+    """,
+)
+def grouped_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (lower median, rank ⌈n/2⌉) — computed by
+    histogram decomposition, not by sorting rows: collapse to (group,
+    value) counts (one partial-agg shuffle), run a cumulative count over
+    each group's VALUE HISTOGRAM (bounded by distinct values, not rows),
+    and pick the first value whose running count reaches the target rank.
+    This is the scalable exact-median: the JVM-side counterpart of
+    ``grouped_udaf_median`` (the applyInPandas formulation, which must
+    materialize each group in Python) and the grouped generalization of
+    ``kth_order_statistics``. The ORACLE deliberately uses the naive
+    row-rank formulation — two independent derivations agreeing on every
+    value is the point of the check.
+
+    Plan: fact rows cross the wire once (partial-aggregated histogram);
+    the median window runs over per-group distinct-value rows. At 100 TB
+    with high-cardinality values, band the histogram first (the
+    ``kth_order_statistics`` two-level trick) — same shape, two rounds."""
+    cat = Catalog(spark, sf_dir)
+    hist = (
+        cat.events.select(
+            "event_type",
+            F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    scored = hist.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return (
+        scored.where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("cents")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("cents").cast("long").alias("median_cents"),
+        )
+    )

@@ -412,3 +412,124 @@ def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim"), F.asc("doc_id"))
         .limit(MAXSIM_TOP)
     )
+
+
+#: PRF parameters: pseudo-relevant pool size and expansion-term count.
+PRF_POOL = 10
+PRF_EXPAND = 3
+
+
+@query(
+    "search_prf_expand",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text <> ''
+    ), tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, tok
+    ), dfs AS (
+        SELECT tok, CAST(SUM(tf) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY tok
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+    ), seed AS (
+        SELECT tok, df FROM dfs ORDER BY total DESC, tok LIMIT {N_QUERY_TERMS}
+    ), r1 AS (
+        SELECT tf.doc_id,
+               SUM(tf.tf * ((n.n_docs * 1000000) // seed.df)) AS s1
+        FROM tf JOIN seed ON seed.tok = tf.tok CROSS JOIN n
+        GROUP BY tf.doc_id
+        ORDER BY s1 DESC, tf.doc_id LIMIT {PRF_POOL}
+    ), expanded AS (
+        SELECT tf.tok FROM tf JOIN r1 ON r1.doc_id = tf.doc_id
+        WHERE tf.tok NOT IN (SELECT tok FROM seed)
+        GROUP BY tf.tok
+        ORDER BY SUM(tf.tf) DESC, tf.tok LIMIT {PRF_EXPAND}
+    ), qterms AS (
+        SELECT s.tok, s.df, 1 AS is_seed FROM seed s
+        UNION ALL
+        SELECT d.tok, d.df, 0 AS is_seed
+        FROM dfs d JOIN expanded e ON e.tok = d.tok
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf * ((n.n_docs * 1000000) // q.df)) AS BIGINT)
+               AS score_ppm,
+           CAST(SUM(q.is_seed) AS BIGINT)     AS seed_hits,
+           CAST(SUM(1 - q.is_seed) AS BIGINT) AS exp_hits
+    FROM tf JOIN qterms q ON q.tok = tf.tok CROSS JOIN n
+    GROUP BY tf.doc_id
+    ORDER BY score_ppm DESC, tf.doc_id LIMIT {TOP_DOCS}
+    """,
+)
+def search_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio's idea, the
+    two-round retrieval every serious search stack runs): round 1 ranks
+    with the seed terms; the top-{PRF_POOL} docs are ASSUMED relevant and
+    their dominant non-seed terms (top {PRF_EXPAND} by pooled tf) join the
+    query; round 2 re-ranks the corpus with the expanded term set,
+    reporting per-doc seed vs expansion hits. Same exact-integer idf as
+    ``text_search_rank`` (ppm ratios, no ln), deterministic tie-breaks at
+    every cut, so the whole two-round cascade value-hashes across engines.
+
+    Plan: the inverted index (tf table) builds ONCE and serves all three
+    probes — seed ranking, expansion mining (a {PRF_POOL}-doc semi-join of
+    the index), and final ranking; term sets stay broadcast-sized by
+    construction. The corpus text is exploded exactly once; at 100 TB the
+    tf table is the persisted posting store and each round is a pruned
+    posting read (the ``operators/ann_index.py`` build-once/probe-many
+    split, twice)."""
+    cat = Catalog(spark, sf_dir)
+    tok = cat.documents.where(F.col("text") != "").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    dfs = tf.groupBy("tok").agg(
+        F.sum("tf").cast("long").alias("total"), F.count("*").alias("df")
+    )
+    n = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    seed = (
+        dfs.orderBy(F.desc("total"), F.asc("tok"))
+        .limit(N_QUERY_TERMS)
+        .select("tok", "df")
+    )
+    r1 = (
+        tf.join(F.broadcast(seed), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.expr("n_docs * 1000000 DIV df")).alias("s1")
+        )
+        .orderBy(F.desc("s1"), F.asc("doc_id"))
+        .limit(PRF_POOL)
+        .select("doc_id")
+    )
+    expanded = (
+        tf.join(F.broadcast(r1), "doc_id")
+        .join(F.broadcast(seed.select("tok")), "tok", "left_anti")
+        .groupBy("tok")
+        .agg(F.sum("tf").cast("long").alias("pooled"))
+        .orderBy(F.desc("pooled"), F.asc("tok"))
+        .limit(PRF_EXPAND)
+        .select("tok")
+    )
+    qterms = seed.withColumn("is_seed", F.lit(1)).unionByName(
+        dfs.join(F.broadcast(expanded), "tok")
+        .select("tok", "df")
+        .withColumn("is_seed", F.lit(0))
+    )
+    return (
+        tf.join(F.broadcast(qterms), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.expr("n_docs * 1000000 DIV df"))
+            .cast("long")
+            .alias("score_ppm"),
+            F.sum("is_seed").cast("long").alias("seed_hits"),
+            F.sum(F.lit(1) - F.col("is_seed")).cast("long").alias("exp_hits"),
+        )
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(TOP_DOCS)
+    )

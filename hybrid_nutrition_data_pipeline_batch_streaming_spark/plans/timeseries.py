@@ -1810,3 +1810,117 @@ def forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wmape_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function at fixed lags (exact scaled moments)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ), stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s
+        FROM daily GROUP BY event_type
+    ), z AS (
+        SELECT d.event_type, d.d, d.y * st.n - st.s AS z
+        FROM daily d JOIN stats st ON st.event_type = d.event_type
+    ), pairs AS (
+        SELECT a.event_type, CAST(1 AS BIGINT) AS lag, a.z * b.z AS zz
+        FROM z a JOIN z b
+          ON b.event_type = a.event_type AND b.d = a.d + INTERVAL 1 DAY
+        UNION ALL
+        SELECT a.event_type, CAST(7 AS BIGINT) AS lag, a.z * b.z AS zz
+        FROM z a JOIN z b
+          ON b.event_type = a.event_type AND b.d = a.d + INTERVAL 7 DAY
+    ), den AS (
+        SELECT event_type, CAST(SUM(z * z) AS BIGINT) AS zz_all
+        FROM z GROUP BY event_type
+    )
+    SELECT p.event_type, p.lag,
+           CAST(COUNT(*) AS BIGINT)    AS n_pairs,
+           CAST(SUM(p.zz) AS BIGINT)   AS num_scaled,
+           d.zz_all                    AS den_scaled,
+           CAST(SUM(p.zz) AS DOUBLE) / CAST(d.zz_all AS DOUBLE) AS acf
+    FROM pairs p JOIN den d ON d.event_type = p.event_type
+    GROUP BY p.event_type, p.lag, d.zz_all
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily series at lags 1 and 7 (does yesterday
+    predict today? does the weekly cycle exist?) — the diagnostic behind
+    every seasonality/ARIMA decision. Exactness: the centered values are
+    scaled integers z_t = n·y_t − Σy (so no fractional mean ever exists);
+    numerator Σz_t·z_{t+k} and denominator Σz_t² are exact BIGINT sums and
+    the ACF is their one bit-stable double division. Lag alignment is a
+    CALENDAR join (d+k), immune to missing days, and both lags reuse the
+    same centered table.
+
+    Plan: fact rows reduce to the daily rollup once; everything after —
+    stats join, pair joins, folds — runs on calendar-bounded aggregates
+    (broadcastable at any corpus size). The 100 TB pattern for exact
+    second-order statistics: scale to integers, fold associatively, divide
+    once."""
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.events.select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count("*").alias("y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("y").cast("long").alias("s")
+    )
+    z = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("y") * F.col("n") - F.col("s")).alias("z"),
+    )
+    def _pairs(k: int):
+        b = z.select(
+            F.col("event_type").alias("et_b"),
+            F.date_sub(F.col("d"), k).alias("d_b"),
+            F.col("z").alias("z_b"),
+        )
+        return (
+            z.join(
+                b,
+                (F.col("event_type") == F.col("et_b"))
+                & (F.col("d") == F.col("d_b")),
+            )
+            .select(
+                "event_type",
+                F.lit(k).cast("long").alias("lag"),
+                (F.col("z") * F.col("z_b")).alias("zz"),
+            )
+        )
+    pairs = _pairs(1).unionByName(_pairs(7))
+    den = z.groupBy("event_type").agg(
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("zz_all")
+    )
+    return (
+        pairs.groupBy("event_type", "lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("zz").cast("long").alias("num_scaled"),
+        )
+        .join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_pairs",
+            "num_scaled",
+            F.col("zz_all").alias("den_scaled"),
+            (
+                F.col("num_scaled").cast("double")
+                / F.col("zz_all").cast("double")
+            ).alias("acf"),
+        )
+    )

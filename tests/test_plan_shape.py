@@ -858,3 +858,59 @@ def test_sketch_hll_merge_is_jvm_only(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "EvalPython" not in plan
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_ldiv_audit_is_joinless_two_level_distinct(spark):
+    """l-diversity: (QI-cell) rollup with a grouped distinct then a tiny
+    per-source fold — no join anywhere."""
+    plan = _plan(spark, "ldiv_audit", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+
+
+def test_ts_autocorr_joins_only_aggregates(spark):
+    """ACF: after the one daily rollup, every join (centering, lag
+    alignment, denominator) is a broadcast of calendar-bounded
+    aggregates — no fact-scale SortMergeJoin, no cartesian."""
+    plan = _plan(spark, "ts_autocorr", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grouped_median_runs_on_histogram_not_rows(spark):
+    """Exact grouped median: fact rows collapse to the (group, value)
+    histogram in one partial-agg shuffle; the cumulative pick runs on
+    distinct-value rows. Joinless."""
+    plan = _plan(spark, "grouped_median_exact", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    live = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(live) == 2  # histogram build + per-group window
+
+
+def test_table_diff_is_one_full_outer_equi_join(spark):
+    """Table diff: exactly one FULL OUTER equi-join on the key — the
+    unavoidable shuffle — then map-side classification; never a
+    nested-loop compare."""
+    plan = _plan(spark, "table_diff_audit", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prf_reuses_the_posting_table_and_takes_ordered(spark):
+    """PRF: the inverted index is built once (persisted) and probed by
+    broadcast term sets in both rounds; the final page is TakeOrdered."""
+    plan = _plan(spark, "search_prf_expand", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
