@@ -930,3 +930,55 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold calibration sweep over the verified pair table
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _threshold_sweep_oracle() -> str:
+    from .registry import ORACLE
+
+    pairs_sql = ORACLE["dedup_minhash_banded"].strip()
+    thr_rows = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    thr(threshold) AS (VALUES {thr_rows}),
+    hits AS (
+        SELECT t.threshold, p.doc_a, p.doc_b
+        FROM pairs p CROSS JOIN thr t
+        WHERE p.jaccard >= t.threshold
+    )
+    SELECT threshold,
+           CAST(COUNT(*) AS BIGINT)                AS n_pairs,
+           CAST(COUNT(DISTINCT doc_b) AS BIGINT)   AS n_dropped_greedy
+    FROM hits GROUP BY threshold
+    """
+
+
+@query("dedup_threshold_sweep", oracle=_threshold_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold CALIBRATION — the sweep every pipeline runs before
+    committing to a similarity cutoff: how many pairs survive, and how many
+    documents would the greedy keep-lowest-id policy drop, at each
+    candidate Jaccard threshold? One pass over the verified pair table
+    (pairs are generated ONCE by the banded-minhash equi-joins; the sweep
+    is a broadcast cross join against the 5-row threshold list + one
+    rollup), not one dedup run per threshold — the difference between an
+    afternoon and a re-scan-per-candidate at corpus scale. The thresholds
+    compare against the same double Jaccard both engines derive from
+    identical integer set sizes, so the filter is bit-identical."""
+    pairs = dedup_minhash_banded(spark, sf_dir)
+    thr = pairs.sparkSession.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    hits = pairs.crossJoin(F.broadcast(thr)).where(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    return hits.groupBy("threshold").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_b").alias("n_dropped_greedy"),
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import Catalog
 from ..functions.parity import MONEY, QTY, RATE, dsum
@@ -810,4 +811,136 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     return cat.lineitem.select(F.col("l_orderkey").alias("orderkey")).intersectAll(
         cat.orders.select(F.col("o_orderkey").alias("orderkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (backward + forward, pick the closer match)
+# ---------------------------------------------------------------------------
+
+#: Nearest-match tolerance: clicks farther than this from the purchase (in
+#: either direction) don't match.
+ASOF_NEAREST_TOL_US = 86_400_000_000  # 1 day
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+               event_type,
+               CASE WHEN event_type = 'click'
+                    THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS click_us
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+        SELECT user_id, event_id, t_us, event_type,
+               last_value(click_us IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_us,
+               first_value(click_us IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t_us, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_us
+        FROM ev
+    ), p AS (
+        SELECT CASE
+                 WHEN prev_us IS NOT NULL
+                      AND t_us - prev_us <= {ASOF_NEAREST_TOL_US}
+                      AND (next_us IS NULL
+                           OR next_us - t_us > {ASOF_NEAREST_TOL_US}
+                           OR t_us - prev_us <= next_us - t_us)
+                     THEN 'prev'
+                 WHEN next_us IS NOT NULL
+                      AND next_us - t_us <= {ASOF_NEAREST_TOL_US}
+                     THEN 'next'
+                 ELSE 'none'
+               END AS direction,
+               CASE
+                 WHEN prev_us IS NOT NULL
+                      AND t_us - prev_us <= {ASOF_NEAREST_TOL_US}
+                      AND (next_us IS NULL
+                           OR next_us - t_us > {ASOF_NEAREST_TOL_US}
+                           OR t_us - prev_us <= next_us - t_us)
+                     THEN t_us - prev_us
+                 WHEN next_us IS NOT NULL
+                      AND next_us - t_us <= {ASOF_NEAREST_TOL_US}
+                     THEN next_us - t_us
+                 ELSE 0
+               END AS dist_us
+        FROM w WHERE event_type = 'purchase'
+    )
+    SELECT direction,
+           CAST(COUNT(*) AS BIGINT)     AS n_purchases,
+           CAST(SUM(dist_us) AS BIGINT) AS total_dist_us,
+           CAST(MAX(dist_us) AS BIGINT) AS max_dist_us
+    FROM p GROUP BY direction
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join (the sensor-fusion variant of J7): each
+    purchase matches the closest click in EITHER direction within a 1-day
+    tolerance — backward-only as-of misattributes events that land just
+    before their cause. Ties break backward (the causal default). Reported
+    as the match census per direction with exact µs distances.
+
+    Implemented the same scale-safe way as ``join_asof``: union both
+    event kinds, ONE per-user window pass carrying the last click at-or-
+    before and the first click at-or-after every row (both IGNORE NULLS
+    frames share the same sort), then a map-side nearest pick — never the
+    naive |purchases| × |clicks| range join, whose candidate set explodes
+    with activity. One user-keyed exchange total; the census fold is
+    3 rows."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_type",
+        F.when(
+            F.col("event_type") == "click",
+            F.unix_micros(F.col("ts").cast("timestamp")),
+        ).alias("click_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    scored = ev.select(
+        "event_type",
+        "t_us",
+        F.last("click_us", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("prev_us"),
+        F.first("click_us", ignorenulls=True)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("next_us"),
+    ).where(F.col("event_type") == "purchase")
+    tol = ASOF_NEAREST_TOL_US
+    prev_ok = F.col("prev_us").isNotNull() & (
+        F.col("t_us") - F.col("prev_us") <= tol
+    )
+    next_ok = F.col("next_us").isNotNull() & (
+        F.col("next_us") - F.col("t_us") <= tol
+    )
+    prev_wins = prev_ok & (
+        ~next_ok
+        | (F.col("t_us") - F.col("prev_us") <= F.col("next_us") - F.col("t_us"))
+    )
+    direction = (
+        F.when(prev_wins, "prev").when(next_ok, "next").otherwise("none")
+    )
+    dist = (
+        F.when(prev_wins, F.col("t_us") - F.col("prev_us"))
+        .when(next_ok, F.col("next_us") - F.col("t_us"))
+        .otherwise(F.lit(0))
+    )
+    return (
+        scored.select(direction.alias("direction"), dist.alias("dist_us"))
+        .groupBy("direction")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("dist_us").cast("long").alias("total_dist_us"),
+            F.max("dist_us").cast("long").alias("max_dist_us"),
+        )
     )

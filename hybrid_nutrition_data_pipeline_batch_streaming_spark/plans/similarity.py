@@ -1672,3 +1672,111 @@ def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation (short-vector recall against full-dim)
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = 16  # truncated prefix length under evaluation
+
+
+@query(
+    "embedding_matryoshka_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings
+    ), full_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY {_cos_sql('qe', 'ce')} DESC,
+                                               neighbor_id) AS rank
+            FROM q JOIN c ON query_id <> neighbor_id
+        ) WHERE rank <= {TOP_K}
+    ), short_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_cos_sql(f'qe[1:{MRL_DIMS}]',
+                                          f'ce[1:{MRL_DIMS}]')} DESC,
+                                neighbor_id) AS rank
+            FROM q JOIN c ON query_id <> neighbor_id
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT f.query_id,
+           CAST(COUNT(s.neighbor_id) AS BIGINT) AS hits,
+           CAST(COUNT(s.neighbor_id) * 1000000 // {TOP_K} AS BIGINT)
+               AS recall_ppm
+    FROM full_k f LEFT JOIN short_k s
+      ON s.query_id = f.query_id AND s.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation evaluation: how much top-{TOP_K} recall
+    survives searching with only the first {MRL_DIMS} of 64 dimensions?
+    Truncated-prefix search is the matryoshka deployment pattern — 4×
+    cheaper vectors for candidate generation, full-dim only to re-rank —
+    and this query measures exactly what that costs: per-query overlap
+    between the full-dim and truncated exact top-k, as exact ppm recall.
+
+    Plan: BOTH searches share the broadcast query side and the one corpus
+    scan pattern of ``similarity_topk`` (bounded probe set — the documented
+    exact baseline); the overlap is a per-query equi-join of two k-row
+    sets. At 100 TB the truncated search is the one that runs at corpus
+    scale (that's the point), so its cost ceiling is the production
+    number; the full-dim run scores only the evaluation sample."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+
+    def _topk(ndims: int | None) -> DataFrame:
+        take = (lambda col: F.slice(col, 1, ndims)) if ndims else (lambda c: c)
+        q = emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            take(_to_double(F.col("embedding"))).alias("qe"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            take(_to_double(F.col("embedding"))).alias("ce"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            F.broadcast(q)
+            .join(c, F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                _cosine(F.col("qe"), F.col("ce")).alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_k = _topk(None)
+    short_k = _topk(MRL_DIMS).select(
+        F.col("query_id").alias("qs"), F.col("neighbor_id").alias("ns")
+    )
+    return (
+        full_k.join(
+            short_k,
+            (F.col("qs") == F.col("query_id"))
+            & (F.col("ns") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("ns").alias("hits"),
+            F.expr(f"COUNT(ns) * 1000000 DIV {TOP_K}")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

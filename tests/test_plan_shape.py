@@ -914,3 +914,48 @@ def test_prf_reuses_the_posting_table_and_takes_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "InMemoryTableScan" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_nearest_is_one_window_pass_no_range_join(spark):
+    """Nearest as-of: union both event kinds, ONE user-keyed window pass
+    carrying both directions, map-side nearest pick — never the
+    |purchases|×|clicks| range join."""
+    plan = _plan(spark, "join_asof_nearest", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    live = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(live) == 1
+
+
+def test_graph_jaccard_joins_on_shared_neighbor(spark):
+    """Neighbor Jaccard: the intersection is an equi-join of the distinct
+    adjacency on the shared part (canonically oriented); degrees broadcast;
+    the page is TakeOrdered. No supplier×supplier product."""
+    plan = _plan(spark, "graph_jaccard_sim", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_threshold_sweep_generates_pairs_once(spark):
+    """Calibration sweep: pairs come from the banded equi-joins ONCE; the
+    5-row threshold list arrives via broadcast nested loop (bounded side),
+    and the sweep is one rollup — not one dedup run per threshold."""
+    plan = _plan(spark, "dedup_threshold_sweep", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_matryoshka_both_searches_broadcast_queries(spark):
+    """MRL eval: both searches broadcast the bounded query side (the
+    documented exact-baseline shape); the overlap join is k-row per query."""
+    plan = _plan(spark, "embedding_matryoshka_eval", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # one per search
