@@ -959,3 +959,30 @@ def test_matryoshka_both_searches_broadcast_queries(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2  # one per search
+
+
+def test_eval_auc_is_histogram_decomposed(spark):
+    """Rank-AUC: the corpus is reduced to the per-mille score histogram by
+    ONE hash exchange; ranking (cnt_less window) and the Mann-Whitney fold
+    run after SinglePartition exchanges over that bounded table — the
+    corpus itself is never globally sorted, and nothing joins."""
+    import re as _re
+    plan = _plan(spark, "eval_auc_rank", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    hashed = _re.findall(r"Exchange hashpartitioning\(score_pt#\d+L?, \d+\)", plan)
+    assert len(hashed) == 1, hashed
+
+
+def test_eval_pr_sweep_crosses_histogram_not_corpus(spark):
+    """PR sweep: the 9-threshold expansion (Generate/explode) sits ABOVE
+    the histogram aggregate — the corpus is shuffled once on score_pt and
+    only the bounded histogram is multiplied by the threshold list."""
+    plan = _plan(spark, "eval_pr_thresholds", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    gen = plan.index("Generate explode")
+    hist = plan.index("Exchange hashpartitioning(score_pt")
+    # executedPlan prints top-down: the explode must be downstream (printed
+    # earlier) than the histogram exchange it consumes.
+    assert gen < hist
