@@ -41,6 +41,7 @@ from . import opsaudit  # noqa: F401,E402
 from . import engagement  # noqa: F401,E402
 from . import experiments  # noqa: F401,E402
 from . import evaluation  # noqa: F401,E402
+from . import geo  # noqa: F401,E402
 
 # The driver-checked window: exactly these 50, in this order, all with
 # oracles. Round-3 rotation (VERDICT r2 item 1): rounds 1-2 drove the

@@ -986,3 +986,25 @@ def test_eval_pr_sweep_crosses_histogram_not_corpus(spark):
     # executedPlan prints top-down: the explode must be downstream (printed
     # earlier) than the histogram exchange it consumes.
     assert gen < hist
+
+
+def test_geo_hub_assign_is_joinless_mapside_argmin(spark):
+    """Nearest-hub: the 8 centers are a literal array constant, argmin is
+    transform+array_min per row — no join anywhere, and the only exchanges
+    belong to the 8-row census aggregate (count-distinct two-phase)."""
+    plan = _plan(spark, "geo_hub_assign", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert "array_min" in plan
+
+
+def test_geo_hotspots_convolve_census_not_points(spark):
+    """Grid hotspots: the 9-offset scatter (Generate) sits above the cell
+    census aggregate — points shuffle once to cells; only the bounded
+    census is multiplied by the neighborhood offsets. No self-join."""
+    plan = _plan(spark, "geo_grid_hotspots", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    gen = plan.index("Generate explode")
+    hist = plan.index("Exchange hashpartitioning(cy")
+    assert gen < hist
