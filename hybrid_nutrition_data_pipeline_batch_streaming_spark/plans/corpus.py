@@ -474,3 +474,88 @@ def pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", reason.alias("reason"), "quality", "pred_lang")
     )
+
+
+@query(
+    "allocate_largest_remainder",
+    oracle="""
+    WITH g AS (
+        SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY lang, source
+    ), t AS (
+        SELECT lang, source, chars,
+               SUM(chars) OVER ()                          AS total,
+               1000000 * chars // SUM(chars) OVER ()       AS base,
+               (1000000 * chars) % SUM(chars) OVER ()      AS rem
+        FROM g
+    ), r AS (
+        SELECT lang, source, chars, base, rem,
+               1000000 - SUM(base) OVER () AS deficit,
+               row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+        FROM t
+    )
+    SELECT lang, source, chars,
+           CAST(base AS BIGINT) AS base_alloc,
+           CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+               AS final_alloc
+    FROM r
+    """,
+)
+def allocate_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional budget allocation (Hamilton / largest-remainder
+    method): split a 1M-token sampling budget across (lang, source)
+    strata proportional to their character mass, with Σ final_alloc equal
+    to the budget EXACTLY — floor each proportional share, then hand the
+    leftover units to the largest remainders (total order (rem desc,
+    lang, source), so ties never diverge). This is the published-dataset
+    contract corpus_quota_split enforces per-row, computed at the
+    planning layer. One corpus shuffle reduces to the bounded stratum
+    table (|langs|×|sources| rows); every window after runs on that
+    bounded domain — the kth_order_statistics argument. The B·chars
+    products hold in BIGINT while B·total_chars < 2^63 (B=1e6 budget vs
+    ~1e11-char fixture-class corpora); past that the two products move to
+    DECIMAL(38,0)."""
+    cat = Catalog(spark, sf_dir)
+    budget = F.lit(1_000_000).cast("long")
+    g = (
+        cat.documents.groupBy("lang", "source")
+        .agg(F.sum("n_chars").cast("long").alias("chars"))
+    )
+    every = Window.partitionBy()
+    t = g.select(
+        "lang",
+        "source",
+        "chars",
+        (budget * F.col("chars"))
+        .cast("long")
+        .alias("scaled"),
+        F.sum("chars").over(every).alias("total"),
+    ).select(
+        "lang",
+        "source",
+        "chars",
+        F.expr("scaled div total").alias("base"),
+        F.expr("scaled % total").alias("rem"),
+    )
+    r = t.select(
+        "lang",
+        "source",
+        "chars",
+        "base",
+        (budget - F.sum("base").over(every)).alias("deficit"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "lang", "source"))
+        .alias("rk"),
+    )
+    return r.select(
+        "lang",
+        "source",
+        "chars",
+        F.col("base").cast("long").alias("base_alloc"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("final_alloc"),
+    )

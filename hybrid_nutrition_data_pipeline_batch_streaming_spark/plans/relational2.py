@@ -1305,3 +1305,55 @@ def grouped_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("long").alias("median_cents"),
         )
     )
+
+
+@query(
+    "topk_diversified",
+    oracle="""
+    WITH capped AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                   AS per_cust_rank
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(per_cust_rank AS BIGINT) AS per_cust_rank
+    FROM capped
+    WHERE per_cust_rank <= 2
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def topk_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified global top-k: the 20 biggest orders with AT MOST TWO
+    per customer — the "don't let one whale fill the leaderboard" ranking
+    every dashboard top-N eventually needs. Two-stage: a per-customer
+    row_number caps each key (WindowGroupLimit prunes to ≤ 2 rows per
+    customer MAP-SIDE before the shuffle), then a global
+    TakeOrderedAndProject picks 20 from the capped survivors — the full
+    table is never globally sorted. Total order (o_totalprice desc,
+    o_orderkey) at both stages makes ties deterministic."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    capped = (
+        cat.orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("per_cust_rank"),
+        )
+        .filter(F.col("per_cust_rank") <= 2)
+    )
+    return (
+        capped.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("per_cust_rank").cast("long").alias("per_cust_rank"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )

@@ -1008,3 +1008,25 @@ def test_geo_hotspots_convolve_census_not_points(spark):
     gen = plan.index("Generate explode")
     hist = plan.index("Exchange hashpartitioning(cy")
     assert gen < hist
+
+
+def test_allocation_windows_run_on_stratum_table(spark):
+    """Largest-remainder allocation: the corpus reduces to the stratum
+    table via ONE hash exchange; the total/deficit/rank windows all run
+    after SinglePartition exchanges of that bounded table. No join."""
+    import re as _re
+    plan = _plan(spark, "allocate_largest_remainder", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    hashed = _re.findall(r"Exchange hashpartitioning\(lang#\d+[^)]*\)", plan)
+    assert len(hashed) == 1, hashed
+
+
+def test_topk_diversified_prunes_then_takes_ordered(spark):
+    """Diversified top-k: the per-customer cap is a WindowGroupLimit
+    (map-side prune before the customer shuffle) and the final page is
+    TakeOrderedAndProject — no global sort of the fact table."""
+    plan = _plan(spark, "topk_diversified", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
