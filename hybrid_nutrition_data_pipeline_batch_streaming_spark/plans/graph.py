@@ -685,3 +685,88 @@ def graph_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), F.asc("sa"), F.asc("sb"))
         .limit(20)
     )
+
+
+@query(
+    "graph_shortest_path",
+    oracle="""
+    WITH e AS (
+        SELECT l_suppkey AS s, l_partkey AS p,
+               MIN(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), d1 AS (
+        SELECT p, MIN(w) AS c FROM e WHERE s = 1 GROUP BY p
+    ), d2 AS (
+        SELECT e.s, MIN(d1.c + e.w) AS c
+        FROM d1 JOIN e ON e.p = d1.p GROUP BY e.s
+    ), d3 AS (
+        SELECT e.p, MIN(d2.c + e.w) AS c
+        FROM d2 JOIN e ON e.s = d2.s GROUP BY e.p
+    ), walks AS (
+        SELECT p, c, 1 AS hops FROM d1
+        UNION ALL
+        SELECT p, c, 3 AS hops FROM d3
+    )
+    SELECT CAST(p AS BIGINT) AS l_partkey,
+           CAST(MIN(c * 10 + hops) // 10 AS BIGINT) AS best_cost_cents,
+           CAST(MIN(c * 10 + hops) % 10 AS BIGINT)  AS best_hops
+    FROM walks GROUP BY p
+    """,
+)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest walk, bounded at 3 edges: cheapest
+    way to reach each part from supplier #1 over the supplier–part graph
+    with min-lineitem-price edge weights (exact cents via DECIMAL). This
+    is min-plus (tropical) relaxation — ``dist ⊗ edges`` twice more after
+    the seed hop, each relaxation ONE equi-join + ONE grouped MIN, all
+    unrolled into a single lazy plan (constant hop bound, like
+    ``graph_bfs_khop``; walks may revisit nodes — standard min-plus
+    semantics, so no visited-set anti-join is needed for correctness).
+    The (cost, hops) argmin packs into one BIGINT ``cost·10 + hops`` so
+    both engines take the same total-order MIN (prefer fewer hops on
+    cost ties). The edge distillation is the only fact-table shuffle;
+    distance vectors stay node-scale (≤ |suppliers| or |parts| rows) and
+    broadcast onto the edge list at every relaxation."""
+    li = Catalog(spark, sf_dir).lineitem
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "long"
+    )
+    e = (
+        li.select(
+            F.col("l_suppkey").alias("s"),
+            F.col("l_partkey").alias("p"),
+            cents.alias("w"),
+        )
+        .groupBy("s", "p")
+        .agg(F.min("w").alias("w"))
+    )
+    e = checkpoint_truncate(e)
+    d1 = (
+        e.filter(F.col("s") == 1)
+        .groupBy("p")
+        .agg(F.min("w").alias("c"))
+    )
+    d2 = (
+        F.broadcast(d1)
+        .join(e, "p")
+        .groupBy("s")
+        .agg(F.min(F.col("c") + F.col("w")).alias("c"))
+    )
+    d3 = (
+        F.broadcast(d2)
+        .join(e, "s")
+        .groupBy("p")
+        .agg(F.min(F.col("c") + F.col("w")).alias("c"))
+    )
+    walks = d1.select("p", "c", F.lit(1).alias("hops")).unionByName(
+        d3.select("p", "c", F.lit(3).alias("hops"))
+    )
+    packed = walks.groupBy("p").agg(
+        F.min(F.col("c") * 10 + F.col("hops")).alias("k")
+    )
+    return packed.select(
+        F.col("p").cast("long").alias("l_partkey"),
+        F.expr("CAST(k div 10 AS BIGINT)").alias("best_cost_cents"),
+        F.expr("CAST(k % 10 AS BIGINT)").alias("best_hops"),
+    )

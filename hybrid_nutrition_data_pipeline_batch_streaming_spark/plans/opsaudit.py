@@ -538,3 +538,125 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("changed_delta_cents"),
     )
+
+
+@query(
+    "fifo_match_lots",
+    oracle="""
+    WITH s AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+               SUM(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS cs
+        FROM lineitem WHERE l_linestatus = 'F'
+    ), d AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+               SUM(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS cd
+        FROM lineitem WHERE l_linestatus = 'O'
+    ), pairs AS (
+        SELECT s.l_partkey,
+               least(s.cs, d.cd) - greatest(s.cs - s.qty, d.cd - d.qty)
+                   AS matched
+        FROM s JOIN d ON s.l_partkey = d.l_partkey
+        WHERE least(s.cs, d.cd) - greatest(s.cs - s.qty, d.cd - d.qty) > 0
+    ), m AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(matched) AS BIGINT) AS matched_qty
+        FROM pairs GROUP BY l_partkey
+    ), ts AS (
+        SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS total_supply
+        FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_partkey
+    ), td AS (
+        SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS total_demand
+        FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_partkey
+    )
+    SELECT m.l_partkey, m.n_pairs, m.matched_qty,
+           ts.total_supply, td.total_demand,
+           ts.total_supply - m.matched_qty AS leftover_supply,
+           td.total_demand - m.matched_qty AS unfilled_demand
+    FROM m JOIN ts USING (l_partkey) JOIN td USING (l_partkey)
+    """,
+)
+def fifo_match_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching (inventory costing / order-book fill semantics):
+    per part, 'F' lineitems are received lots and 'O' lineitems are
+    demands, both in (shipdate, orderkey, linenumber) arrival order; FIFO
+    says demand j consumes lot i exactly where their cumulative-quantity
+    intervals overlap, so the classic sequential mutable-queue algorithm
+    becomes ``overlap([cs−q, cs), [cd−q, cd))`` — two running-sum windows
+    plus ONE part-keyed equi-join with a residual overlap predicate.
+    Nothing is sequential: every pair's matched quantity is a closed form
+    of the two prefix sums (integral TPC-H quantities → exact BIGINT).
+    All three shuffles key on l_partkey (windows, join, census), so at
+    100 TB the whole query is one co-partitioned pipeline; per-part pair
+    fan-out is bounded by lots-per-part, never the table."""
+    li = Catalog(spark, sf_dir).lineitem
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def cum(status: str, run: str):
+        return (
+            li.filter(F.col("l_linestatus") == status)
+            .select(
+                "l_partkey",
+                F.col("l_quantity").cast("long").alias("qty"),
+                *order,
+            )
+            .select(
+                "l_partkey",
+                "qty",
+                F.sum("qty").over(w).alias(run),
+            )
+        )
+
+    s = cum("F", "cs").withColumnsRenamed({"qty": "sq"})
+    d = cum("O", "cd").withColumnsRenamed({"qty": "dq"})
+    overlap = F.least(F.col("cs"), F.col("cd")) - F.greatest(
+        F.col("cs") - F.col("sq"), F.col("cd") - F.col("dq")
+    )
+    pairs = (
+        s.join(d, "l_partkey")
+        .withColumn("matched", overlap)
+        .filter(F.col("matched") > 0)
+    )
+    m = pairs.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("matched").cast("long").alias("matched_qty"),
+    )
+    ts = (
+        li.filter(F.col("l_linestatus") == "F")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_supply"))
+    )
+    td = (
+        li.filter(F.col("l_linestatus") == "O")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_demand"))
+    )
+    return (
+        m.join(ts, "l_partkey")
+        .join(td, "l_partkey")
+        .select(
+            "l_partkey",
+            "n_pairs",
+            "matched_qty",
+            F.col("total_supply").cast("long").alias("total_supply"),
+            F.col("total_demand").cast("long").alias("total_demand"),
+            (F.col("total_supply") - F.col("matched_qty"))
+            .cast("long")
+            .alias("leftover_supply"),
+            (F.col("total_demand") - F.col("matched_qty"))
+            .cast("long")
+            .alias("unfilled_demand"),
+        )
+    )

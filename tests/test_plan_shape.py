@@ -1030,3 +1030,27 @@ def test_topk_diversified_prunes_then_takes_ordered(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fifo_match_all_shuffles_key_on_partkey(spark):
+    """FIFO lot matching: running-sum windows, the overlap join, and the
+    census must all partition on l_partkey — one co-partitioned pipeline,
+    no global sort, no nested-loop pairing."""
+    import re as _re
+    plan = _plan(spark, "fifo_match_lots", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for keys in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "l_partkey" in keys, keys
+
+
+def test_shortest_path_broadcasts_distance_vectors(spark):
+    """Min-plus relaxation: both relax rounds join the node-scale distance
+    vector to the edge list via BROADCAST — the edge list never reshuffles
+    for a relaxation."""
+    plan = _plan(spark, "graph_shortest_path", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
