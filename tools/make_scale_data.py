@@ -153,9 +153,41 @@ def gen_graph_tables(spark, m, out):
                 " WHEN pmod(xxhash64(id, 17), 4) = 1 THEN 'A'"
                 " ELSE 'N' END"
             ).alias("l_returnflag"),
+            # ~50/50 received-vs-open split like the fixture — feeds the
+            # FIFO lot-matching supply/demand model.
+            F.expr(
+                "CASE WHEN pmod(xxhash64(id, 23), 2) = 0 THEN 'F'"
+                " ELSE 'O' END"
+            ).alias("l_linestatus"),
         )
         .write.mode("overwrite")
         .parquet(os.path.join(out, "lineitem.parquet"))
+    )
+
+
+def gen_customer(spark, m, out):
+    """15 000·M customers (the geo family's point table): 25 nations,
+    fixture-shaped acctbal/mktsegment."""
+    n = 15_000 * m
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("c_custkey"),
+            F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+            _pm(_h(F.col("id"), F.lit(24)), 25).cast("int").alias(
+                "c_nationkey"
+            ),
+            ((_pm(_h(F.col("id"), F.lit(25)), 1100000) - 100000) / 100.0).alias(
+                "c_acctbal"
+            ),
+            F.expr(
+                "CASE pmod(xxhash64(id, 26), 5) WHEN 0 THEN 'AUTOMOBILE'"
+                " WHEN 1 THEN 'BUILDING' WHEN 2 THEN 'FURNITURE'"
+                " WHEN 3 THEN 'HOUSEHOLD' ELSE 'MACHINERY' END"
+            ).alias("c_mktsegment"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "customer.parquet"))
     )
 
 
@@ -236,6 +268,7 @@ def main():
     gen_embeddings(spark, m, out)
     gen_graph_tables(spark, m, out)
     gen_part(spark, m, out)
+    gen_customer(spark, m, out)
     gen_events(spark, m, out)
     print(f"wrote M={m} tables to {out}")
     spark.stop()

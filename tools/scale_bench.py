@@ -54,6 +54,15 @@ HEAVY = [
     "ab_srm_check",
     "rfm_segments",
     "attribution_linear",
+    # session-7 additions: prefix-sum FIFO matching and min-plus shortest
+    # path (lineitem-bound), rank-AUC histogram decomposition and
+    # largest-remainder allocation (documents-bound), map-side hub argmin
+    # (customer-bound)
+    "fifo_match_lots",
+    "graph_shortest_path",
+    "eval_auc_rank",
+    "allocate_largest_remainder",
+    "geo_hub_assign",
 ]
 
 
