@@ -101,6 +101,11 @@ HEADLINE = [
     "graph_bfs_khop",
     "join_delta_maintain",
     "twap_irregular",
+    # session-7 additions: prefix-sum FIFO lot matching, min-plus weighted
+    # shortest path, and the rank-AUC histogram decomposition
+    "fifo_match_lots",
+    "graph_shortest_path",
+    "eval_auc_rank",
 ]
 
 
