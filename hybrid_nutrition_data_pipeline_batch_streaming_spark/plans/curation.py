@@ -1267,3 +1267,97 @@ def ldiv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_at_risk"),
         F.min("diversity").cast("long").alias("min_diversity"),
     )
+
+
+@query(
+    "kanon_generalize",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang, source,
+               CAST(least(n_chars // 200, 9) AS BIGINT) AS band200,
+               CAST(least(n_chars // 500, 9) AS BIGINT) AS band500
+        FROM documents
+    ), cells AS (
+        SELECT CASE WHEN GROUPING(band200) = 0 THEN 0
+                    WHEN GROUPING(band500) = 0 THEN 1
+                    WHEN GROUPING(source)  = 0 THEN 2
+                    WHEN GROUPING(lang)    = 0 THEN 3
+                    ELSE 4 END            AS level,
+               CAST(COUNT(*) AS BIGINT)   AS cell_n
+        FROM s
+        GROUP BY GROUPING SETS ((lang, source, band200),
+                                (lang, source, band500),
+                                (lang, source), (lang), ())
+    )
+    SELECT CAST(level AS BIGINT)                        AS level,
+           CAST(COUNT(*) AS BIGINT)                     AS n_cells,
+           CAST(MIN(cell_n) AS BIGINT)                  AS min_cell,
+           CAST(SUM(CASE WHEN cell_n < {KANON_K} THEN 1 ELSE 0 END)
+                AS BIGINT)                              AS unsafe_cells,
+           CAST(SUM(CASE WHEN cell_n < {KANON_K} THEN cell_n ELSE 0 END)
+                AS BIGINT)                              AS rows_at_risk,
+           CAST(CASE WHEN MIN(cell_n) >= {KANON_K} THEN 1 ELSE 0 END
+                AS BIGINT)                              AS is_safe
+    FROM cells GROUP BY level
+    """,
+)
+def kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization-ladder search: evaluate FIVE coarsening
+    levels of the quasi-identifier (full (lang, source, 200-char band) →
+    wider 500-char bands → drop length → lang only → fully general) in a
+    SINGLE pass via GROUPING SETS, and report each level's equivalence-
+    class census — the release engineer picks the first level with
+    ``is_safe = 1`` (min class ≥ k), i.e. the minimal information loss
+    meeting the contract that ``kanon_audit`` only checks for one level.
+    One expand (×5) + one shuffle builds every ladder rung's cells;
+    the per-level census is a second, cell-scale aggregate."""
+    cat = Catalog(spark, sf_dir)
+    s = cat.documents.select(
+        "lang",
+        "source",
+        F.expr("CAST(least(n_chars div 200, 9) AS BIGINT)").alias("band200"),
+        F.expr("CAST(least(n_chars div 500, 9) AS BIGINT)").alias("band500"),
+    )
+    cells = s.groupingSets(
+        [
+            ["lang", "source", "band200"],
+            ["lang", "source", "band500"],
+            ["lang", "source"],
+            ["lang"],
+            [],
+        ],
+        "lang",
+        "source",
+        "band200",
+        "band500",
+    ).agg(
+        F.expr(
+            "CASE WHEN grouping(band200) = 0 THEN 0"
+            "     WHEN grouping(band500) = 0 THEN 1"
+            "     WHEN grouping(source)  = 0 THEN 2"
+            "     WHEN grouping(lang)    = 0 THEN 3"
+            "     ELSE 4 END"
+        ).alias("level"),
+        F.count("*").alias("cell_n"),
+    )
+    return cells.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.min("cell_n").cast("long").alias("min_cell"),
+        F.sum(F.when(F.col("cell_n") < KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("unsafe_cells"),
+        F.sum(F.when(F.col("cell_n") < KANON_K, F.col("cell_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.when(F.min("cell_n") >= KANON_K, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_safe"),
+    ).select(
+        F.col("level").cast("long").alias("level"),
+        "n_cells",
+        "min_cell",
+        "unsafe_cells",
+        "rows_at_risk",
+        "is_safe",
+    )

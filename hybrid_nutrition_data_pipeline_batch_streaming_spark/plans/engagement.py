@@ -891,3 +891,71 @@ def running_sum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("epoch_cents").cast("long").alias("total_cents"),
         F.max("epoch_cents").cast("long").alias("max_epoch_cents"),
     )
+
+
+@query(
+    "gini_by_segment",
+    oracle="""
+    WITH x AS (
+        SELECT c_mktsegment,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice, o_orderkey) AS i
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)    AS n_orders,
+           CAST(SUM(cents) AS BIGINT)  AS total_cents,
+           CAST(1000000 * (2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents))
+                // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_ppm
+    FROM x GROUP BY c_mktsegment
+    """,
+)
+def gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini coefficient) per market segment — the
+    inequality summary behind ``abc_classification``'s class cut: 0 means
+    every order is equal, →1 means a few whales carry the segment. Exact
+    rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over cents-exact
+    prices under a total (price, orderkey) order — evaluated by two-step
+    long division so no intermediate crosses 2^63, no float folds. The ranking window partitions by segment (never a
+    global sort); the join is an equi-join on custkey feeding the same
+    segment-keyed pipeline. Σi·x stays under 2^63 to ~1e8 orders/segment;
+    past that the two sums move to DECIMAL(38,0)."""
+    cat = Catalog(spark, sf_dir)
+    x = (
+        cat.orders.join(
+            cat.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.row_number()
+            .over(
+                Window.partitionBy("c_mktsegment").orderBy(
+                    "o_totalprice", "o_orderkey"
+                )
+            )
+            .alias("i"),
+        )
+    )
+    return x.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        # 1e6·numerator would pass 2^63 (DuckDB silently promotes to
+        # HUGEINT; Spark would wrap) — schoolbook two-step long division
+        # keeps every intermediate under 2^63 and is exactly
+        # floor(1e6·N / D) for the non-negative N here.
+        F.expr(
+            """
+            CAST(((2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)) * 1000
+                  div (COUNT(*) * SUM(cents))) * 1000
+                 + (((2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)) * 1000
+                     % (COUNT(*) * SUM(cents))) * 1000)
+                   div (COUNT(*) * SUM(cents)) AS BIGINT)
+            """
+        ).alias("gini_ppm"),
+    )

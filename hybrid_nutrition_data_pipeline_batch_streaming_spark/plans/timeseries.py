@@ -1924,3 +1924,84 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+
+@query(
+    "sessionize_gap_sweep",
+    oracle="""
+    WITH g AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap_us
+        FROM events
+    ), c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 900000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s15,
+               CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s30,
+               CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s60
+        FROM g
+    ), rows_out AS (
+        SELECT 15 AS gap_minutes, s15 AS n_sessions, n_events FROM c
+        UNION ALL SELECT 30, s30, n_events FROM c
+        UNION ALL SELECT 60, s60, n_events FROM c
+    )
+    SELECT CAST(gap_minutes AS BIGINT) AS gap_minutes,
+           n_sessions,
+           CAST(1000000 * n_events // n_sessions AS BIGINT)
+               AS events_per_session_ppm
+    FROM rows_out
+    """,
+)
+def sessionize_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization sensitivity sweep: how many sessions (and events per
+    session, ppm) would a 15 / 30 / 60-minute inactivity threshold
+    produce? The tuning table behind ``sessionize_batch``'s fixed 30-min
+    gap. Session count per threshold is the classic identity
+    ``#sessions(t) = #session-starts(t)`` = rows whose lag-gap is NULL
+    (per-user first event) or > t — so ALL thresholds come from ONE
+    user-partitioned lag pass and one conditional aggregate; the sweep
+    never re-sessionizes."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = cat.events.select((ts_us - F.lag(ts_us).over(w)).alias("gap_us"))
+    start = lambda t_us: F.sum(  # noqa: E731
+        F.when(F.col("gap_us").isNull() | (F.col("gap_us") > t_us), 1)
+        .otherwise(0)
+    ).cast("long")
+    c = g.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        start(900_000_000).alias("s15"),
+        start(1_800_000_000).alias("s30"),
+        start(3_600_000_000).alias("s60"),
+    )
+    swept = c.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(15).cast("long").alias("gap_minutes"),
+                    F.col("s15").alias("n_sessions"),
+                ),
+                F.struct(
+                    F.lit(30).cast("long").alias("gap_minutes"),
+                    F.col("s30").alias("n_sessions"),
+                ),
+                F.struct(
+                    F.lit(60).cast("long").alias("gap_minutes"),
+                    F.col("s60").alias("n_sessions"),
+                ),
+            )
+        ).alias("r"),
+        "n_rows",
+    )
+    return swept.select(
+        F.col("r.gap_minutes").alias("gap_minutes"),
+        F.col("r.n_sessions").alias("n_sessions"),
+        F.expr("CAST(1000000 * n_rows div r.n_sessions AS BIGINT)").alias(
+            "events_per_session_ppm"
+        ),
+    )

@@ -1054,3 +1054,34 @@ def test_shortest_path_broadcasts_distance_vectors(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kanon_generalize_is_one_expand_two_aggregates(spark):
+    """Generalization ladder: all five rungs' cells come from ONE Expand
+    (grouping sets) over one scan — never five scans — and no join."""
+    plan = _plan(spark, "kanon_generalize", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert plan.count("Expand") == 1
+
+
+def test_gap_sweep_is_single_lag_pass(spark):
+    """Gap sweep: one user-partitioned window (the lag pass) and one
+    global conditional aggregate answer all three thresholds — the sweep
+    never re-sessionizes or joins."""
+    plan = _plan(spark, "sessionize_gap_sweep", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_gini_window_partitions_by_segment(spark):
+    """Gini: the rank window partitions by segment (no global sort) and
+    the customer join is an equi-join."""
+    plan = _plan(spark, "gini_by_segment", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "partitionBy" not in plan  # sanity: string never appears raw
+    import re as _re
+    specs = _re.findall(r"Window \[.*windowspecdefinition\(([^,]*),", plan)
+    assert specs and all("c_mktsegment" in s for s in specs), specs
