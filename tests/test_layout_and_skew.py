@@ -686,3 +686,39 @@ def test_text_index_probe_matches_query_time_bm25(spark, tmp_path):
     ]
     pruned = [c for c in pf_clauses if "tok_pfx" in c and "IN" in c]
     assert len(pruned) >= 2, f"prefix pruning missing: {pf_clauses}"
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The co-located fact-fact join (S5's MergeTree-ORDER-BY analog taken
+    one step further): two tables bucketed AND sorted on the same join key
+    with the same bucket count must sort-merge join with NO Exchange on
+    either side — the repeated-join shuffle is paid once at write time.
+    This is the 100 TB lever for fact-fact joins that recur across jobs
+    (bucket pruning and shuffle-free aggregation ride the same layout)."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    # (spark.sql.warehouse.dir is a static conf — the managed tables land
+    # in the default ./spark-warehouse, gitignored, and are dropped below.)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        od = spark.read.parquet(f"{SF}/orders.parquet").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+        )
+        write_bucketed_table(li, "li_b", "l_orderkey", 8, sort_col="l_orderkey")
+        write_bucketed_table(od, "od_b", "l_orderkey", 8, sort_col="l_orderkey")
+
+        joined = spark.table("li_b").join(spark.table("od_b"), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # Result equivalence vs the plain (shuffled) join.
+        assert joined.count() == li.join(od, "l_orderkey").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
