@@ -1780,3 +1780,98 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+_OUT_DIMS = 64
+#: Per-label integer-micro centroid components: Σ floor(x·1e6) div n.
+#: (floor-then-sum like _CSIM_SUM, but kept in BIGINT micro-units so the
+#: downstream distance is pure integer arithmetic — no float folds at all.)
+_OUT_SUMS = ", ".join(
+    f"CAST(SUM(eq[{d + 1}]) AS BIGINT) AS s{d}" for d in range(_OUT_DIMS)
+)
+_OUT_CV = "list_value(" + ", ".join(
+    f"s{d} // n_members" for d in range(_OUT_DIMS)
+) + ")"
+
+
+@query(
+    "embedding_outliers",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000000) AS BIGINT)) AS eq
+        FROM embeddings
+    ), cent AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members, {_OUT_SUMS}
+        FROM base GROUP BY label
+    ), cv AS (
+        SELECT label, n_members, {_OUT_CV} AS c FROM cent
+    ), scored AS (
+        SELECT b.vec_id, b.label,
+               list_reduce(list_transform(generate_series(1, {_OUT_DIMS}),
+                    i -> (b.eq[i] - c.c[i]) * (b.eq[i] - c.c[i])),
+                    (a, x) -> a + x) AS dist2
+        FROM base b JOIN cv c ON b.label = c.label
+    ), ranked AS (
+        SELECT vec_id, label, dist2,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY dist2 DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT CAST(label AS BIGINT) AS label, vec_id,
+           CAST(dist2 AS BIGINT) AS dist2, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster outlier mining: the 3 members of each label cluster
+    farthest (squared L2) from their own centroid — the vectors a curation
+    team inspects first for mislabeled or junk embeddings (the SemDeDup
+    paper's "far from centroid = keep/inspect" signal, made exact). All
+    arithmetic is integer micro-units: components floor-quantize to 1e-6,
+    the centroid is the truncating per-dimension mean, and distances are
+    BIGINT sums (≤ 64·(2e6)² ≈ 2.6e14 — five orders under 2^63). Shape:
+    one groupBy builds the |labels|-row centroid table (64 scalar sums →
+    one array), which BROADCASTS onto the corpus for a map-side zip_with
+    distance; the only corpus-scale shuffle is the per-label top-3 window
+    (WindowGroupLimit prunes map-side)."""
+    cat = Catalog(spark, sf_dir)
+    base = cat.embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("eq"),
+    )
+    sums = [
+        F.expr(f"SUM(eq[{d}])").alias(f"s{d}") for d in range(_OUT_DIMS)
+    ]
+    cent = base.groupBy("label").agg(F.count("*").alias("n_members"), *sums)
+    cv = cent.select(
+        "label",
+        F.expr(
+            "array({})".format(
+                ", ".join(f"s{d} div n_members" for d in range(_OUT_DIMS))
+            )
+        ).alias("c"),
+    )
+    scored = base.join(F.broadcast(cv), "label").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(zip_with(eq, c, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), "vec_id")
+    return (
+        scored.select(
+            "label",
+            "vec_id",
+            "dist2",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )

@@ -2005,3 +2005,95 @@ def sessionize_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_per_session_ppm"
         ),
     )
+
+
+@query(
+    "rolling_ols_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, day, cents,
+               COUNT(*) OVER w7                 AS n,
+               SUM(day) OVER w7                 AS sx,
+               SUM(cents) OVER w7               AS sy,
+               SUM(day * cents) OVER w7         AS sxy,
+               SUM(day * day) OVER w7           AS sxx
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day, cents,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0
+                     ELSE (1000 * (n * sxy - sx * sy)
+                           // (n * sxx - sx * sx)) * 1000
+                          + (((1000 * (n * sxy - sx * sy))
+                              % (n * sxx - sx * sx)) * 1000)
+                            // (n * sxx - sx * sx)
+                END AS BIGINT) AS slope_ppm
+    FROM m
+    """,
+)
+def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series rolling trend: the closed-form OLS slope of daily revenue
+    over a trailing 7-day RANGE frame — ``trend_ols``'s five-moment trick
+    made a WINDOW operator, the shape behind "is this metric trending up
+    RIGHT NOW" panels. The daily rollup reduces events to (type × day)
+    scale first; all four moment sums come from ONE partitioned RANGE
+    frame; the slope (cents/day, ppm) is exact integer arithmetic — the
+    1e6 scaling runs as two-step long division (÷1000 twice) because
+    1e6·numerator can pass 2^63 while every two-step intermediate stays
+    bounded by 1000·|denominator| (signed: both engines truncate toward
+    zero, and the two-step form equals the one-step quotient for either
+    sign). Degenerate frames (n<2) report slope 0."""
+    cat = Catalog(spark, sf_dir)
+    daily = (
+        cat.events.groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    m = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count("*").over(w7).alias("n"),
+        F.sum("day").over(w7).alias("sx"),
+        F.sum("cents").over(w7).alias("sy"),
+        F.sum(F.col("day") * F.col("cents")).over(w7).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).over(w7).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "cents",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            """
+            CAST(CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0
+                      ELSE (1000 * (n * sxy - sx * sy)
+                            div (n * sxx - sx * sx)) * 1000
+                           + (((1000 * (n * sxy - sx * sy))
+                               % (n * sxx - sx * sx)) * 1000)
+                             div (n * sxx - sx * sx)
+                 END AS BIGINT)
+            """
+        ).alias("slope_ppm"),
+    )

@@ -1085,3 +1085,23 @@ def test_gini_window_partitions_by_segment(spark):
     import re as _re
     specs = _re.findall(r"Window \[.*windowspecdefinition\(([^,]*),", plan)
     assert specs and all("c_mktsegment" in s for s in specs), specs
+
+
+def test_rolling_ols_single_window_pass(spark):
+    """Rolling OLS slope: all four moment sums come from ONE partitioned
+    RANGE-frame Window over the daily rollup — no join, no second sort."""
+    plan = _plan(spark, "rolling_ols_slope", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_embedding_outliers_broadcast_centroids_prune_topk(spark):
+    """Outlier mining: the label-scale centroid table broadcasts onto the
+    corpus (map-side distances) and the per-label top-3 is a
+    WindowGroupLimit — the corpus never sort-merge joins or fully sorts."""
+    plan = _plan(spark, "embedding_outliers", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
