@@ -1357,3 +1357,120 @@ def topk_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS order_cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT * FROM g WHERE order_cnt >= 5
+    ORDER BY order_cnt DESC, o_orderstatus, o_orderpriority
+    LIMIT 10
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL `|>` operators): the S9
+    dashboard aggregate written as a linear pipeline — scan |> filter |>
+    aggregate |> having |> order — the syntax BI tools are adopting for
+    generated SQL. Catalyst parses it into exactly the plan the classic
+    form gets (the DuckDB oracle runs the classic form; the value hash
+    proves plan equivalence), so every pushdown/partial-agg property
+    carries over unchanged."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE COUNT(*) AS order_cnt,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                         AS total_price
+           GROUP BY o_orderstatus, o_orderpriority
+        |> WHERE order_cnt >= 5
+        |> ORDER BY order_cnt DESC, o_orderstatus, o_orderpriority
+        |> LIMIT 10
+        """
+    )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE / SET VAR): the
+    parameterized-dashboard pattern — Superset-style templates bind a
+    cutoff date and a status filter as typed session variables, and the
+    query references them like columns. Constant-folded at analysis time,
+    so pushdown sees literals (same plan as hand-inlined SQL; the oracle
+    runs the inlined form)."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    spark.sql("DECLARE OR REPLACE VARIABLE report_cutoff TIMESTAMP")
+    spark.sql("SET VAR report_cutoff = TIMESTAMP '1998-01-01'")
+    spark.sql("DECLARE OR REPLACE VARIABLE report_status STRING")
+    spark.sql("SET VAR report_status = 'O'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS order_cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderdate >= report_cutoff
+          AND o_orderstatus = report_status
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "filter_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+    """,
+)
+def filter_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries (the remaining §2.2
+    predicate shape next to IN / NOT IN / scalar subqueries): customers
+    with a finished order and no pending one. Catalyst de-correlates both
+    into a left-semi and a left-anti join on custkey — set semantics with
+    no row duplication from the many-orders side (what an inner-join
+    rewrite would get wrong)."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        """
+    )

@@ -1105,3 +1105,27 @@ def test_embedding_outliers_broadcast_centroids_prune_topk(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_pipe_syntax_plans_like_classic_sql(spark):
+    """Pipe syntax is surface syntax only: the parsed plan keeps the
+    pushed filter, partial aggregation, and TakeOrdered page."""
+    plan = _plan(spark, "sql_pipe_syntax")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_session_variables_fold_to_pushed_literals(spark):
+    """DECLARE'd variables must constant-fold into the scan's pushed
+    filters — the parameterization is free at execution time."""
+    plan = _plan(spark, "sql_session_variables")
+    assert "EqualTo(o_orderstatus,O)" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+
+
+def test_correlated_exists_decorrelates_to_semi_anti(spark):
+    """EXISTS / NOT EXISTS must de-correlate into left-semi + left-anti
+    joins — never a per-row subquery or an inner join that duplicates."""
+    opt = _optimized(spark, "filter_exists_correlated")
+    assert "LeftSemi" in opt and "LeftAnti" in opt
