@@ -770,3 +770,65 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(k div 10 AS BIGINT)").alias("best_cost_cents"),
         F.expr("CAST(k % 10 AS BIGINT)").alias("best_hops"),
     )
+
+
+@query(
+    "greedy_set_cover",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    w1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM e
+           GROUP BY s ORDER BY c DESC, s LIMIT 1),
+    cov1 AS (SELECT DISTINCT e.p FROM e JOIN w1 ON e.s = w1.s),
+    e2 AS (SELECT e.s, e.p FROM e ANTI JOIN cov1 ON e.p = cov1.p),
+    w2 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM e2
+           GROUP BY s ORDER BY c DESC, s LIMIT 1),
+    cov2 AS (SELECT DISTINCT e2.p FROM e2 JOIN w2 ON e2.s = w2.s),
+    e3 AS (SELECT e2.s, e2.p FROM e2 ANTI JOIN cov2 ON e2.p = cov2.p),
+    w3 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM e3
+           GROUP BY s ORDER BY c DESC, s LIMIT 1)
+    SELECT 1 AS round, s AS l_suppkey, c AS newly_covered FROM w1
+    UNION ALL SELECT 2, s, c FROM w2
+    UNION ALL SELECT 3, s, c FROM w3
+    """,
+)
+def greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy set cover, 3 rounds: pick the supplier covering the most
+    still-uncovered parts, remove its parts, repeat — the approximation
+    algorithm behind "pick the fewest vendors/replicas/probes that cover
+    everything" (its ln(n) guarantee is the best any polynomial algorithm
+    gets). Data-DEPENDENT selection stays inside one lazy plan: each
+    round is a grouped count, a 1-row TakeOrdered argmax (count desc,
+    suppkey — ties never diverge), a semi-join for the winner's parts and
+    an anti-join to shrink the edge set; no driver-side loop or collect.
+    The distilled edge list is the only fact-scale input (checkpointed
+    once); every frontier object after is supplier- or part-scale."""
+    li = Catalog(spark, sf_dir).lineitem
+    e = checkpoint_truncate(
+        li.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
+    rounds = []
+    cur = e
+    for rnd in (1, 2, 3):
+        win = (
+            cur.groupBy("s")
+            .agg(F.count("*").cast("long").alias("c"))
+            .orderBy(F.desc("c"), "s")
+            .limit(1)
+        )
+        rounds.append(
+            win.select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.col("s").alias("l_suppkey"),
+                F.col("c").alias("newly_covered"),
+            )
+        )
+        cov = cur.join(F.broadcast(win), "s").select("p").distinct()
+        cur = cur.join(F.broadcast(cov), "p", "left_anti")
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out

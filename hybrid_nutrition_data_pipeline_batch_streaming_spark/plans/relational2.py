@@ -1474,3 +1474,70 @@ def filter_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o.o_orderstatus = 'P')
         """
     )
+
+
+@query(
+    "share_of_parent",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, n_name, r_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                    AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY c_custkey, n_name, r_name
+    )
+    SELECT c_custkey, n_name, r_name, cents,
+           CAST(1000000 * cents // SUM(cents) OVER (PARTITION BY n_name)
+                AS BIGINT) AS share_nation_ppm,
+           CAST(1000000 * cents // SUM(cents) OVER (PARTITION BY r_name)
+                AS BIGINT) AS share_region_ppm
+    FROM cust
+    """,
+)
+def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution analysis: each customer's revenue as a
+    share (ppm) of their nation's and their region's totals — the
+    drill-down "percent of parent" column every OLAP tree view carries.
+    The fact table reduces to customer grain FIRST (one shuffle; dims
+    broadcast), then two unbounded windows over the customer-grain table
+    compute both parent totals — no join-back of aggregates, no second
+    fact scan. 1e6·cents stays under 2^63 to ~9e12 cents per customer;
+    the window totals are the usual DECIMAL swap past that."""
+    cat = Catalog(spark, sf_dir)
+    cust = (
+        cat.orders.join(
+            cat.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("c_custkey", "n_name", "r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return cust.select(
+        "c_custkey",
+        "n_name",
+        "r_name",
+        "cents",
+        F.expr(
+            "CAST(1000000 * cents div SUM(cents) OVER (PARTITION BY n_name)"
+            " AS BIGINT)"
+        ).alias("share_nation_ppm"),
+        F.expr(
+            "CAST(1000000 * cents div SUM(cents) OVER (PARTITION BY r_name)"
+            " AS BIGINT)"
+        ).alias("share_region_ppm"),
+    )

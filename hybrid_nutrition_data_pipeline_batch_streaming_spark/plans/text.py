@@ -800,3 +800,57 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_ppm"),
         )
     )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang,
+               CASE
+                   WHEN {_EN_SCORE_SQL} >= {_ES_SCORE_SQL}
+                        AND {_EN_SCORE_SQL} > 0 THEN 'en'
+                   WHEN {_ES_SCORE_SQL} > 0 THEN 'es'
+                   ELSE 'und'
+               END AS pred_lang
+        FROM documents
+    ), cells AS (
+        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, pred_lang
+    )
+    SELECT lang, pred_lang, n,
+           CAST(1000000 * n // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+               AS row_share_ppm
+    FROM cells
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the ``lang_id`` marker heuristic's
+    predictions crossed with the reference ``lang`` label, each cell with
+    its share of the true-label row (recall on the diagonal) — the
+    companion evaluation to the ``eval_*`` family, on a categorical
+    prediction. One scan scores and buckets map-side; the matrix is a
+    |langs|×3 census, and the row-share window runs on that bounded
+    table."""
+    cat = Catalog(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    en = sum(_occurrences(padded, m) for m in _EN_MARKERS)
+    es = sum(_occurrences(padded, m) for m in _ES_MARKERS)
+    pred = cat.documents.select(
+        "lang",
+        F.when((en >= es) & (en > 0), "en")
+        .when(es > 0, "es")
+        .otherwise("und")
+        .alias("pred_lang"),
+    )
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.expr(
+            "CAST(1000000 * n div SUM(n) OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("row_share_ppm"),
+    )

@@ -1129,3 +1129,32 @@ def test_correlated_exists_decorrelates_to_semi_anti(spark):
     joins — never a per-row subquery or an inner join that duplicates."""
     opt = _optimized(spark, "filter_exists_correlated")
     assert "LeftSemi" in opt and "LeftAnti" in opt
+
+
+def test_lang_confusion_is_census_plus_bounded_window(spark):
+    """LID confusion: scoring is map-side; the matrix is a bounded census
+    and the row-share window runs on it. No join."""
+    plan = _plan(spark, "lang_confusion_matrix", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+
+
+def test_share_of_parent_no_aggregate_join_back(spark):
+    """Contribution shares: both parent totals come from windows over the
+    customer-grain table — no join of aggregates back to the facts, and
+    the dims broadcast."""
+    plan = _plan(spark, "share_of_parent", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") == 2
+
+
+def test_greedy_cover_rounds_broadcast_winner_sets(spark):
+    """Set cover: each round's winner (1 row) and its covered-part set
+    broadcast back onto the shrinking edge list — the edge list never
+    reshuffles for a selection, and argmax is TakeOrdered(1)."""
+    plan = _plan(spark, "greedy_set_cover", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
