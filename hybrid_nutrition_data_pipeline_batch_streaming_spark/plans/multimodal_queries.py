@@ -423,3 +423,115 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_max("en").alias("energy_max"),
     )
+
+
+#: Caption cadence (ms) for the synthetic caption track — deliberately
+#: off-grid from FRAME_MS so alignment is a true as-of, not a division.
+_CAPTION_MS = 77
+
+
+@query(
+    "mm_caption_align",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id, text,
+               CAST(len(text) // {FRAME_BYTES} AS BIGINT) AS n_frames
+        FROM documents WHERE len(text) >= {FRAME_BYTES}
+    ), keyframes AS (
+        SELECT doc_id, f AS k_idx, f * {FRAME_MS} AS k_ms
+        FROM vids, unnest(generate_series(0, n_frames - 1)) AS u(f)
+        WHERE (strpos('0123456789abcdef',
+                      substr(md5(substr(text, CAST(f * {FRAME_BYTES} + 1 AS INT),
+                                        {FRAME_BYTES})), 1, 1)) - 1) % 3 = 0
+    ), captions AS (
+        SELECT doc_id, c * {_CAPTION_MS} AS c_ms
+        FROM vids, unnest(generate_series(0, n_frames - 1)) AS u(c)
+    ), aligned AS (
+        SELECT c.doc_id, c.c_ms, MAX(k.k_ms) AS k_ms
+        FROM captions c
+        LEFT JOIN keyframes k
+          ON k.doc_id = c.doc_id AND k.k_ms <= c.c_ms
+        GROUP BY c.doc_id, c.c_ms
+    )
+    SELECT v.doc_id,
+           v.n_frames,
+           CAST((SELECT COUNT(*) FROM keyframes k WHERE k.doc_id = v.doc_id)
+                AS BIGINT) AS n_keyframes,
+           CAST(v.n_frames AS BIGINT) AS n_captions,
+           CAST((SELECT COUNT(k_ms) FROM aligned a WHERE a.doc_id = v.doc_id)
+                AS BIGINT) AS n_aligned,
+           CAST(COALESCE((SELECT SUM(a.c_ms - a.k_ms) FROM aligned a
+                          WHERE a.doc_id = v.doc_id AND a.k_ms IS NOT NULL),
+                         0) AS BIGINT) AS total_lag_ms,
+           CAST(COALESCE((SELECT MAX(a.c_ms - a.k_ms) FROM aligned a
+                          WHERE a.doc_id = v.doc_id AND a.k_ms IS NOT NULL),
+                         0) AS BIGINT) AS max_lag_ms
+    FROM vids v
+    """,
+)
+def mm_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-to-keyframe as-of alignment (X4's subtitle-sync audit):
+    each payload carries a frame track (content-dependent KEYFRAMES — an
+    md5 predicate on the frame bytes stands in for scene-cut detection)
+    and an off-grid caption track; every caption binds to the latest
+    keyframe at-or-before it, and the per-video report gives caption
+    counts, alignment coverage and lag. Like ``mm_audio_energy``, the
+    engine runs the whole alignment as SHUFFLE-FREE higher-order array
+    ops — keyframe filter, per-caption ``array_max(filter(...))`` as-of,
+    lag folds — one map-side pass, zero exchanges, while the oracle runs
+    the textbook relational form (unnest + as-of LEFT JOIN + per-video
+    rollup); parity proves the two equivalent. At 100 TB this is the
+    difference between a map over payload rows and a frames×captions
+    shuffle."""
+    cat = Catalog(spark, sf_dir)
+    v = cat.documents.filter(
+        F.length("text") >= FRAME_BYTES
+    ).select(
+        "doc_id",
+        "text",
+        F.expr(f"CAST(length(text) div {FRAME_BYTES} AS BIGINT)").alias(
+            "n_frames"
+        ),
+    )
+    tracks = v.select(
+        "doc_id",
+        "n_frames",
+        F.expr(
+            f"""
+            filter(sequence(0, n_frames - 1),
+                   f -> (conv(substr(md5(substr(text,
+                                 CAST(f * {FRAME_BYTES} + 1 AS INT),
+                                 {FRAME_BYTES})), 1, 1), 16, 10) % 3) = 0)
+            """
+        ).alias("kf"),
+        F.expr(
+            f"transform(sequence(0, n_frames - 1), c -> c * {_CAPTION_MS})"
+        ).alias("cap_ms"),
+    )
+    kf_le = (
+        f"filter(kf, k -> k * {FRAME_MS} <= c)"
+    )
+    lag = f"c - array_max({kf_le}) * {FRAME_MS}"
+    return tracks.select(
+        "doc_id",
+        "n_frames",
+        F.expr("CAST(size(kf) AS BIGINT)").alias("n_keyframes"),
+        F.expr("CAST(size(cap_ms) AS BIGINT)").alias("n_captions"),
+        F.expr(
+            f"CAST(size(filter(cap_ms, c -> size({kf_le}) > 0)) AS BIGINT)"
+        ).alias("n_aligned"),
+        F.expr(
+            f"""
+            CAST(aggregate(transform(filter(cap_ms, c -> size({kf_le}) > 0),
+                                     c -> {lag}),
+                           0L, (acc, x) -> acc + x) AS BIGINT)
+            """
+        ).alias("total_lag_ms"),
+        F.expr(
+            f"""
+            CAST(coalesce(array_max(transform(
+                     filter(cap_ms, c -> size({kf_le}) > 0), c -> {lag})),
+                 0L) AS BIGINT)
+            """
+        ).alias("max_lag_ms"),
+    )

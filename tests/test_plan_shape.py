@@ -1158,3 +1158,13 @@ def test_greedy_cover_rounds_broadcast_winner_sets(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_caption_align_is_shuffle_free(spark):
+    """Caption as-of: the whole alignment (keyframe filter, per-caption
+    array as-of, lag folds) is ONE map-side pass — zero exchanges, no
+    join, no window."""
+    plan = _plan(spark, "mm_caption_align", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan
+    assert "Join" not in plan
