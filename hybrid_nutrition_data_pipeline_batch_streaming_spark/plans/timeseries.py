@@ -2097,3 +2097,69 @@ def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("slope_ppm"),
     )
+
+
+@query(
+    "metric_decomposition",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+               CAST(COUNT(*) AS BIGINT) AS q,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT cur.m, cur.q, cur.cents,
+           (cur.q - prev.q) * (prev.cents * 1000 // prev.q)
+               AS volume_effect_mc,
+           (cur.cents - prev.cents) * 1000
+               - (cur.q - prev.q) * (prev.cents * 1000 // prev.q)
+               AS price_effect_mc
+    FROM monthly cur
+    JOIN monthly prev ON prev.m = cur.m - INTERVAL 1 MONTH
+    """,
+)
+def metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-tree decomposition: each month's revenue change split into a
+    VOLUME effect (order-count change × prior average order value) and a
+    PRICE/MIX effect (the residual) — the "why did revenue move" panel.
+    Defined exactly: AOV is truncated to milli-cents (one integer
+    division), the volume term is ΔQ·AOV₁, and the price term is the
+    exact residual, so the two effects sum to ΔR·1000 BIT-EXACTLY — no
+    float shares that drift from the total. Calendar-aligned join like
+    ``period_over_period`` (never LAG over possibly-sparse months); the
+    fact table collapses to |months| rows in one shuffle and the
+    alignment join broadcasts."""
+    cat = Catalog(spark, sf_dir)
+    monthly = (
+        cat.orders.select(
+            F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("m"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("q"),
+            F.sum("c").cast("long").alias("cents"),
+        )
+    )
+    prev = monthly.select(
+        F.add_months(F.col("m"), 1).alias("m_next"),
+        F.col("q").alias("pq"),
+        F.col("cents").alias("pcents"),
+    )
+    joined = monthly.join(
+        F.broadcast(prev), F.col("m") == F.col("m_next")
+    )
+    aov1 = F.expr("pcents * 1000 div pq")
+    return joined.select(
+        "m",
+        "q",
+        "cents",
+        ((F.col("q") - F.col("pq")) * aov1).alias("volume_effect_mc"),
+        (
+            (F.col("cents") - F.col("pcents")) * 1000
+            - (F.col("q") - F.col("pq")) * aov1
+        ).alias("price_effect_mc"),
+    )
