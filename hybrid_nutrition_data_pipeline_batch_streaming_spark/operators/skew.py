@@ -85,3 +85,39 @@ def two_phase_agg(
         ]
     )
     return phase2
+
+
+def null_split_left_join(
+    left: DataFrame, right: DataFrame, key: str
+) -> DataFrame:
+    """Left equi-join with NULL-key rows routed AROUND the shuffle.
+
+    Null keys are the degenerate hot key: every NULL-keyed left row hashes
+    to one partition, shuffles there, and then matches nothing anyway (SQL
+    equi-joins never match on NULL). Web-scale fact tables routinely carry
+    10-40% NULL foreign keys (optional dimensions), so this one straggler
+    partition can dominate an otherwise balanced join. The fix is
+    structural, not statistical: split the left side on ``key IS NULL``,
+    join only the non-null slice, and union the NULL slice back with the
+    right-side columns as literal NULLs — semantically identical to the
+    plain left join (tests pin row-level equality) while the NULL rows
+    never enter an exchange.
+
+    AQE's skew splitting cannot express this (it still shuffles the rows;
+    it only splits the oversized partition); routing around the join is
+    strictly cheaper. Right-side column types are taken from the right
+    schema so the union stays by-name and cast-exact.
+    """
+    right_cols = [c for c in right.columns if c != key]
+    matched = left.filter(F.col(key).isNotNull()).join(right, key, "left")
+    nulls = left.filter(F.col(key).isNull()).select(
+        # `key` first to mirror Spark's left-join column order (key, then
+        # remaining left columns, then right columns).
+        F.col(key),
+        *[F.col(c) for c in left.columns if c != key],
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(c)
+            for c in right_cols
+        ],
+    )
+    return matched.unionByName(nulls)

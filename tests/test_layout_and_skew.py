@@ -722,3 +722,39 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_null_split_left_join_equivalent_and_shuffle_free_null_branch(spark):
+    """null_split_left_join == plain left join row-for-row, while the
+    NULL-keyed slice reaches the result through a union branch with NO
+    exchange (it never enters the join shuffle)."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.skew import (
+        null_split_left_join,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        # Make 1/3 of the keys NULL — the optional-dimension shape.
+        F.when(F.col("l_orderkey") % 3 == 0, None)
+        .otherwise(F.col("l_partkey"))
+        .alias("p_partkey"),
+        "l_orderkey",
+        "l_extendedprice",
+    )
+    part = spark.read.parquet(f"{SF}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    split = null_split_left_join(li, part, "p_partkey")
+    plain = li.join(part, "p_partkey", "left")
+    assert split.schema == plain.schema
+    key_none_last = lambda t: tuple(  # noqa: E731  (None-safe sort)
+        (v is None, v) for v in t
+    )
+    assert sorted(map(tuple, split.collect()), key=key_none_last) == sorted(
+        map(tuple, plain.collect()), key=key_none_last
+    )
+    # The union's NULL branch must be exchange-free: exactly the exchanges
+    # of the plain join appear, plus zero for the routed-around slice.
+    p_split = split._jdf.queryExecution().executedPlan().toString()
+    p_plain = plain._jdf.queryExecution().executedPlan().toString()
+    assert p_split.count("Exchange") == p_plain.count("Exchange")
+    assert "Union" in p_split
