@@ -832,3 +832,102 @@ def greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rounds[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _modularity_oracle() -> str:
+    edges_sql = ORACLE["dedup_minhash_banded"].strip()
+    return f"""
+    WITH E AS (
+        SELECT doc_a, doc_b FROM ({edges_sql}) pairs
+    ), L AS (
+        SELECT doc_id, lang FROM documents
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m FROM E
+    ), dc AS (
+        SELECT L.lang, CAST(COUNT(*) AS BIGINT) AS degree_sum
+        FROM (SELECT doc_a AS d FROM E UNION ALL SELECT doc_b FROM E) ends
+        JOIN L ON ends.d = L.doc_id
+        GROUP BY L.lang
+    ), mc AS (
+        SELECT la.lang, CAST(COUNT(*) AS BIGINT) AS intra_edges
+        FROM E
+        JOIN L la ON E.doc_a = la.doc_id
+        JOIN L lb ON E.doc_b = lb.doc_id
+        WHERE la.lang = lb.lang
+        GROUP BY la.lang
+    )
+    SELECT dc.lang,
+           tot.m                              AS m_edges,
+           COALESCE(mc.intra_edges, 0)        AS intra_edges,
+           dc.degree_sum,
+           CAST((4 * tot.m * COALESCE(mc.intra_edges, 0)
+                 - dc.degree_sum * dc.degree_sum) * 1000000
+                // (4 * tot.m * tot.m) AS BIGINT) AS contribution_ppm
+    FROM dc LEFT JOIN mc ON dc.lang = mc.lang CROSS JOIN tot
+    """
+
+
+@query("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-quality (Newman modularity) of the LANGUAGE communities
+    over the near-dup graph: per language, its exact modularity
+    contribution Q_c = m_c/m − (d_c/2m)², scaled so everything is BIGINT —
+    Q_c·4m²·1e6 = (4m·m_c − d_c²)·1e6 with one truncating division.
+    ΣQ_c near 1 means near-dups stay inside a language (cross-lingual
+    contamination would drag it down) — the "is my blocking aligned with
+    my partition" audit. Every lang with graph presence gets a row even
+    with zero intra edges (left join, coalesce 0). Shape: pairs come from
+    the banded equi-joins ONCE; lang attachment is two co-partitionable
+    equi-joins on doc id; the per-community census is |langs| rows and
+    the 1-row edge total broadcasts into the closed form. At ~1e9 edges
+    the 4m² term moves to DECIMAL(38,0)."""
+    cat = Catalog(spark, sf_dir)
+    edges = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    edges = checkpoint_truncate(edges)
+    langs = cat.documents.select("doc_id", "lang")
+    tot = edges.agg(F.count("*").cast("long").alias("m"))
+    ends = edges.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    dc = (
+        ends.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("degree_sum"))
+    )
+    mc = (
+        edges.join(
+            langs.select(
+                F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            langs.select(
+                F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .groupBy(F.col("lang_a").alias("lang"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    out = (
+        dc.join(mc, "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("m").alias("m_edges"),
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias(
+                "intra_edges"
+            ),
+            "degree_sum",
+            F.expr(
+                """
+                CAST((4 * m * coalesce(intra_edges, 0)
+                      - degree_sum * degree_sum) * 1000000
+                     div (4 * m * m) AS BIGINT)
+                """
+            ).alias("contribution_ppm"),
+        )
+    )
+    return out

@@ -1168,3 +1168,13 @@ def test_caption_align_is_shuffle_free(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_modularity_pairs_generated_once_no_cartesian(spark):
+    """Modularity: banded pairs are generated once (checkpointed), lang
+    attachment stays equi-joins, and the 1-row edge total broadcasts."""
+    plan = _plan(spark, "graph_modularity", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total, only
+    assert plan.count("BroadcastNestedLoopJoin") == 1
