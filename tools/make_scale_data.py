@@ -191,6 +191,29 @@ def gen_customer(spark, m, out):
     )
 
 
+def gen_dims(spark, m, out):
+    """Static nation/region dims (25/5 rows at any M) — broadcast sides."""
+    (
+        spark.range(25)
+        .select(
+            F.col("id").cast("int").alias("n_nationkey"),
+            F.concat(F.lit("NATION_"), F.col("id")).alias("n_name"),
+            _pm(F.col("id"), 5).cast("int").alias("n_regionkey"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "nation.parquet"))
+    )
+    (
+        spark.range(5)
+        .select(
+            F.col("id").cast("int").alias("r_regionkey"),
+            F.concat(F.lit("REGION_"), F.col("id")).alias("r_name"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "region.parquet"))
+    )
+
+
 def gen_part(spark, m, out):
     n = 20_000 * m
     vocab = F.array(*[F.lit(w) for w in VOCAB])
@@ -269,6 +292,7 @@ def main():
     gen_graph_tables(spark, m, out)
     gen_part(spark, m, out)
     gen_customer(spark, m, out)
+    gen_dims(spark, m, out)
     gen_events(spark, m, out)
     print(f"wrote M={m} tables to {out}")
     spark.stop()
