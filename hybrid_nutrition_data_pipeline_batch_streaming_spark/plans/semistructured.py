@@ -453,3 +453,53 @@ def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.documents.select(
         "doc_id", F.explode_outer(arr).alias("tok")
     )
+
+
+@query(
+    "xml_roundtrip_flatten",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+           CAST(strftime(CAST(o_orderdate AS TIMESTAMP),
+                         '%Y-%m-%d') AS VARCHAR) AS order_day
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def xml_roundtrip_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest surface (Spark 4 native `from_xml` — the remaining
+    semi-structured dialect next to JSON and VARIANT; the reference's raw
+    layer stores whatever text the upstream API returns, SURVEY §1.3, and
+    B2B feeds are still XML). Proven as a round trip: each order renders
+    to an XML document string, `from_xml` parses it back against an
+    explicit schema, and the oracle computes the same projection from the
+    base columns directly — so the parse must reproduce values exactly
+    (price re-read as decimal-exact double, day as a string field). Both
+    render and parse are map-side JVM expressions; the filter prunes at
+    the scan."""
+    cat = Catalog(spark, sf_dir)
+    xml = cat.orders.filter(F.expr("o_orderkey % 97 = 0")).select(
+        "o_orderkey",
+        F.expr(
+            """
+            concat('<order><status>', o_orderstatus, '</status>',
+                   '<price>', CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                   AS STRING), '</price>',
+                   '<order_day>', date_format(o_orderdate, 'yyyy-MM-dd'),
+                   '</order_day></order>')
+            """
+        ).alias("doc"),
+    )
+    parsed = xml.select(
+        "o_orderkey",
+        F.expr(
+            "from_xml(doc, 'status STRING, price DECIMAL(12,2),"
+            " order_day STRING')"
+        ).alias("s"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("s.status").alias("status"),
+        F.col("s.price").cast("double").alias("price"),
+        F.col("s.order_day").alias("order_day"),
+    )

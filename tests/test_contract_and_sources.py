@@ -570,3 +570,39 @@ def test_oracle_queries_return_driver_hashable_schemas(spark):
             if isinstance(f.dataType, banned):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, f"driver-unhashable outputs: {bad}"
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """Real binary-file ingestion for the multimodal family (X4): raw
+    payload files land in a drop zone, `binaryFile` reads (path, length,
+    content) with a pushed path-glob filter, and the bytes flow into the
+    same attach/decode plumbing the synthesized payloads use."""
+    import os
+
+    drop = tmp_path / "payloads"
+    os.makedirs(drop)
+    blobs = {f"clip_{i}.bin": bytes(range(i, i + 40)) * 5 for i in range(4)}
+    for name, b in blobs.items():
+        (drop / name).write_bytes(b)
+    (drop / "ignore.txt").write_text("not a payload")
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(drop))
+    )
+    rows = {
+        os.path.basename(r.path): (r.length, bytes(r.content))
+        for r in df.collect()
+    }
+    assert set(rows) == set(blobs)
+    for name, b in blobs.items():
+        assert rows[name] == (len(b), b)
+    # The payload column is a first-class binary column: hash/length
+    # metadata computes JVM-side exactly as attach_payload does.
+    meta = df.select(
+        F.md5("content").alias("h"), F.length("content").alias("n")
+    ).collect()
+    assert all(m.n == 200 for m in meta)
