@@ -766,3 +766,87 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weighted_p90_qty"),
     )
+
+
+@query(
+    "percentile_interpolated",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY
+                                  CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                       AS BIGINT)) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), picked AS (
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN cents END)
+                   AS a50,
+               MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 2 THEN cents END)
+                   AS b50,
+               CAST(MAX((n - 1) * 50 % 100) AS BIGINT) AS f50,
+               MAX(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN cents END)
+                   AS a95,
+               MAX(CASE WHEN rn = (n - 1) * 95 // 100 + 2 THEN cents END)
+                   AS b95,
+               CAST(MAX((n - 1) * 95 % 100) AS BIGINT) AS f95
+        FROM v GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(a50 * (100 - f50) + COALESCE(b50, a50) * f50 AS BIGINT)
+               AS p50_c100,
+           CAST(a95 * (100 - f95) + COALESCE(b95, a95) * f95 AS BIGINT)
+               AS p95_c100
+    FROM picked
+    """,
+)
+def percentile_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT with linear interpolation, made EXACT: the standard
+    definition places p at fractional rank (n−1)·p, interpolating between
+    the two adjacent order statistics — engines differ in float rounding
+    there, so this computes the interpolation in integer cent-hundredths:
+    p_c100 = x_k·(100−frac) + x_{k+1}·frac where frac = (n−1)·p mod 100.
+    One ranking window per series + one conditional aggregate picks both
+    bracketing order statistics for p50 and p95 (the rank targets are
+    expressions of the per-group count, so no second pass); ties don't
+    matter because equal ranks carry equal values. The window partitions
+    by event_type — at high per-group cardinality the two-level histogram
+    of ``kth_order_statistics``/``grouped_median_exact`` replaces the
+    sort, same formula."""
+    cat = Catalog(spark, sf_dir)
+    cents = F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    w = Window.partitionBy("event_type").orderBy("cents")
+    v = cat.events.select("event_type", cents.alias("cents")).select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    picked = v.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(
+            "MAX(CASE WHEN rn = (n - 1) * 50 div 100 + 1 THEN cents END)"
+        ).alias("a50"),
+        F.expr(
+            "MAX(CASE WHEN rn = (n - 1) * 50 div 100 + 2 THEN cents END)"
+        ).alias("b50"),
+        F.expr("CAST(MAX((n - 1) * 50 % 100) AS BIGINT)").alias("f50"),
+        F.expr(
+            "MAX(CASE WHEN rn = (n - 1) * 95 div 100 + 1 THEN cents END)"
+        ).alias("a95"),
+        F.expr(
+            "MAX(CASE WHEN rn = (n - 1) * 95 div 100 + 2 THEN cents END)"
+        ).alias("b95"),
+        F.expr("CAST(MAX((n - 1) * 95 % 100) AS BIGINT)").alias("f95"),
+    )
+    return picked.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(a50 * (100 - f50) + COALESCE(b50, a50) * f50 AS BIGINT)"
+        ).alias("p50_c100"),
+        F.expr(
+            "CAST(a95 * (100 - f95) + COALESCE(b95, a95) * f95 AS BIGINT)"
+        ).alias("p95_c100"),
+    )

@@ -758,3 +758,32 @@ def test_null_split_left_join_equivalent_and_shuffle_free_null_branch(spark):
     p_plain = plain._jdf.queryExecution().executedPlan().toString()
     assert p_split.count("Exchange") == p_plain.count("Exchange")
     assert "Union" in p_split
+
+
+def test_analyze_table_feeds_cbo_row_counts(spark, tmp_path):
+    """ANALYZE TABLE ... COMPUTE STATISTICS must surface rowCount to the
+    optimizer (CBO's input): before ANALYZE the catalog relation has only
+    size-based stats; after, the optimized plan carries the exact row
+    count — what join reordering and broadcast decisions key off."""
+    spark.sql("DROP TABLE IF EXISTS part_stats")
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/part_stats", ignore_errors=True)
+    spark.read.parquet(f"{SF}/part.parquet").write.saveAsTable("part_stats")
+    spark.conf.set("spark.sql.cbo.enabled", "true")  # rowCount propagates
+    try:
+        df = spark.table("part_stats")
+        stats_before = (
+            df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        )
+        assert stats_before.isEmpty()
+        spark.sql("ANALYZE TABLE part_stats COMPUTE STATISTICS")
+        df2 = spark.table("part_stats")
+        stats_after = (
+            df2._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        )
+        assert not stats_after.isEmpty()
+        assert int(str(stats_after.get())) == df2.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS part_stats")
