@@ -535,3 +535,84 @@ def stream_hll_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_raw"),
         "exact_distinct",
     )
+
+
+@query(
+    "stream_percentile_live",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bucket, c,
+               SUM(c) OVER (PARTITION BY event_type) AS n,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM b
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MIN(CASE WHEN cum_c >= (n - 1) * 50 // 100 + 1
+                         THEN bucket END) * 1000 AS BIGINT)
+               AS p50_bucket_cents,
+           CAST(MIN(CASE WHEN cum_c >= (n - 1) * 95 // 100 + 1
+                         THEN bucket END) * 1000 AS BIGINT)
+               AS p95_bucket_cents
+    FROM cum GROUP BY event_type
+    """,
+)
+def stream_percentile_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantiles over a LIVE stream, the bounded-state way: the
+    stream maintains per-(type, $10-bucket) counters — a fixed-width
+    value histogram, the classic streaming-percentile state (t-digest's
+    exact cousin on a bounded domain) — and the drained complete-mode
+    counters yield the p50/p95 bucket by cumulative count, at bucket
+    resolution, bit-equal to the batch oracle computing the same bucketed
+    rank. Counter aggregation is arrival-order independent, so
+    micro-batch splits can't move the answer (the stream_cusum_live
+    contract). State is |types|×|buckets| rows regardless of stream
+    length; in production the drained stage is a foreachBatch-maintained
+    histogram table and the rank scan is |buckets| work per trigger."""
+    stream = read_events_stream(spark, sf_dir)
+    hist = (
+        stream.select(
+            "event_type",
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                " div 1000"
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    drained = run_to_memory(hist, output_mode="complete")
+    w_all = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = drained.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(w_all).cast("long").alias("n"),
+        F.sum("c").over(w_cum).cast("long").alias("cum_c"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(MIN(CASE WHEN cum_c >= (n - 1) * 50 div 100 + 1"
+            " THEN bucket END) * 1000 AS BIGINT)"
+        ).alias("p50_bucket_cents"),
+        F.expr(
+            "CAST(MIN(CASE WHEN cum_c >= (n - 1) * 95 div 100 + 1"
+            " THEN bucket END) * 1000 AS BIGINT)"
+        ).alias("p95_bucket_cents"),
+    )
