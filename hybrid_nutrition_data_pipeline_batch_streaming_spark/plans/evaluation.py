@@ -342,3 +342,94 @@ def eval_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("kappa_ppm"),
     )
+
+
+@query(
+    "eval_gains_lift",
+    oracle=f"""
+    WITH s AS (
+        SELECT {_SCORE_PT_SQL} AS score_pt,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM documents
+    ), h AS (
+        SELECT score_pt, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(label) AS BIGINT) AS pos_g
+        FROM s GROUP BY score_pt
+    ), c AS (
+        SELECT score_pt, n_g, pos_g,
+               COALESCE(SUM(n_g) OVER (ORDER BY score_pt DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_less,
+               SUM(n_g) OVER ()   AS n,
+               SUM(pos_g) OVER () AS n_pos
+        FROM h
+    ), d AS (
+        SELECT cum_less * 10 // n AS decile, n_g, pos_g, n, n_pos FROM c
+    )
+    SELECT CAST(decile AS BIGINT)      AS decile,
+           CAST(SUM(n_g) AS BIGINT)    AS n_docs,
+           CAST(SUM(pos_g) AS BIGINT)  AS n_pos,
+           CAST(SUM(SUM(pos_g)) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+           CAST(1000000 * SUM(SUM(pos_g)) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) // MAX(n_pos) AS BIGINT)
+               AS gain_ppm,
+           CAST((1000000 * SUM(pos_g) * MAX(n))
+                // (SUM(n_g) * MAX(n_pos)) AS BIGINT) AS lift_ppm
+    FROM d GROUP BY decile
+    """,
+)
+def eval_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table (the marketing-targeting companion to the ROC
+    family): rank documents by score DESCENDING, cut into deciles, and
+    report each decile's positive count, cumulative gain (share of all
+    positives captured so far) and lift vs the base rate — "how much
+    better than random is mailing the top 10%". Deciles are assigned at
+    SCORE-GROUP granularity (a tied group lands wholly in the decile of
+    its starting rank: decile = cum_higher·10 div n), which keeps the
+    whole computation on the bounded score histogram — no per-row global
+    rank, same scale shape as ``eval_auc_rank`` — and makes tie handling
+    deterministic by definition rather than by sort order. Lift overflow:
+    1e6·pos·n needs DECIMAL past ~3e12 doc-scale products."""
+    hist = _histogram(spark, sf_dir)
+    w_desc = Window.orderBy(F.desc("score_pt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    every = Window.partitionBy()
+    c = hist.select(
+        "score_pt",
+        "n_g",
+        "pos_g",
+        F.coalesce(F.sum("n_g").over(w_desc), F.lit(0)).alias("cum_less"),
+        F.sum("n_g").over(every).alias("n"),
+        F.sum("pos_g").over(every).alias("n_pos"),
+    )
+    d = c.select(
+        F.expr("cum_less * 10 div n").alias("decile"),
+        "n_g",
+        "pos_g",
+        "n",
+        "n_pos",
+    )
+    g = d.groupBy("decile").agg(
+        F.sum("n_g").cast("long").alias("n_docs"),
+        F.sum("pos_g").cast("long").alias("pos"),
+        F.max("n").alias("n"),
+        F.max("n_pos").alias("n_pos"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_docs",
+        F.col("pos").alias("n_pos"),
+        F.sum("pos").over(w_cum).cast("long").alias("cum_pos"),
+        F.expr(
+            "CAST(1000000 * SUM(pos) OVER (ORDER BY decile"
+            " ROWS UNBOUNDED PRECEDING) div n_pos AS BIGINT)"
+        ).alias("gain_ppm"),
+        F.expr(
+            "CAST((1000000 * pos * n) div (n_docs * n_pos) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
