@@ -959,3 +959,143 @@ def gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("gini_ppm"),
     )
+
+
+@query(
+    "survival_table",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               (epoch_us(MAX(CAST(ts AS TIMESTAMP)))
+                - epoch_us(MIN(CAST(ts AS TIMESTAMP)))) // 86400000000
+                   AS lifespan_days
+        FROM events GROUP BY user_id
+    ), census AS (
+        SELECT lifespan_days AS k, CAST(COUNT(*) AS BIGINT) AS ended
+        FROM spans GROUP BY lifespan_days
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           ended,
+           CAST(SUM(ended) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_at_risk,
+           CAST(1000000 * (SUM(ended) OVER (ORDER BY k DESC
+                           ROWS UNBOUNDED PRECEDING) - ended)
+                // SUM(ended) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS survive_step_ppm
+    FROM census
+    """,
+)
+def survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival-analysis life table (the Kaplan-Meier ingredients, exact):
+    per observed lifespan k (days between a user's first and last event),
+    how many users' histories END at k, how many were still at risk
+    (lifespan ≥ k — a DESCENDING cumulative sum over the bounded
+    day-offset domain, no per-user scan per k), and the per-step survival
+    fraction (n_at_risk − ended)/n_at_risk in ppm. The KM product is the
+    running product of those steps — left to the reader/BI because exact
+    integer products explode; every INPUT to it here is exact. Shape: one
+    user rollup shuffle, then a ≤|days| census with bounded-domain
+    windows (kth_order_statistics argument)."""
+    cat = Catalog(spark, sf_dir)
+    spans = (
+        cat.events.select("user_id", F.col("ts").cast("timestamp").alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(unix_micros(MAX(t)) - unix_micros(MIN(t))) div 86400000000"
+            ).alias("k")
+        )
+    )
+    census = spans.groupBy("k").agg(F.count("*").cast("long").alias("ended"))
+    w_desc = Window.orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return census.select(
+        F.col("k").cast("long").alias("k"),
+        "ended",
+        F.sum("ended").over(w_desc).cast("long").alias("n_at_risk"),
+        F.expr(
+            """
+            CAST(1000000 * (SUM(ended) OVER (ORDER BY k DESC
+                            ROWS UNBOUNDED PRECEDING) - ended)
+                 div SUM(ended) OVER (ORDER BY k DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            """
+        ).alias("survive_step_ppm"),
+    )
+
+
+@query(
+    "ks_two_sample",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), h AS (
+        SELECT cents,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM v GROUP BY cents
+    ), cum AS (
+        SELECT SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f1,
+               SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f2,
+               SUM(c1) OVER () AS n1,
+               SUM(c2) OVER () AS n2
+        FROM h
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(1000000 * MAX(ABS(f1 * n2 - f2 * n1)) // (MAX(n1) * MAX(n2))
+                AS BIGINT) AS ks_d_ppm
+    FROM cum
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic: D = max |F₁ − F₂|
+    between the view and purchase value distributions — the
+    nonparametric "did the distribution shift" companion to
+    ``ab_srm_check``'s count test and ``ab_cuped``'s mean test. Cross-
+    multiplied to integers: |f₁·n₂ − f₂·n₁| over the merged cents domain,
+    one division at the end (ppm). One shuffle to the per-cents
+    histogram; both ECDFs ride a single ordered window over it. Value
+    domains beyond ~1e6 distinct move to the fixed-width-bucket
+    histogram (``stream_percentile_live``'s state) with bucket-resolution
+    D — same formula."""
+    cat = Catalog(spark, sf_dir)
+    v = cat.events.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    h = v.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    every = Window.partitionBy()
+    cum = h.select(
+        F.sum("c1").over(w_cum).alias("f1"),
+        F.sum("c2").over(w_cum).alias("f2"),
+        F.sum("c1").over(every).alias("n1"),
+        F.sum("c2").over(every).alias("n2"),
+    )
+    return cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.expr(
+            "CAST(1000000 * MAX(ABS(f1 * n2 - f2 * n1))"
+            " div (MAX(n1) * MAX(n2)) AS BIGINT)"
+        ).alias("ks_d_ppm"),
+    )

@@ -660,3 +660,77 @@ def fifo_match_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("unfilled_demand"),
         )
     )
+
+
+@query(
+    "auction_second_price",
+    oracle="""
+    WITH bids AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT)) AS bid_cents
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+        SELECT l_partkey, l_suppkey, bid_cents,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY bid_cents, l_suppkey) AS rk
+        FROM bids
+    )
+    SELECT w.l_partkey,
+           w.l_suppkey                 AS winner_suppkey,
+           w.bid_cents                 AS winning_bid_cents,
+           s.bid_cents                 AS clearing_price_cents,
+           s.bid_cents - w.bid_cents   AS winner_surplus_cents
+    FROM ranked w JOIN ranked s
+      ON w.l_partkey = s.l_partkey AND w.rk = 1 AND s.rk = 2
+    """,
+)
+def auction_second_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-price (Vickrey) settlement report: per part, each
+    supplier's best offer is a bid; the lowest bid wins but clears at the
+    SECOND-lowest price, and the surplus is what truthful bidding earns
+    the winner — the standard ad-exchange / procurement settlement
+    query. Exact cents via DECIMAL; total order (bid, suppkey) breaks
+    ties. Shape: one (part, supplier) rollup, then a part-partitioned
+    rank where WindowGroupLimit prunes to the top-2 rows per part
+    map-side before the final pairing — the bid table never re-sorts
+    globally, and the rank-1×rank-2 pairing is a self-join of two ≤1-row
+    slices per part on the shared part key."""
+    li = Catalog(spark, sf_dir).lineitem
+    bids = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("cents").alias("bid_cents"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("bid_cents", "l_suppkey")
+    ranked = bids.select(
+        "l_partkey",
+        "l_suppkey",
+        "bid_cents",
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") <= 2)
+    winners = ranked.filter(F.col("rk") == 1).select(
+        "l_partkey",
+        F.col("l_suppkey").alias("winner_suppkey"),
+        F.col("bid_cents").alias("winning_bid_cents"),
+    )
+    seconds = ranked.filter(F.col("rk") == 2).select(
+        "l_partkey",
+        F.col("bid_cents").alias("clearing_price_cents"),
+    )
+    return winners.join(seconds, "l_partkey").select(
+        "l_partkey",
+        "winner_suppkey",
+        "winning_bid_cents",
+        "clearing_price_cents",
+        (F.col("clearing_price_cents") - F.col("winning_bid_cents")).alias(
+            "winner_surplus_cents"
+        ),
+    )

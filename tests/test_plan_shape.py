@@ -1178,3 +1178,29 @@ def test_modularity_pairs_generated_once_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total, only
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_survival_windows_run_on_day_census(spark):
+    """Life table: the at-risk suffix cumsum runs on the bounded lifespan
+    census, never per user; no join."""
+    plan = _plan(spark, "survival_table", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+
+
+def test_ks_ecdfs_share_one_histogram_pass(spark):
+    """KS: both ECDFs come from ONE cents-histogram window pass (the two
+    samples are conditional sums, not two scans); no join."""
+    plan = _plan(spark, "ks_two_sample", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_auction_prunes_to_top2_before_pairing(spark):
+    """Vickrey settlement: WindowGroupLimit caps each part at 2 rows
+    map-side; the winner/second pairing joins part-keyed slices."""
+    plan = _plan(spark, "auction_second_price", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
