@@ -118,6 +118,8 @@ def gen_graph_tables(spark, m, out):
                    " WHEN 1 THEN '2-HIGH' WHEN 2 THEN '3-MEDIUM'"
                    " WHEN 3 THEN '4-NOT SPECIFIED' ELSE '5-LOW' END"
                    ).alias("o_orderpriority"),
+            F.expr("CASE pmod(xxhash64(id, 27), 3) WHEN 0 THEN 'F'"
+                   " WHEN 1 THEN 'O' ELSE 'P' END").alias("o_orderstatus"),
             F.expr(
                 "CAST(date_add(DATE '1995-01-01',"
                 " CAST(pmod(xxhash64(id, 14), 2400) AS INT)) AS TIMESTAMP_NTZ)"
