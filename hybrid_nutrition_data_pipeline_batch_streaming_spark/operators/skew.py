@@ -107,7 +107,17 @@ def null_split_left_join(
     it only splits the oversized partition); routing around the join is
     strictly cheaper. Right-side column types are taken from the right
     schema so the union stays by-name and cast-exact.
+
+    Precondition (asserted): ``key`` is the ONLY column name the two
+    sides share. Overlapping non-key names would make the plain left
+    join ambiguous and would collapse in ``dict(right.dtypes)``.
     """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap != {key}:
+        raise ValueError(
+            "null_split_left_join requires the join key to be the only "
+            f"shared column name; got overlap {sorted(overlap)} (key={key!r})"
+        )
     right_cols = [c for c in right.columns if c != key]
     matched = left.filter(F.col(key).isNotNull()).join(right, key, "left")
     nulls = left.filter(F.col(key).isNull()).select(

@@ -44,76 +44,78 @@ from . import evaluation  # noqa: F401,E402
 from . import geo  # noqa: F401,E402
 
 # The driver-checked window: exactly these 50, in this order, all with
-# oracles. Round-3 rotation (VERDICT r2 item 1): rounds 1-2 drove the
-# one-per-§2-row window to 50/50 green twice, so this round keeps TEN core
-# regressions (flagship + one representative per family: join, agg, window/
-# LWW, semi-structured, dedup, similarity, e2e, streaming, multimodal) and
-# fills the other FORTY slots with oracle-backed queries that have never had
-# a driver CORRECTNESS row — the graph/SCD/skew/timeseries/profiling/
-# curation/vector suites. Rotated-out queries stay registered below the
-# window, still verified by the local differential harness
-# (tests/test_oracle_parity.py) at sf0.001 + sf0.01.
+# oracles. Round-4 rotation (VERDICT r3 item 1): 112/301 queries carry a
+# green driver CORRECTNESS row after three rounds, so this round keeps FIVE
+# core regressions and fills the other FORTY-FIVE slots with oracle-backed
+# queries that have never had a driver row, prioritizing whole families with
+# zero driver coverage: engagement, evaluation, search, sketches,
+# experiments, geo, opsaudit, and the Spark-4 SQL surface. Rotated-out
+# queries stay registered below the window, still verified by the local
+# differential harness (tests/test_oracle_parity.py) at sf0.001 + sf0.01.
 PRIORITY: tuple[str, ...] = (
-    # -- 10 core regressions (driver-green in r1+r2) --
+    # -- 5 core regressions (driver-green in r1+r2+r3) --
     "flagship_revenue",
     "join_inner",
-    "agg_macros",
     "dedup_last_write",
-    "json_flatten",
-    "dedup_minhash_banded",
-    "similarity_ann_ivf",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    "mm_frame_sample",
-    # -- SQL surface depth (E8/E9, never driver-checked) --
-    "recursive_path_counts",
-    "agg_grouping_sets",
-    "null_semantics",
-    "higher_order_funcs",
-    # -- iterative / graph / clustering (E6, X1 trainer) --
-    "graph_pagerank",
-    "cluster_centroids",
-    "kmeans_refine",
-    # -- CDC / skew / custom source (E10, skew ops, E12) --
-    "scd2_history",
-    "join_salted",
-    "agg_two_phase",
-    "pysource_items",
-    # -- product analytics + time series (E1/E2) --
-    "sessionize_batch",
-    "funnel_conversion",
-    "retention_cohorts",
-    "rolling_7d_features",
-    "anomaly_mad",
-    "gap_fill_forward",
-    # -- profiling + LM statistics (E3/E4/E5) --
-    "profile_columns",
-    "histogram_value",
-    "ngram_bigram_lm",
-    "agg_incremental_merge",
-    # -- corpus curation (E7 + curation suite) --
-    "pii_redact",
-    "repetition_score",
-    "tfidf_terms",
-    "contamination_check",
-    "corpus_split",
-    "pack_sequences",
-    "corpus_mix_sample",
-    "quality_classifier",
-    "dedup_keep_best",
-    # -- text / embedding producers (X3 extensions, E15) --
-    "doc_fingerprint",
-    "embed_feature_hash",
-    "fuzzy_match_names",
-    # -- similarity tiers (X1: int8 + PQ + semantic + e2e) --
-    "similarity_topk_int8",
-    "similarity_topk_pq",
-    "dedup_semantic",
-    "pipeline_embed_topk",
-    # -- streaming + multimodal value checks (T6/T7, X4) --
-    "stream_session_windows",
-    "stream_static_enrich",
-    "mm_decode_stats",
+    # -- engagement (E21/E45, zero driver rows) --
+    "running_distinct",
+    "user_streaks",
+    "agg_decayed",
+    "cusum_changepoint",
+    "activity_bitmap",
+    "ctr_wilson",
+    # -- classifier / ranking evaluation (E49) --
+    "eval_auc_rank",
+    "eval_pr_thresholds",
+    "eval_calibration_bins",
+    "eval_label_kappa",
+    "eval_gains_lift",
+    # -- search / late interaction (E22, E27, X1 eval) --
+    "bm25_search",
+    "similarity_maxsim",
+    "ann_recall_eval",
+    "search_prf_expand",
+    # -- sketches (A5 extensions, E40-E44) --
+    "sketch_hll",
+    "agg_kmv_distinct",
+    "sketch_countmin",
+    "sketch_bloom",
+    "kmv_overlap",
+    # -- experiments / sequence analytics --
+    "ab_cuped",
+    "ab_srm_check",
+    "cep_pattern_match",
+    "rfm_segments",
+    # -- geo (E50) --
+    "geo_hub_assign",
+    "geo_grid_hotspots",
+    # -- ops audit (E46-class) --
+    "fk_audit",
+    "table_diff_audit",
+    "ooo_audit",
+    "recon_order_totals",
+    # -- Spark-4 SQL surface (E58, F4, U3) --
+    "sql_pipe_syntax",
+    "variant_extract",
+    "udtf_expand_items",
+    "sql_session_variables",
+    # -- graph suite beyond pagerank (E26, E52) --
+    "graph_triangles",
+    "graph_kcore",
+    "graph_bfs_khop",
+    "graph_shortest_path",
+    # -- text analysis (X3: lang-id, quality, BPE, PMI) --
+    "lang_id",
+    "quality_score",
+    "bpe_top_pairs",
+    "collocation_pmi",
+    # -- dedup variants with no driver row (X2) --
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    # -- exact order statistics (E36) --
+    "weighted_median",
 )
 
 

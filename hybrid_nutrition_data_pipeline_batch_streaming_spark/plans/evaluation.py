@@ -103,10 +103,11 @@ def _histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT)    AS n_docs,
            CAST(SUM(label) AS BIGINT)  AS n_pos,
-           CAST(1000000 * (SUM(CASE WHEN label = 1 THEN mr2 ELSE 0 END)
-                           - SUM(label) * (SUM(label) + 1))
-                // (2 * SUM(label) * (COUNT(*) - SUM(label)))
-                AS BIGINT)             AS auc_ppm
+           CAST(CASE WHEN SUM(label) = 0 OR SUM(label) = COUNT(*) THEN NULL
+                ELSE 1000000 * (SUM(CASE WHEN label = 1 THEN mr2 ELSE 0 END)
+                                - SUM(label) * (SUM(label) + 1))
+                     // (2 * SUM(label) * (COUNT(*) - SUM(label)))
+                END AS BIGINT)         AS auc_ppm
     FROM r
     """,
 )
@@ -130,9 +131,11 @@ def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos_g").cast("long").alias("n_pos"),
         F.expr(
             """
-            CAST(1000000 * (SUM(pos_g * (2 * cum_less + n_g + 1))
-                            - SUM(pos_g) * (SUM(pos_g) + 1))
-                 div (2 * SUM(pos_g) * (SUM(n_g) - SUM(pos_g))) AS BIGINT)
+            CAST(CASE WHEN SUM(pos_g) = 0 OR SUM(pos_g) = SUM(n_g) THEN NULL
+                 ELSE 1000000 * (SUM(pos_g * (2 * cum_less + n_g + 1))
+                                 - SUM(pos_g) * (SUM(pos_g) + 1))
+                      div (2 * SUM(pos_g) * (SUM(n_g) - SUM(pos_g)))
+                 END AS BIGINT)
             """
         ).alias("auc_ppm"),
     )

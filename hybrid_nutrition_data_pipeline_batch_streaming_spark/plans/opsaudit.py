@@ -322,7 +322,7 @@ def fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("null_fks"),
         )
         row = (
-            totals.crossJoin(orphans)
+            totals.crossJoin(F.broadcast(orphans))
             .select(
                 F.lit(f"{child}.{ck}").alias("fk_edge"),
                 "child_rows",

@@ -266,11 +266,8 @@ def similarity_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ranking). Seeded for determinism, but hash functions are
     JVM-internal → rows-only check; the custom SQL-portable variant
     (similarity_ann_lsh) carries the oracle."""
-    try:
-        from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-        from pyspark.ml.functions import array_to_vector
-    except ImportError:  # pragma: no cover - ml not bundled
-        raise NotImplementedError("pyspark.ml unavailable in this build")
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
 
     cat = Catalog(spark, sf_dir)
     vecs = cat.embeddings.select(

@@ -396,10 +396,7 @@ def text_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-native text classifier/clusterer. Hash buckets are JVM-internal →
     rows-only; the SQL-portable tokenization carries the oracle
     (wordcloud_tokens, text_stats)."""
-    try:
-        from pyspark.ml.feature import HashingTF, StopWordsRemover, Tokenizer
-    except ImportError:  # pragma: no cover
-        raise NotImplementedError("pyspark.ml unavailable in this build")
+    from pyspark.ml.feature import HashingTF, StopWordsRemover, Tokenizer
 
     cat = Catalog(spark, sf_dir)
     toks = Tokenizer(inputCol="text", outputCol="tokens").transform(cat.documents)

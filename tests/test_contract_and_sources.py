@@ -3,8 +3,11 @@
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_driver_contract_shape(spark):
@@ -34,21 +37,57 @@ def test_registry_priority_window():
     assert len(set(plans.PRIORITY)) == 50
     assert tuple(names[:50]) == plans.PRIORITY
     assert all(n in plans.ORACLE for n in names[:50])
-    # Round-3 rotation: ten core regressions (one per family) stay pinned;
-    # the other slots burn down queries that never had a driver row.
+    # Round-4 rotation: five core regressions stay pinned; the other 45
+    # slots burn down families that never had a driver row (engagement,
+    # evaluation, search, sketches, experiments, geo, opsaudit, Spark-4).
     core_regressions = {
-        "flagship_revenue", "join_inner", "agg_macros", "dedup_last_write",
-        "json_flatten", "dedup_minhash_banded", "similarity_ann_ivf",
-        "pipeline_nutrition_e2e", "stream_tumbling_live", "mm_frame_sample",
+        "flagship_revenue", "join_inner", "dedup_last_write",
+        "pipeline_nutrition_e2e", "stream_tumbling_live",
     }
     assert core_regressions <= set(plans.PRIORITY)
     rotated_in = {
-        "graph_pagerank", "dedup_keep_best", "scd2_history", "pysource_items",
-        "recursive_path_counts", "agg_grouping_sets", "kmeans_refine",
-        "quality_classifier", "pack_sequences", "funnel_conversion",
-        "profile_columns", "similarity_topk_pq",
+        "running_distinct", "eval_auc_rank", "bm25_search", "sketch_hll",
+        "ab_cuped", "geo_hub_assign", "fk_audit", "sql_pipe_syntax",
+        "graph_triangles", "lang_id", "dedup_simhash", "weighted_median",
     }
     assert rotated_in <= set(plans.PRIORITY)
+
+
+def test_rotation_is_self_auditing():
+    """Driver-window insurance (VERDICT r3 item 7): every query that EVER
+    earned a green driver CORRECTNESS row must stay registered with its
+    oracle — a rotation that silently dropped one would hide a regression.
+    Also: every current PRIORITY key must carry an oracle (the driver's
+    hash gate is meaningless without one)."""
+    import glob
+    import json as _json
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+
+    assert set(plans.PRIORITY) <= set(plans.ORACLE)
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
+        for key, row in _json.load(open(path)).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+            ):
+                verified.add(key)
+    assert verified, "no driver CORRECTNESS files found"
+    missing_from_registry = verified - set(plans.QUERIES)
+    assert not missing_from_registry, (
+        f"driver-verified queries dropped from registry: {missing_from_registry}"
+    )
+    # Hash-verified keys must keep their oracle; keys whose driver row was
+    # rows-only (hash_match None) legitimately live outside ORACLE.
+    lost_oracle = {
+        k
+        for k in verified
+        if k not in plans.ORACLE
+        and k not in {"stream_stateful_totals"}  # rows-only by nature (T7)
+    }
+    assert not lost_oracle, f"driver-verified queries lost oracles: {lost_oracle}"
 
 
 def test_json_lines_permissive_quarantine(spark, tmp_path):

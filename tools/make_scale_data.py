@@ -118,8 +118,13 @@ def gen_graph_tables(spark, m, out):
                    " WHEN 1 THEN '2-HIGH' WHEN 2 THEN '3-MEDIUM'"
                    " WHEN 3 THEN '4-NOT SPECIFIED' ELSE '5-LOW' END"
                    ).alias("o_orderpriority"),
-            F.expr("CASE pmod(xxhash64(id, 27), 3) WHEN 0 THEN 'F'"
-                   " WHEN 1 THEN 'O' ELSE 'P' END").alias("o_orderstatus"),
+            # Fixture-like proportions: TPC-H makes 'P' rare (orders still
+            # partially in flight), so ~49% F / ~49% O / ~2% P — keeps the
+            # status-filtered scale queries (sql_session_variables,
+            # filter_exists_correlated) at fixture-shaped selectivity.
+            F.expr("CASE WHEN pmod(xxhash64(id, 27), 100) < 49 THEN 'F'"
+                   " WHEN pmod(xxhash64(id, 27), 100) < 98 THEN 'O'"
+                   " ELSE 'P' END").alias("o_orderstatus"),
             F.expr(
                 "CAST(date_add(DATE '1995-01-01',"
                 " CAST(pmod(xxhash64(id, 14), 2400) AS INT)) AS TIMESTAMP_NTZ)"
