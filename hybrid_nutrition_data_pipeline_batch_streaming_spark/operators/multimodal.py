@@ -61,11 +61,26 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Integration point for a real image decoder (PIL/libvips). The
-    container ships no media libraries, so this is an explicit stub."""
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an image payload → (width, height, top-down RGB bytes).
+
+    Uncompressed formats decode for real, in pure Python (operators/
+    codecs.py): 24-bit BMP (bottom-up rows, 4-byte padding, BGR order)
+    and binary PPM (P6). Compressed formats (JPEG/PNG/WebP/...) remain
+    the integration point for PIL/libvips — the NotImplementedError is
+    now narrowed to exactly those."""
+    from .codecs import decode_bmp, decode_ppm
+
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    magic = {
+        b"\xff\xd8": "JPEG", b"\x89P": "PNG", b"GI": "GIF", b"RI": "WebP/RIFF",
+    }.get(bytes(payload[:2]), "unknown")
     raise NotImplementedError(
-        "media decode requires an image library; wire PIL/libvips here"
+        f"compressed image format ({magic}) requires an image library; "
+        "wire PIL/libvips here — BMP/PPM decode natively"
     )
 
 

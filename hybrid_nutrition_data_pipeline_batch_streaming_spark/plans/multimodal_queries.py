@@ -535,3 +535,145 @@ def mm_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("max_lag_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-codec decode (round-4: BMP pixels and WAV samples, genuinely decoded)
+# ---------------------------------------------------------------------------
+
+_BMP_W, _BMP_H = 8, 4               # 96 RGB bytes per fixture image
+_WAV_N, _WAV_RATE = 64, 16_000      # 64 PCM-16 samples per fixture clip
+
+
+@query(
+    "mm_decode_bmp",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(0, {_BMP_W * _BMP_H * 3 - 1}),
+                   k -> CAST(ascii(text[CAST(k % len(text) + 1 AS BIGINT)])
+                        AS BIGINT)
+               ) AS s
+        FROM documents WHERE len(text) > 0
+    )
+    SELECT doc_id,
+           CAST({_BMP_W} AS BIGINT) AS width,
+           CAST({_BMP_H} AS BIGINT) AS height,
+           CAST({_BMP_W * _BMP_H} AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(generate_series(1, len(s), 3),
+                                        i -> s[i])) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(generate_series(2, len(s), 3),
+                                        i -> s[i])) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(generate_series(3, len(s), 3),
+                                        i -> s[i])) AS BIGINT) AS sum_b,
+           CAST(list_sum(list_transform(generate_series(1, len(s)),
+                                        i -> i * s[i])) AS BIGINT)
+               AS px_checksum
+    FROM px
+    """,
+)
+def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the X4 boundary: each document's ASCII
+    bytes are cycled into an 8×4 RGB raster, encoded as a standard 24-bit
+    BMP (bottom-up rows, 4-byte padding, BGR order — operators/codecs.py),
+    then DECODED back by the pure-Python BMP parser inside mapInPandas;
+    the emitted stats are computed from the decoded pixels. The oracle
+    derives the same sums directly from the text bytes, so a decoder that
+    mishandled row order, padding, or channel swap would hash-mismatch.
+    Exact-integer outputs; one Arrow-batched stage, no shuffle."""
+    import pandas as pd
+
+    from ..operators.codecs import encode_bmp
+    from ..operators.multimodal import decode_image
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.filter(F.length("text") > 0).select("doc_id", "text")
+    need = _BMP_W * _BMP_H * 3
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "n_px",
+                     "sum_r", "sum_g", "sum_b", "px_checksum")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                rgb = bytes(raw[k % len(raw)] for k in range(need))
+                w, h, decoded = decode_image(encode_bmp(_BMP_W, _BMP_H, rgb))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(w * h)
+                rows["sum_r"].append(sum(decoded[0::3]))
+                rows["sum_g"].append(sum(decoded[1::3]))
+                rows["sum_b"].append(sum(decoded[2::3]))
+                rows["px_checksum"].append(
+                    sum((k + 1) * b for k, b in enumerate(decoded))
+                )
+            yield pd.DataFrame(rows)
+
+    schema = ("doc_id bigint, width bigint, height bigint, n_px bigint, "
+              "sum_r bigint, sum_g bigint, sum_b bigint, px_checksum bigint")
+    return docs.mapInPandas(run, schema=schema)
+
+
+@query(
+    "mm_decode_wav",
+    oracle=f"""
+    WITH smp AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(0, {_WAV_N - 1}),
+                   k -> (CAST(ascii(text[CAST(k % len(text) + 1 AS BIGINT)])
+                         AS BIGINT) - 128) * 256
+               ) AS s
+        FROM documents WHERE len(text) > 0
+    )
+    SELECT doc_id,
+           CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST({_WAV_N} AS BIGINT) AS n_samples,
+           CAST(list_sum(s) AS BIGINT) AS sum_s,
+           CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT)
+               AS peak_abs,
+           CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy
+    FROM smp
+    """,
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the X4 boundary: document bytes map to 64
+    signed PCM-16 samples ((byte-128)·256), encoded as a canonical
+    RIFF/WAVE file and DECODED back by the pure-Python chunk-walking WAV
+    parser (operators/codecs.py) inside mapInPandas; emitted stats (sum,
+    peak, energy) come from the decoded samples. Exact-integer outputs;
+    one Arrow-batched stage, no shuffle."""
+    import pandas as pd
+
+    from ..operators.codecs import decode_wav_pcm16, encode_wav_pcm16
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.filter(F.length("text") > 0).select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "sample_rate", "n_samples",
+                     "sum_s", "peak_abs", "energy")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                samples = [
+                    (raw[k % len(raw)] - 128) * 256 for k in range(_WAV_N)
+                ]
+                rate, _ch, decoded = decode_wav_pcm16(
+                    encode_wav_pcm16(samples, _WAV_RATE)
+                )
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(decoded))
+                rows["sum_s"].append(sum(decoded))
+                rows["peak_abs"].append(max(abs(x) for x in decoded))
+                rows["energy"].append(sum(x * x for x in decoded))
+            yield pd.DataFrame(rows)
+
+    schema = ("doc_id bigint, sample_rate bigint, n_samples bigint, "
+              "sum_s bigint, peak_abs bigint, energy bigint")
+    return docs.mapInPandas(run, schema=schema)
