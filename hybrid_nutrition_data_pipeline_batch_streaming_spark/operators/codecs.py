@@ -73,6 +73,8 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
         )
     top_down = height_raw < 0
     height = -height_raw if top_down else height_raw
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height_raw}")
     row_stride = (width * 3 + 3) & ~3
     if len(payload) < data_offset + row_stride * height:
         raise ValueError("truncated BMP pixel data")
@@ -167,7 +169,14 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, list[int]]:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         pos += 8
         body = payload[pos : pos + size]
+        if cid in (b"fmt ", b"data") and len(body) < size:
+            raise ValueError(
+                f"truncated WAV {cid.decode('ascii').strip()} chunk: "
+                f"declared {size} bytes, {len(body)} present"
+            )
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"WAV fmt chunk too short ({len(body)} bytes)")
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt != 1 or bits != 16:

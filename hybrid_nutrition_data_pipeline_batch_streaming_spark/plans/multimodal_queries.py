@@ -581,7 +581,10 @@ def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted stats are computed from the decoded pixels. The oracle
     derives the same sums directly from the text bytes, so a decoder that
     mishandled row order, padding, or channel swap would hash-mismatch.
-    Exact-integer outputs; one Arrow-batched stage, no shuffle."""
+    ASCII-fixture assumption: the oracle's per-CHARACTER ascii() equals the
+    implementation's per-UTF-8-BYTE indexing only because documents.text is
+    ASCII-only — pinned by tests/test_fixture_contracts.py. Exact-integer
+    outputs; one Arrow-batched stage, no shuffle."""
     import pandas as pd
 
     from ..operators.codecs import encode_bmp
@@ -644,7 +647,10 @@ def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed PCM-16 samples ((byte-128)·256), encoded as a canonical
     RIFF/WAVE file and DECODED back by the pure-Python chunk-walking WAV
     parser (operators/codecs.py) inside mapInPandas; emitted stats (sum,
-    peak, energy) come from the decoded samples. Exact-integer outputs;
+    peak, energy) come from the decoded samples. ASCII-fixture assumption:
+    the oracle's per-CHARACTER ascii() equals the implementation's
+    per-UTF-8-BYTE indexing only because documents.text is ASCII-only —
+    pinned by tests/test_fixture_contracts.py. Exact-integer outputs;
     one Arrow-batched stage, no shuffle."""
     import pandas as pd
 

@@ -87,3 +87,42 @@ def test_decode_image_dispatch_and_narrowed_stub():
         decode_image(b"\xff\xd8\xff\xe0" + bytes(16))
     with pytest.raises(NotImplementedError, match="PNG"):
         decode_image(b"\x89PNG\r\n\x1a\n" + bytes(16))
+
+
+def test_wav_rejects_oversized_declared_chunk():
+    # ADVICE r4: a data chunk whose declared size exceeds the remaining
+    # payload must raise the documented ValueError, not struct.error.
+    payload = bytearray(encode_wav_pcm16([1, 2, 3, 4]))
+    data_pos = payload.index(b"data")
+    struct.pack_into("<I", payload, data_pos + 4, 10_000)
+    with pytest.raises(ValueError, match="truncated WAV data chunk"):
+        decode_wav_pcm16(bytes(payload))
+    # Same contract for a truncated fmt chunk.
+    p2 = bytearray(encode_wav_pcm16([1]))
+    fmt_pos = p2.index(b"fmt ")
+    struct.pack_into("<I", p2, fmt_pos + 4, 4_096)
+    with pytest.raises(ValueError, match="truncated WAV fmt chunk"):
+        decode_wav_pcm16(bytes(p2))
+    # A consistent-but-short fmt chunk (declared == present < 16 bytes).
+    p3 = bytearray(encode_wav_pcm16([1]))
+    short = p3[:fmt_pos + 4] + struct.pack("<I", 8) + p3[fmt_pos + 8:fmt_pos + 16]
+    short += p3[p3.index(b"data"):]
+    short[4:8] = struct.pack("<I", len(short) - 8)
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        decode_wav_pcm16(bytes(short))
+
+
+def test_bmp_rejects_nonpositive_dimensions():
+    # ADVICE r4: width <= 0 or height == 0 must be ValueError, not garbage.
+    p = bytearray(encode_bmp(2, 2, bytes(12)))
+    struct.pack_into("<i", p, 18, 0)  # width = 0
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(bytes(p))
+    p = bytearray(encode_bmp(2, 2, bytes(12)))
+    struct.pack_into("<i", p, 18, -3)  # negative width
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(bytes(p))
+    p = bytearray(encode_bmp(2, 2, bytes(12)))
+    struct.pack_into("<i", p, 22, 0)  # height = 0
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(bytes(p))
