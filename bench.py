@@ -106,6 +106,14 @@ HEADLINE = [
     "fifo_match_lots",
     "graph_shortest_path",
     "eval_auc_rank",
+    # round-5 additions (VERDICT r4 item 5): the real-codec decode queries
+    # (Arrow-boundary cost worth tracking), the survival life table, the
+    # exact two-sample KS statistic, and Vickrey settlement
+    "mm_decode_bmp",
+    "mm_decode_wav",
+    "survival_table",
+    "ks_two_sample",
+    "auction_second_price",
 ]
 
 

@@ -44,78 +44,77 @@ from . import evaluation  # noqa: F401,E402
 from . import geo  # noqa: F401,E402
 
 # The driver-checked window: exactly these 50, in this order, all with
-# oracles. Round-4 rotation (VERDICT r3 item 1): 112/301 queries carry a
-# green driver CORRECTNESS row after three rounds, so this round keeps FIVE
-# core regressions and fills the other FORTY-FIVE slots with oracle-backed
-# queries that have never had a driver row, prioritizing whole families with
-# zero driver coverage: engagement, evaluation, search, sketches,
-# experiments, geo, opsaudit, and the Spark-4 SQL surface. Rotated-out
-# queries stay registered below the window, still verified by the local
-# differential harness (tests/test_oracle_parity.py) at sf0.001 + sf0.01.
+# oracles. Round-5 rotation (VERDICT r4 item 1): 157/303 queries carry a
+# green driver CORRECTNESS row after four rounds, so this round keeps the
+# same FIVE core regressions and fills the other FORTY-FIVE slots with
+# oracle-backed queries that have never had a driver row, prioritizing the
+# families the verdict named: the real-codec multimodal decode queries,
+# timeseries/finance, curation extras, the relational2 tail, the session-7/8
+# ops, analytics, the M=100-scale-study heavy queries, and live streaming.
+# Rotated-out queries stay registered below the window, still verified by
+# the local differential harness (tests/test_oracle_parity.py) at
+# sf0.001 + sf0.01.
 PRIORITY: tuple[str, ...] = (
-    # -- 5 core regressions (driver-green in r1+r2+r3) --
+    # -- 5 core regressions (driver-green in r1-r4) --
     "flagship_revenue",
     "join_inner",
     "dedup_last_write",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    # -- engagement (E21/E45, zero driver rows) --
-    "running_distinct",
-    "user_streaks",
-    "agg_decayed",
-    "cusum_changepoint",
-    "activity_bitmap",
-    "ctr_wilson",
-    # -- classifier / ranking evaluation (E49) --
-    "eval_auc_rank",
-    "eval_pr_thresholds",
-    "eval_calibration_bins",
-    "eval_label_kappa",
-    "eval_gains_lift",
-    # -- search / late interaction (E22, E27, X1 eval) --
-    "bm25_search",
-    "similarity_maxsim",
-    "ann_recall_eval",
-    "search_prf_expand",
-    # -- sketches (A5 extensions, E40-E44) --
-    "sketch_hll",
-    "agg_kmv_distinct",
-    "sketch_countmin",
-    "sketch_bloom",
-    "kmv_overlap",
-    # -- experiments / sequence analytics --
-    "ab_cuped",
-    "ab_srm_check",
-    "cep_pattern_match",
-    "rfm_segments",
-    # -- geo (E50) --
-    "geo_hub_assign",
-    "geo_grid_hotspots",
-    # -- ops audit (E46-class) --
-    "fk_audit",
-    "table_diff_audit",
-    "ooo_audit",
-    "recon_order_totals",
-    # -- Spark-4 SQL surface (E58, F4, U3) --
-    "sql_pipe_syntax",
-    "variant_extract",
-    "udtf_expand_items",
-    "sql_session_variables",
-    # -- graph suite beyond pagerank (E26, E52) --
-    "graph_triangles",
-    "graph_kcore",
-    "graph_bfs_khop",
-    "graph_shortest_path",
-    # -- text analysis (X3: lang-id, quality, BPE, PMI) --
-    "lang_id",
-    "quality_score",
-    "bpe_top_pairs",
-    "collocation_pmi",
-    # -- dedup variants with no driver row (X2) --
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    # -- exact order statistics (E36) --
-    "weighted_median",
+    # -- multimodal incl. the round-4 real codecs (X4, zero driver rows) --
+    "mm_decode_bmp",
+    "mm_decode_wav",
+    "mm_metadata",
+    "mm_resize",
+    "mm_scene_segments",
+    "mm_frame_dedup",
+    "mm_caption_align",
+    "mm_audio_energy",
+    # -- timeseries / finance (E30-class) --
+    "twap_irregular",
+    "drawdown_max",
+    "period_over_period",
+    "ts_autocorr",
+    "ts_decompose",
+    "ts_motif_match",
+    "ts_resample_ohlc",
+    # -- curation extras (X3 quality gates, corpus ops) --
+    "perplexity_filter",
+    "corpus_quota_split",
+    "dsir_resample",
+    "dedup_lines",
+    "span_dedup",
+    "dedup_incremental",
+    # -- relational2 tail (P6/O2/E36) --
+    "top_supplier_revenue",
+    "kth_order_statistics",
+    "percentile_interpolated",
+    "filter_exists_correlated",
+    "topk_with_ties",
+    # -- session-7/8 ops --
+    "survival_table",
+    "ks_two_sample",
+    "auction_second_price",
+    "stream_percentile_live",
+    # -- analytics --
+    "er_golden_records",
+    "pareto_frontier",
+    "markov_transitions",
+    "growth_accounting",
+    # -- M=100 scale-study heavies (VERDICT item 2 pairs driver rows) --
+    "graph_jaccard_sim",
+    "graph_modularity",
+    "join_delta_maintain",
+    "dedup_threshold_sweep",
+    # -- live streaming drains beyond tumbling (T6/T7) --
+    "stream_sliding_live",
+    "stream_topk_live",
+    "stream_cusum_live",
+    # -- window / join / semistructured tail --
+    "grouped_median_exact",
+    "join_asof_nearest",
+    "window_cume_dist",
+    "xml_roundtrip_flatten",
 )
 
 

@@ -37,18 +37,21 @@ def test_registry_priority_window():
     assert len(set(plans.PRIORITY)) == 50
     assert tuple(names[:50]) == plans.PRIORITY
     assert all(n in plans.ORACLE for n in names[:50])
-    # Round-4 rotation: five core regressions stay pinned; the other 45
-    # slots burn down families that never had a driver row (engagement,
-    # evaluation, search, sketches, experiments, geo, opsaudit, Spark-4).
+    # Round-5 rotation: five core regressions stay pinned; the other 45
+    # slots burn down families that never had a driver row (multimodal
+    # decode, timeseries/finance, curation extras, relational2 tail,
+    # session-7/8 ops, analytics, scale-study heavies, live streaming).
     core_regressions = {
         "flagship_revenue", "join_inner", "dedup_last_write",
         "pipeline_nutrition_e2e", "stream_tumbling_live",
     }
     assert core_regressions <= set(plans.PRIORITY)
     rotated_in = {
-        "running_distinct", "eval_auc_rank", "bm25_search", "sketch_hll",
-        "ab_cuped", "geo_hub_assign", "fk_audit", "sql_pipe_syntax",
-        "graph_triangles", "lang_id", "dedup_simhash", "weighted_median",
+        "mm_decode_bmp", "mm_decode_wav", "twap_irregular", "drawdown_max",
+        "perplexity_filter", "corpus_quota_split", "top_supplier_revenue",
+        "survival_table", "ks_two_sample", "er_golden_records",
+        "graph_jaccard_sim", "join_delta_maintain", "stream_percentile_live",
+        "grouped_median_exact",
     }
     assert rotated_in <= set(plans.PRIORITY)
 
@@ -88,6 +91,25 @@ def test_rotation_is_self_auditing():
         and k not in {"stream_stateful_totals"}  # rows-only by nature (T7)
     }
     assert not lost_oracle, f"driver-verified queries lost oracles: {lost_oracle}"
+    # VERDICT r4 item 7: cumulative driver-verified coverage must be
+    # monotonically non-decreasing round over round — a rotation that put
+    # already-verified keys back in the window (instead of burning down the
+    # never-verified set) would stall or shrink coverage.
+    cumulative: set[str] = set()
+    counts: list[int] = []
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
+        cumulative |= set(_json.load(open(path)))
+        counts.append(len(cumulative))
+    assert counts == sorted(counts)
+    assert all(b > a for a, b in zip(counts, counts[1:])), (
+        f"cumulative driver coverage stalled across rounds: {counts}"
+    )
+    # And the CURRENT window must keep it growing: at most the 5 pinned
+    # core regressions may already be verified; every other slot must be new.
+    already = [q for q in plans.PRIORITY if q in cumulative]
+    assert len(already) <= 5, (
+        f"rotation wastes window slots on already-verified keys: {already}"
+    )
 
 
 def test_json_lines_permissive_quarantine(spark, tmp_path):
