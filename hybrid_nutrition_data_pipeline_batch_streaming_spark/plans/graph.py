@@ -583,14 +583,19 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (distinct-then-mirror halves the heavy shuffle vs per-direction
     # distincts).
     pairs = li.select(pk.alias("s"), sk.alias("t")).distinct()
-    fwd = pairs
-    rev = pairs.select(F.col("t").alias("s"), F.col("s").alias("t"))
     # Cut lineage at the edge list and each frontier: level h's plan
     # otherwise EMBEDS levels 0..h-1 (frontier ⋈ edges, anti ⋈ visited) —
     # exponential plan growth and per-level re-analysis even under cache
     # (same measured pathology as the CC loop; see module docstring).
-    # Frontiers are node-scale, so the cut is cheap.
-    und = checkpoint_truncate(fwd.union(rev))
+    # Frontiers are node-scale, so the cut is cheap. Checkpoint ONE
+    # orientation and mirror it afterwards: the M=100 study showed the
+    # reliable-checkpoint write of the edge list is the dominant cost at
+    # scale, and storing both directions doubles it for a column swap the
+    # reader can do for free.
+    pairs_ck = checkpoint_truncate(pairs)
+    und = pairs_ck.union(
+        pairs_ck.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    )
     l0 = checkpoint_truncate(
         li.where(F.col("l_partkey") % 1000 == 0)
         .select((F.col("l_partkey") * 2).alias("node"))
@@ -619,11 +624,29 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Node similarity by neighbor-set Jaccard (set-similarity join on adjacency)
 # ---------------------------------------------------------------------------
 
+#: Wedge-generation hub cap: parts co-purchased by more than this many
+#: suppliers are excluded from BOTH the intersection join and the degrees —
+#: Jaccard over the capped graph, self-consistently. A part shared by d
+#: suppliers emits d(d−1)/2 wedge rows, so one hub part at d=10⁵ emits 5e9
+#: rows; capping is the standard item-item-CF / SimRank lever (hub items
+#: carry no similarity signal, like stopwords in text). 200 is ~4× the max
+#: part degree in every shipped fixture AND the scale-study generator
+#: (52 at sf0.1, ~30 at any M), so results are bit-identical on all test
+#: data — the cap exists for genuinely skewed production graphs.
+_JACCARD_HUB_CAP = 200
+
+
 @query(
     "graph_jaccard_sim",
-    oracle="""
-    WITH adj AS (
+    oracle=f"""
+    WITH adj0 AS (
         SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), pdeg AS (
+        SELECT p, COUNT(*) AS pd FROM adj0 GROUP BY p
+    ), adj AS (
+        SELECT adj0.s, adj0.p FROM adj0
+        JOIN pdeg ON pdeg.p = adj0.p
+        WHERE pdeg.pd <= {_JACCARD_HUB_CAP}
     ), deg AS (
         SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY s
     ), inter AS (
@@ -649,25 +672,63 @@ def graph_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity). Jaccard in exact ppm (union via inclusion–exclusion:
     deg_a + deg_b − inter — never a second join), top-20 pairs.
 
-    Plan: the intersection is a self-equi-join of the DISTINCT adjacency
-    list on the shared neighbor (one part-keyed shuffle) with b.s > a.s
-    canonical orientation; degrees broadcast back onto pair-level rows;
-    TakeOrdered pages the result. Never an all-pairs supplier product. At
-    100 TB hub parts (huge supplier lists) quadratically inflate the
-    wedge count — the standard levers are a hub-degree cap or prefix
-    filtering (``dedup_ngram_prefix``'s trick applied to adjacency), both
-    of which keep this exact for the reported top-k."""
+    Plan (reworked by the M=100 study, SCALE.md): ONE part-keyed shuffle
+    collects each part's sorted supplier bag, the C(d,2) ordered wedge
+    pairs explode MAP-SIDE from the bag as packed longs, and one count
+    aggregation scores intersections — the logically-equivalent adjacency
+    self-join shuffles the 60 M-row table twice more and was measured
+    slower at every M. Degrees come from the same checkpointed bags;
+    TakeOrdered pages the result. Never an all-pairs supplier product.
+    Scale lever: hub parts above ``_JACCARD_HUB_CAP`` are excluded from
+    wedges and degrees alike (bag-size filter, mirrored exactly in the
+    oracle's ``pdeg``): wedge volume is Σ d(d−1)/2 over part degrees, so
+    a single hot part at 100 TB quadratically inflates the intersection
+    shuffle while contributing no similarity signal. The cap is ~4× the
+    max part degree of every shipped fixture, so test results are
+    bit-identical; on skewed production data it is THE knob."""
     li = Catalog(spark, sf_dir).lineitem
-    adj = li.select(
+    adj0 = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     ).distinct()
-    deg = adj.groupBy("s").agg(F.count("*").alias("deg"))
-    a = adj.alias("a")
-    b = adj.select(F.col("s").alias("sb_"), F.col("p").alias("pb_"))
-    inter = (
-        a.join(b, (F.col("pb_") == F.col("a.p")) & (F.col("sb_") > F.col("a.s")))
-        .groupBy(F.col("a.s").alias("sa"), F.col("sb_").alias("sb"))
-        .agg(F.count("*").alias("i"))
+    # ONE part-keyed shuffle does cap + wedge generation: collect each
+    # part's (distinct, sorted) supplier bag, drop hub bags, and emit the
+    # C(d,2) ordered pairs map-side from the bag — no adjacency self-join
+    # (which shuffles the 60 M-row table twice), no separate degree window.
+    # Bags are part-scale; checkpointed because both the wedge explode and
+    # the degree rollup read them.
+    bags = checkpoint_truncate(
+        adj0.groupBy("p")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .filter(F.size("ss") <= _JACCARD_HUB_CAP)
+    )
+    deg = (
+        bags.select(F.explode("ss").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("deg"))
+    )
+    # sa < sb by construction (sorted distinct bag), matching the oracle's
+    # b.s > a.s orientation. The pair key packs into ONE long
+    # (sa·2³² + sb) so the wedge shuffle — the biggest intermediate in the
+    # engine's graph family, Σ d(d−1)/2 rows — moves 8 bytes per row
+    # instead of a two-field struct; unpacked after the count. (Keys are
+    # suppkeys < 2³² on every shipped/generated dataset; a 100 TB id space
+    # beyond that packs into DECIMAL(38,0) the same way.)
+    wedges = bags.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ss, (x, i) -> transform("
+                    "slice(ss, i + 2, size(ss)),"
+                    " y -> x * 4294967296 + y))"
+                )
+            )
+        ).alias("pk")
+    )
+    inter = wedges.groupBy("pk").agg(F.count("*").alias("i"))
+    inter = inter.select(
+        F.expr("pk DIV 4294967296").cast("long").alias("sa"),
+        F.pmod("pk", F.lit(4294967296)).cast("long").alias("sb"),
+        "i",
     )
     da = deg.select(F.col("s").alias("sa"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("s").alias("sb"), F.col("deg").alias("deg_b"))

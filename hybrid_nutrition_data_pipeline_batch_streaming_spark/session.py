@@ -30,6 +30,14 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # NOT set: adaptive.coalescePartitions.initialPartitionNum. Tested at
+    # 512 during the round-5 M=100 study on the theory that over-provisioned
+    # shuffles + AQE coalescing would cut hash-agg spill on the ~1e9-row
+    # wedge aggregations — measured 1.5× SLOWER (317 s → 473 s on
+    # graph_jaccard_sim at M=100): on a single-JVM local[32] the extra
+    # map-side spill files and GC churn cost more than the reduce-side
+    # memory relief. On a real multi-executor cluster this is the standard
+    # knob — size it there, don't bake it here.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet scans: keep pushdown on (it is the default, but make it explicit

@@ -1,0 +1,197 @@
+"""Wire-path Kafka stand-in (VERDICT r4 item 6): real bytes over a real TCP
+socket — producer → broker → streaming source → upsert store — with the two
+properties the reference's Kafka pair relies on:
+
+- exactly-once across a driver restart (Spark checkpoint replays offset
+  ranges; the broker's log is immutable and fetch non-destructive);
+- consumer-group manual-commit resume (`consumer/consume_items.py:27-29,107`):
+  a NEW query with no checkpoint resumes from the group's committed offset.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hybrid_nutrition_data_pipeline_batch_streaming_spark.sources.wire_source import (
+    _WireStreamReader,
+    register,
+)
+from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.wirebroker import (
+    WireBroker,
+    WireClient,
+    produce_dataframe,
+)
+
+
+@pytest.fixture()
+def broker():
+    with WireBroker() as b:
+        yield b
+
+
+def test_broker_protocol_roundtrip(broker):
+    host, port = broker.address
+    with WireClient(host, port) as c:
+        assert c.end_offset("t") == 0
+        assert c.produce("t", "hello") == 0
+        assert c.produce("t", "wörld \n-safe") == 1  # JSON framing
+        assert c.end_offset("t") == 2
+        assert c.fetch("t", 0, 2) == [(0, "hello"), (1, "wörld \n-safe")]
+        # ranged + repeatable (non-destructive)
+        assert c.fetch("t", 1, 2) == [(1, "wörld \n-safe")]
+        assert c.fetch("t", 1, 2) == [(1, "wörld \n-safe")]
+        # consumer-group commit bookkeeping
+        assert c.committed("g", "t") == -1
+        c.commit("g", "t", 2)
+        assert c.committed("g", "t") == 2
+        assert c.committed("other", "t") == -1
+    # malformed input answers ERR without killing the server
+    import socket
+
+    with socket.create_connection((host, port), timeout=5) as s:
+        s.sendall(b"BOGUS line\n")
+        assert s.makefile("rb").readline().startswith(b"ERR")
+    with WireClient(host, port) as c:  # server survived
+        assert c.end_offset("t") == 2
+
+
+def test_stream_reader_partitions_split():
+    reader = _WireStreamReader(
+        {"port": "1", "topic": "t", "maxrowsperpartition": "3"}
+    )
+    parts = reader.partitions({"offset": 0}, {"offset": 8})
+    assert [(p.start, p.end) for p in parts] == [(0, 3), (3, 6), (6, 8)]
+    # empty range still yields one (empty) partition, never zero
+    parts = reader.partitions({"offset": 4}, {"offset": 4})
+    assert [(p.start, p.end) for p in parts] == [(4, 4)]
+
+
+def _drain_to_store(spark, broker, store, ckpt, group="g-e2e"):
+    from pyspark.sql import functions as F
+
+    host, port = broker.address
+    register(spark)
+    stream = (
+        spark.readStream.format("wire_topic")
+        .option("host", host)
+        .option("port", port)
+        .option("topic", "items")
+        .option("group", group)
+        .option("maxRowsPerPartition", 4)
+        .load()
+        # payload "key:seq" → LWW upsert on key by seq
+        .select(
+            F.split("value", ":")[0].alias("item_name"),
+            F.split("value", ":")[1].cast("long").alias("seq"),
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _id: store.merge(b))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_wire_e2e_exactly_once_across_restart(spark, tmp_path, broker):
+    """Producer (executor-side, partitioned) → TCP broker → streaming
+    source → keyed LWW upsert store; stop; produce more; resume from the
+    checkpoint: store equals the batch LWW of everything produced, no
+    duplicates, no losses."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.upsert_sink import (
+        ParquetUpsertStore,
+    )
+
+    host, port = broker.address
+    ckpt = str(tmp_path / "ckpt")
+    store = ParquetUpsertStore(
+        spark, str(tmp_path / "store"), key="item_name", ts_col="seq",
+        n_buckets=4,
+    )
+
+    first = spark.createDataFrame(
+        [(f"item{i % 5}:{i}",) for i in range(8)], "item_name string"
+    ).repartition(3)
+    produce_dataframe(first, host, port, "items")
+    with WireClient(host, port) as c:
+        assert c.end_offset("items") == 8
+
+    _drain_to_store(spark, broker, store, ckpt)
+    got = {
+        (r.item_name, r.seq) for r in store.read().collect()
+    }
+    assert got == {("item0", 5), ("item1", 6), ("item2", 7),
+                   ("item3", 3), ("item4", 4)}
+
+    # restart with new data: only offsets 8.. are processed
+    second = spark.createDataFrame(
+        [("item1:20",), ("item9:21",)], "item_name string"
+    )
+    produce_dataframe(second, host, port, "items")
+    _drain_to_store(spark, broker, store, ckpt)
+    got = {(r.item_name, r.seq) for r in store.read().collect()}
+    assert got == {("item0", 5), ("item1", 20), ("item2", 7),
+                   ("item3", 3), ("item4", 4), ("item9", 21)}
+
+    # idempotent re-run: nothing new at the broker → store is unchanged
+    v_before = store.history()[-1]
+    _drain_to_store(spark, broker, store, ckpt)
+    got2 = {(r.item_name, r.seq) for r in store.read().collect()}
+    assert got2 == got
+    assert store.history()[-1] == v_before  # no merge committed at all
+
+
+def test_wire_consumer_group_resume_without_checkpoint(spark, tmp_path, broker):
+    """The manual-commit consumer-group contract: after a drain commits the
+    group offset at the broker, a brand-new query (FRESH checkpoint, same
+    group) resumes from the committed offset instead of re-reading."""
+    from pyspark.sql import functions as F
+
+    host, port = broker.address
+    register(spark)
+
+    with WireClient(host, port) as c:
+        for i in range(6):
+            c.produce("items", f"a:{i}")
+
+    def drain(ckpt_name):
+        stream = (
+            spark.readStream.format("wire_topic")
+            .option("host", host)
+            .option("port", port)
+            .option("topic", "items")
+            .option("group", "g-resume")
+            .load()
+        )
+        out = []
+
+        def process(b, _id):
+            offs = [r.offset for r in b.select("offset").collect()]
+            out.extend(offs)
+            # manual commit AFTER processing, the reference's consumer loop
+            # (`consume_items.py:107`): the engine-driven reader.commit()
+            # fires at next-batch construction, so a bounded drain's final
+            # batch must commit app-side — same reason the reference turns
+            # auto-commit off.
+            if offs:
+                with WireClient(host, port) as c:
+                    c.commit("g-resume", "items", max(offs) + 1)
+
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(tmp_path / ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(out)
+
+    assert drain("c1") == [0, 1, 2, 3, 4, 5]
+    with WireClient(host, port) as c:
+        assert c.committed("g-resume", "items") == 6
+        for i in range(6, 9):
+            c.produce("items", f"a:{i}")
+
+    # new checkpoint, same group → starts at the broker's committed offset
+    assert drain("c2") == [6, 7, 8]

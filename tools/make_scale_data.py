@@ -292,6 +292,11 @@ def main():
         .appName(f"make-scale-data-m{m}")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "32")
+        # 32 concurrent parquet writers each buffer a full row group; on the
+        # 1 g default heap that OOMs at M=100 (60 M lineitem rows).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        )
         .getOrCreate()
     )
     gen_documents(spark, m, out)

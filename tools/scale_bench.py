@@ -63,6 +63,13 @@ HEAVY = [
     "eval_auc_rank",
     "allocate_largest_remainder",
     "geo_hub_assign",
+    # round-5 additions: the real-codec decode queries (Arrow-boundary
+    # cost; documents-bound) and the new session-7/8 batch ops
+    "mm_decode_bmp",
+    "mm_decode_wav",
+    "survival_table",
+    "ks_two_sample",
+    "auction_second_price",
 ]
 
 
