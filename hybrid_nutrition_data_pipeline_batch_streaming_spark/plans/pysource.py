@@ -48,3 +48,63 @@ def pysource_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numPartitions", 4)
         .load()
     )
+
+
+_WIRE_N = 200
+
+
+@query(
+    "wire_topic_roundtrip",
+    oracle=f"""
+    SELECT i AS msg_offset,
+           {_word_list_sql(ADJECTIVES, 1)} || ' ' || {_word_list_sql(FOODS, 2)}
+               AS item_name
+    FROM generate_series(0, {_WIRE_N - 1}) t(i)
+    """,
+)
+def wire_topic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka wire path, live and value-checked (S1/S2): a real TCP
+    line-protocol broker (streaming/wirebroker.py) is started in-process,
+    a producer client pushes deterministic item names over the socket, and
+    ``format("wire_topic")`` — the engine's offset-ranged streaming
+    consumer — drains the topic through a checkpointable AvailableNow run.
+    One sequential producer ⇒ broker offset i carries item_name_for(i), so
+    the oracle regenerates the exact (offset, name) table from the same
+    md5-digit arithmetic as ``pysource_items``. Exercises the reference's
+    produce→consume loop (`producer/produce_items.py:30-41`,
+    `consumer/consume_items.py:21-35`) over real bytes on a real socket;
+    exactly-once/restart/consumer-group semantics are pinned in
+    tests/test_wire_broker.py. ``sf_dir`` is unused (the source is the
+    broker)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.wire_source import register as register_wire
+    from ..streaming.ingest import run_to_memory
+    from ..sources.items_source import item_name_for
+    from ..streaming.wirebroker import WireBroker, WireClient
+
+    broker = WireBroker()
+    host, port = broker.start()
+    try:
+        with WireClient(host, port) as client:
+            for i in range(_WIRE_N):
+                client.produce("items", item_name_for(i))
+        register_wire(spark)
+        stream = (
+            spark.readStream.format("wire_topic")
+            .option("host", host)
+            .option("port", port)
+            .option("topic", "items")
+            .option("group", "parity")
+            .option("maxRowsPerPartition", 64)
+            .load()
+        )
+        # Drain fully into the memory sink; the returned frame is
+        # materialized, so the broker can stop before the caller collects.
+        out = run_to_memory(stream)
+        return out.select(
+            F.col("offset").alias("msg_offset"),
+            F.col("value").alias("item_name"),
+        )
+    finally:
+        broker.stop()
