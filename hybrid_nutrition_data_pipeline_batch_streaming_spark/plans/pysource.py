@@ -108,3 +108,88 @@ def wire_topic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         broker.stop()
+
+
+_WS_N = 720  # wire messages; ts = epoch + i·97 s → spans ~19 hourly buckets
+
+
+@query(
+    "wire_stream_windows",
+    oracle=f"""
+    WITH msgs AS (
+        SELECT i,
+               (i % 25)::BIGINT AS user_id,
+               ((i * 37) % 10000)::BIGINT AS cents,
+               TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 97) SECOND
+                   AS ts
+        FROM generate_series(0, {_WS_N - 1}) t(i)
+    )
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS bucket_start,
+           CAST(COUNT(*) AS BIGINT)           AS event_cnt,
+           CAST(SUM(cents) AS BIGINT)         AS total_cents,
+           CAST(SUM(user_id) AS BIGINT)       AS user_id_sum
+    FROM msgs GROUP BY 1
+    """,
+)
+def wire_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows over the LIVE wire path (T6 × S1): the
+    TCP broker carries CSV-framed messages whose event time / user / value
+    are pure functions of the offset, the ``wire_topic`` streaming source
+    drains them, and a watermarked 1-hour tumbling aggregation runs on the
+    stream — so the full Kafka-shaped chain (socket bytes → parse →
+    event-time window → sink) is value-checked against a closed-form
+    oracle. Complete-mode AvailableNow drain like ``stream_tumbling_live``;
+    ``sf_dir`` unused (the source is the broker)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.wire_source import register as register_wire
+    from ..streaming.ingest import run_to_memory
+    from ..streaming.wirebroker import WireBroker, WireClient
+
+    epoch = 1704067200  # 2024-01-01 00:00:00 UTC
+    broker = WireBroker()
+    host, port = broker.start()
+    try:
+        with WireClient(host, port) as client:
+            for i in range(_WS_N):
+                client.produce(
+                    "events", f"{i % 25},{(i * 37) % 10000},{epoch + i * 97}"
+                )
+        register_wire(spark)
+        stream = (
+            spark.readStream.format("wire_topic")
+            .option("host", host)
+            .option("port", port)
+            .option("topic", "events")
+            .option("group", "windows")
+            .option("maxRowsPerPartition", 128)
+            .load()
+        )
+        parts = F.split("value", ",")
+        parsed = stream.select(
+            parts[0].cast("long").alias("user_id"),
+            parts[1].cast("long").alias("cents"),
+            # plain TIMESTAMP (session TZ is pinned UTC): watermarks
+            # reject TIMESTAMP_NTZ event-time columns.
+            F.timestamp_seconds(parts[2].cast("long")).alias("ts"),
+        ).withWatermark("ts", "2 hours")
+        windowed = (
+            parsed.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("event_cnt"),
+                F.sum("cents").alias("total_cents"),
+                # COUNT DISTINCT is unsupported inside a streaming agg —
+                # the membership check rides a SUM instead.
+                F.sum("user_id").alias("user_id_sum"),
+            )
+            .select(
+                F.col("w.start").alias("bucket_start"),
+                "event_cnt",
+                "total_cents",
+                "user_id_sum",
+            )
+        )
+        return run_to_memory(windowed, output_mode="complete")
+    finally:
+        broker.stop()

@@ -1204,3 +1204,30 @@ def test_auction_prunes_to_top2_before_pairing(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_jaccard_wedges_explode_map_side_no_self_join(spark):
+    """graph_jaccard_sim (round-5 rework): wedge pairs explode MAP-SIDE
+    from the per-part supplier bags as packed longs — the plan must show
+    the Generate (explode) feeding a hash aggregate with NO sort-merge or
+    nested-loop join anywhere; the only joins are the two broadcast
+    degree attachments."""
+    plan = _plan(spark, "graph_jaccard_sim", execute=True)
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_bfs_checkpoints_single_orientation(spark):
+    """graph_bfs_khop (round-5): the undirected edge list must be the
+    checkpointed single orientation UNIONed with its column-swapped mirror
+    (one disk write), not a checkpoint of both directions."""
+    df = plans.QUERIES["graph_bfs_khop"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # The frontier expansion reads Scan ExistingRDD (the checkpoint) — the
+    # mirrored orientation appears as a projection over the same scan, so
+    # the plan carries no second fact-table distinct.
+    assert plan.count("LogicalRDD") >= 2  # checkpointed edges + frontiers
