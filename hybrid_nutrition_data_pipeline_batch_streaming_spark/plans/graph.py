@@ -208,15 +208,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Checkpoint the edge list BEFORE fanning it out: und references edges
     # twice (both directions) and deg/und_deg reference und again — without
     # the cut, the orders⋈lineitem distinct would execute ~4× inside the
-    # und_deg materialization.
+    # und_deg materialization. Node ids are parity-encoded LONGS internally
+    # (customer→2k, supplier→2k+1, like graph_bfs_khop) — every per-round
+    # shuffle keys on the node id, and fixed 8-byte keys hash/compare/ship
+    # cheaper than 'c123'/'s45' strings; the string ids are reconstructed
+    # only in the final projection so the output (and oracle) are unchanged.
     edges = (
         cat.orders.join(
             cat.lineitem.select("l_orderkey", "l_suppkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -252,7 +256,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("units"),
         )
     return ranks.select(
-        "node",
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            F.expr("node DIV 2").cast("string"),
+        ).alias("node"),
         F.col("units").alias("rank_units"),
         (F.col("units").cast("double") / PR_SCALE).alias("rank"),
     )
