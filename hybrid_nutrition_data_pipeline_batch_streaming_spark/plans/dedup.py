@@ -790,8 +790,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    newb = sig.where(F.col("doc_id") % 4 == 0)
-    seen = sig.where(F.col("doc_id") % 4 != 0)
+    # Band joins and the pair-dedup ship IDS + band keys only — the shingle
+    # arrays (the wide payload, ~100 tokens/doc) attach AFTERWARDS, to just
+    # the deduped candidate pairs. At M=100 the arrays are ~50× the id
+    # columns, and shipping them through two band joins plus the distinct
+    # was the dominant shuffle volume; candidates are ~corpus-dup-density
+    # sparse, so two narrow re-attachment joins are far cheaper.
+    slim = sig.select("doc_id", *[f"mh{k}" for k in range(N_MINHASHES)])
+    newb = slim.where(F.col("doc_id") % 4 == 0)
+    seen = slim.where(F.col("doc_id") % 4 != 0)
     cand = None
     for cols in (("mh0", "mh1"), ("mh2", "mh3")):
         n, s = newb.alias("n"), seen.alias("s")
@@ -801,22 +808,36 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = n.join(s, cond).select(
             F.col("n.doc_id").alias("new_id"),
             F.col("s.doc_id").alias("seen_id"),
-            F.col("n.shingles").alias("sh_n"),
-            F.col("s.shingles").alias("sh_s"),
         )
         cand = pairs if cand is None else cand.unionByName(pairs)
+    sh = sig.select("doc_id", "shingles")
+    enriched = (
+        cand.dropDuplicates(["new_id", "seen_id"])
+        .join(
+            sh.select(
+                F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n")
+            ),
+            "new_id",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("seen_id"),
+                F.col("shingles").alias("sh_s"),
+            ),
+            "seen_id",
+        )
+    )
     jaccard = F.size(F.array_intersect("sh_n", "sh_s")).cast("double") / F.size(
         F.array_union("sh_n", "sh_s")
     )
     hits = (
-        cand.dropDuplicates(["new_id", "seen_id"])
-        .where(jaccard >= 0.5)
+        enriched.where(jaccard >= 0.5)
         .groupBy("new_id")
         .agg(F.count("*").alias("n_dup_matches"))
     )
+    newb_ids = sig.where(F.col("doc_id") % 4 == 0).select("doc_id")
     return (
-        newb.select("doc_id")
-        .join(hits, newb.doc_id == hits.new_id, "left")
+        newb_ids.join(hits, newb_ids.doc_id == hits.new_id, "left")
         .select(
             "doc_id",
             F.coalesce("n_dup_matches", F.lit(0)).alias("n_dup_matches"),
