@@ -30,6 +30,7 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -91,8 +92,50 @@ class _WireStreamReader(DataSourceStreamReader):
             c.commit(self.group, self.topic, end["offset"])
 
 
+class _WireBatchReader(DataSourceReader):
+    """``spark.read.format("wire_topic")`` — the whole topic (or an explicit
+    ``startOffset``/``endOffset`` range) as a batch frame, range-partitioned
+    so each task fetches its own slice — Kafka's batch-read mode."""
+
+    def __init__(self, options: dict):
+        self.host = options.get("host", "127.0.0.1")
+        self.port = int(options["port"])
+        self.topic = options["topic"]
+        self.start = int(options.get("startoffset", 0))
+        self.end = options.get("endoffset")
+        self.max_rows = int(options.get("maxrowsperpartition", 10_000))
+
+    def partitions(self) -> list[InputPartition]:
+        from ..streaming.wirebroker import WireClient
+
+        if self.end is not None:
+            end = int(self.end)
+        else:
+            with WireClient(self.host, self.port) as c:
+                end = c.end_offset(self.topic)
+        step = self.max_rows
+        return [
+            _OffsetRange(self.host, self.port, self.topic, s,
+                         min(s + step, end))
+            for s in range(self.start, end, step)
+        ] or [_OffsetRange(self.host, self.port, self.topic,
+                           self.start, end)]
+
+    def read(self, partition: _OffsetRange) -> Iterator[tuple[int, str]]:
+        from ..streaming.wirebroker import WireClient
+
+        client = WireClient(partition.host, partition.port)
+        try:
+            yield from client.fetch(
+                partition.topic, partition.start, partition.end
+            )
+        finally:
+            client.close()
+
+
 class WireTopicDataSource(DataSource):
-    """``format("wire_topic")`` — streaming consumer for the TCP broker."""
+    """``format("wire_topic")`` — batch + streaming consumer for the TCP
+    broker."""
 
     @classmethod
     def name(cls) -> str:
@@ -100,6 +143,9 @@ class WireTopicDataSource(DataSource):
 
     def schema(self) -> str:
         return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _WireBatchReader(self.options)
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _WireStreamReader(self.options)

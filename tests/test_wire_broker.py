@@ -195,3 +195,36 @@ def test_wire_consumer_group_resume_without_checkpoint(spark, tmp_path, broker):
 
     # new checkpoint, same group → starts at the broker's committed offset
     assert drain("c2") == [6, 7, 8]
+
+
+def test_wire_batch_read(spark, broker):
+    """Batch mode (`spark.read.format("wire_topic")`): the whole topic —
+    or an explicit offset range — as a range-partitioned batch frame."""
+    host, port = broker.address
+    register(spark)
+    with WireClient(host, port) as c:
+        for i in range(25):
+            c.produce("batch", f"v{i}")
+    df = (
+        spark.read.format("wire_topic")
+        .option("host", host)
+        .option("port", port)
+        .option("topic", "batch")
+        .option("maxRowsPerPartition", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # ceil(25/7) range slices
+    rows = {(r.offset, r.value) for r in df.collect()}
+    assert rows == {(i, f"v{i}") for i in range(25)}
+    ranged = (
+        spark.read.format("wire_topic")
+        .option("host", host)
+        .option("port", port)
+        .option("topic", "batch")
+        .option("startOffset", 10)
+        .option("endOffset", 15)
+        .load()
+    )
+    assert {(r.offset, r.value) for r in ranged.collect()} == {
+        (i, f"v{i}") for i in range(10, 15)
+    }
