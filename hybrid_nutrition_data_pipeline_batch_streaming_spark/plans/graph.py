@@ -63,10 +63,15 @@ def connected_components(
     # On a cluster this is the GraphFrames pattern (periodic checkpointing
     # inside iteration); swap for reliable checkpoint() when a fault-tolerant
     # checkpoint dir is configured.
-    und = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    und = checkpoint_truncate(und)
+    # Checkpoint ONE orientation, mirror it reader-side (the
+    # graph_bfs_khop pattern, round 5): half the checkpoint write for a
+    # column swap the scan does for free.
+    e_ck = checkpoint_truncate(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    und = e_ck.union(
+        e_ck.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     # Only edge-touched nodes can ever change label — every other node is a
     # fixpoint at round 0. Iterate over the edge subgraph (near-dup graphs
     # are a sliver of the corpus at any scale) and union the untouched
