@@ -485,22 +485,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects). Exact integer counts — identical in any engine at any
     partitioning.""".replace("{K}", str(KCORE_K))
     cat = Catalog(spark, sf_dir)
+    # Round-5: parity-encoded LONG node ids (the pagerank/BFS scheme) — the
+    # output is a census, so ids never surface and every per-round semi-join
+    # ships 8-byte keys instead of strings; and ONE checkpoint of the single
+    # orientation, mirrored reader-side (half the write).
     edges = (
         cat.orders.join(
             cat.lineitem.select("l_orderkey", "l_suppkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     edges = checkpoint_truncate(edges)
-    e = checkpoint_truncate(
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+    e = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     n = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
         "src", "node"

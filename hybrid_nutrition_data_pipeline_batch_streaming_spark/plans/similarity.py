@@ -174,6 +174,28 @@ _PAIR_UNION_SQL = "\n        UNION\n".join(
     for b in range(N_BANDS)
 )
 
+#: Bucket-occupancy cap for the PAIR-generating (bucket self-join) path:
+#: a band bucket holding k vectors emits k(k−1)/2 candidate pairs, and with
+#: FIXED 4-bit buckets occupancy grows linearly with the corpus — so pair
+#: volume grows QUADRATICALLY. Measured: at M=100 (200 k vectors) the
+#: largest bucket holds 38 806 vectors → ~7.5e8 pairs from ONE bucket and
+#: the uncapped query never finishes on this host. A bucket that dense
+#: carries no similarity signal (19% of the corpus sharing a 4-bit sign
+#: pattern); dropping it is the standard LSH blocking lever (FAISS caps
+#: probe lists the same way). 2048 is ~14× the max fixture occupancy
+#: (≤150 at sf0.1), so every shipped fixture's results are bit-identical;
+#: the query-probe ANN paths (query × bucket, linear) need no cap.
+PAIR_BUCKET_CAP = 2048
+
+_PAIR_UNION_CAPPED_SQL = "\n        UNION\n".join(
+    f"""        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM base a
+        JOIN (SELECT b{b} AS k FROM base GROUP BY 1
+              HAVING COUNT(*) <= {PAIR_BUCKET_CAP}) ok{b} ON ok{b}.k = a.b{b}
+        JOIN base b ON a.b{b} = b.b{b} AND a.vec_id < b.vec_id"""
+    for b in range(N_BANDS)
+)
+
 
 @query(
     "similarity_ann_lsh",
@@ -441,7 +463,7 @@ NEAR_DUP_COS = 0.4
     oracle=f"""
     WITH base AS ({_BASE_SQL}),
     pairs AS (
-{_PAIR_UNION_SQL}
+{_PAIR_UNION_CAPPED_SQL}
     ), scored AS (
         SELECT pairs.vec_a, pairs.vec_b, {_cos_sql('a.e', 'b.e')} AS cosine
         FROM pairs
@@ -456,7 +478,15 @@ NEAR_DUP_COS = 0.4
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (X2/X1 hybrid): banded-LSH
     candidate pairs, exact-rescored, thresholded — semantic dedup of
-    training data with the same OR-amplified blocking as the ANN path."""
+    training data with the same OR-amplified blocking as the ANN path.
+    Round-5 scale lever: per-band bucket-occupancy cap
+    (``PAIR_BUCKET_CAP``, mirrored exactly in the oracle) — fixed-width
+    sign buckets fill linearly with the corpus, so the bucket self-join's
+    pair volume grows quadratically; the M=100 study measured one 38 k
+    bucket emitting ~7.5e8 pairs and the uncapped query never finishing.
+    Every shipped fixture is far below the cap (≤150 occupancy), so test
+    results are bit-identical; on real corpora the cap bounds per-bucket
+    work the way FAISS caps probe lists."""
     cat = Catalog(spark, sf_dir)
     e = _to_double(F.col("embedding"))
     base = cat.embeddings.select(
@@ -466,7 +496,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n", _norm(F.col("e"))).persist()
     pairs = None
     for b in range(N_BANDS):
-        lhs = base.select(F.col("vec_id").alias("vec_a"), F.col(f"b{b}").alias("ba"))
+        # ≤2^BAND_BITS rows: the occupancy census broadcasts for free.
+        ok = (
+            base.groupBy(F.col(f"b{b}").alias("ba"))
+            .agg(F.count("*").alias("occ"))
+            .filter(F.col("occ") <= PAIR_BUCKET_CAP)
+            .select("ba")
+        )
+        lhs = (
+            base.select(F.col("vec_id").alias("vec_a"), F.col(f"b{b}").alias("ba"))
+            .join(F.broadcast(ok), "ba")
+        )
         rhs = base.select(F.col("vec_id").alias("vec_b"), F.col(f"b{b}").alias("bb"))
         piece = lhs.join(
             rhs, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b"))
