@@ -44,77 +44,75 @@ from . import evaluation  # noqa: F401,E402
 from . import geo  # noqa: F401,E402
 
 # The driver-checked window: exactly these 50, in this order, all with
-# oracles. Round-5 rotation (VERDICT r4 item 1): 157/303 queries carry a
-# green driver CORRECTNESS row after four rounds, so this round keeps the
+# oracles. Round-6 rotation (VERDICT r5 item 1): 202/305 queries carry a
+# green driver CORRECTNESS row after five rounds, so this round keeps the
 # same FIVE core regressions and fills the other FORTY-FIVE slots with
-# oracle-backed queries that have never had a driver row, prioritizing the
-# families the verdict named: the real-codec multimodal decode queries,
-# timeseries/finance, curation extras, the relational2 tail, the session-7/8
-# ops, analytics, the M=100-scale-study heavy queries, and live streaming.
+# oracle-backed queries that have never had a driver row, leading with the
+# round-5 live-socket wire queries (the S1/S2 stand-in path earning driver
+# rows), then the set-ops / relational tail, text/corpus, dedup/similarity
+# variants, streaming, samples/privacy, and sessions/attribution groups.
 # Rotated-out queries stay registered below the window, still verified by
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 PRIORITY: tuple[str, ...] = (
-    # -- 5 core regressions (driver-green in r1-r4) --
+    # -- 5 core regressions (driver-green in r1-r5) --
     "flagship_revenue",
     "join_inner",
     "dedup_last_write",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    # -- multimodal incl. the round-4 real codecs (X4, zero driver rows) --
-    "mm_decode_bmp",
-    "mm_decode_wav",
-    "mm_metadata",
-    "mm_resize",
-    "mm_scene_segments",
-    "mm_frame_dedup",
-    "mm_caption_align",
-    "mm_audio_energy",
-    # -- timeseries / finance (E30-class) --
-    "twap_irregular",
-    "drawdown_max",
-    "period_over_period",
-    "ts_autocorr",
-    "ts_decompose",
-    "ts_motif_match",
-    "ts_resample_ohlc",
-    # -- curation extras (X3 quality gates, corpus ops) --
-    "perplexity_filter",
-    "corpus_quota_split",
-    "dsir_resample",
-    "dedup_lines",
-    "span_dedup",
-    "dedup_incremental",
-    # -- relational2 tail (P6/O2/E36) --
-    "top_supplier_revenue",
-    "kth_order_statistics",
-    "percentile_interpolated",
-    "filter_exists_correlated",
-    "topk_with_ties",
-    # -- session-7/8 ops --
-    "survival_table",
-    "ks_two_sample",
-    "auction_second_price",
-    "stream_percentile_live",
-    # -- analytics --
-    "er_golden_records",
-    "pareto_frontier",
-    "markov_transitions",
-    "growth_accounting",
-    # -- M=100 scale-study heavies (VERDICT item 2 pairs driver rows) --
-    "graph_jaccard_sim",
-    "graph_modularity",
-    "join_delta_maintain",
-    "dedup_threshold_sweep",
-    # -- live streaming drains beyond tumbling (T6/T7) --
-    "stream_sliding_live",
-    "stream_topk_live",
-    "stream_cusum_live",
-    # -- window / join / semistructured tail --
-    "grouped_median_exact",
-    "join_asof_nearest",
-    "window_cume_dist",
-    "xml_roundtrip_flatten",
+    # -- live TCP wire broker path (r5 S1/S2 stand-in, zero driver rows) --
+    "wire_topic_roundtrip",
+    "wire_stream_windows",
+    # -- set ops / relational tail (§2.7, P6, O2) --
+    "set_except_all",
+    "set_intersect_all",
+    "filter_not_in",
+    "join_lateral_topn",
+    "agg_having_join_back",
+    "join_range_binned",
+    "join_interval_overlap",
+    "basket_pairs",
+    "abc_classification",
+    "keyset_pagination",
+    "agg_mode",
+    "topk_diversified",
+    "share_of_parent",
+    # -- text / corpus (X3, E16/E17) --
+    "explode_outer_tokens",
+    "token_count",
+    "pipeline_text_curation",
+    "text_chunking",
+    "curriculum_order",
+    "vocab_coverage",
+    # -- dedup / similarity variants (X1/X2) --
+    "dedup_minhash",
+    "dedup_cluster_report",
+    "dedup_snapshots",
+    "url_canonical_dedup",
+    "embedding_quantize",
+    "hard_negative_mining",
+    "similarity_mmr",
+    "centroid_similarity",
+    # -- streaming (T4/T6 batch-equivalents + live drains) --
+    "stream_tumbling",
+    "stream_stream_join",
+    "stream_user_growth_live",
+    "stream_hll_live",
+    # -- samples / privacy (E21/E22) --
+    "sample_stratified",
+    "sample_reservoir",
+    "sample_weighted",
+    "kanon_audit",
+    "kanon_generalize",
+    "ldiv_audit",
+    # -- sessions / attribution (E48-class) --
+    "conversion_latency",
+    "attribution_last_touch",
+    "attribution_linear",
+    "funnel_windowed",
+    "retention_curve",
+    "cohort_ltv",
 )
 
 

@@ -478,11 +478,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the cascade empties the graph), and makes the monotone shrink
     visible.
 
-    Plan shape: a FIXED round count composes all rounds into ONE lazy plan —
-    per round two node-keyed semi-join filters plus one degree aggregate,
-    the Pregel schedule, with the doubled edge list lineage-cut once before
-    fan-out. Census rows are unions of single-row aggregates (no driver
-    collects). Exact integer counts — identical in any engine at any
+    Plan shape: a FIXED round count; per round two node-keyed semi-join
+    filters plus one degree aggregate (the Pregel schedule), with the
+    doubled edge list lineage-cut before fan-out AND each round's survivor
+    edge set checkpointed (round-6: the census aggregates previously
+    re-executed every earlier round's semi-joins, ≈2× the optimal work —
+    SCALE.md M=100 339 s; per-round truncation makes each round read the
+    prior round's materialized edges exactly once, the same discipline the
+    CC loop uses). Census rows are unions of single-row aggregates (no
+    driver collects). Exact integer counts — identical in any engine at any
     partitioning.""".replace("{K}", str(KCORE_K))
     cat = Catalog(spark, sf_dir)
     # Round-5: parity-encoded LONG node ids (the pagerank/BFS scheme) — the
@@ -510,7 +514,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = []
     for i in range(1, KCORE_ROUNDS + 1):
         s = n.where(F.col("deg") >= KCORE_K).select("node")
-        e = (
+        e = checkpoint_truncate(
             e.join(s.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(s.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
@@ -710,10 +714,22 @@ def graph_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (which shuffles the 60 M-row table twice), no separate degree window.
     # Bags are part-scale; checkpointed because both the wedge explode and
     # the degree rollup read them.
+    # ADVICE r5: the pair key packs sa·2³² + sb into a SIGNED long, which
+    # silently wraps once ids reach 2³¹ (ANSI off) and collides at 2³² —
+    # enforce the documented assumption loudly, once per bag (the bag is
+    # sorted, so checking the max element covers every pair it emits).
+    packable = F.assert_true(
+        F.element_at(F.col("ss"), -1) < F.lit(2**31),
+        F.lit(
+            "graph_jaccard_sim: supplier id >= 2^31 overflows the packed"
+            " long pair key; repack into DECIMAL(38,0) for this id space"
+        ),
+    )
     bags = checkpoint_truncate(
         adj0.groupBy("p")
         .agg(F.sort_array(F.collect_list("s")).alias("ss"))
         .filter(F.size("ss") <= _JACCARD_HUB_CAP)
+        .filter(packable.isNull())
     )
     deg = (
         bags.select(F.explode("ss").alias("s"))

@@ -520,7 +520,7 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING SUM(CAST(l_quantity AS BIGINT)) > 120
     )
     SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
-           o.o_totalprice, b.total_qty
+           o.o_totalprice, CAST(b.total_qty AS BIGINT) AS total_qty
     FROM big b
     JOIN orders o ON o.o_orderkey = b.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey

@@ -168,12 +168,6 @@ _CAND_UNION_SQL = "\n        UNION\n".join(
     for b in range(N_BANDS)
 )
 
-_PAIR_UNION_SQL = "\n        UNION\n".join(
-    f"""        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM base a JOIN base b ON a.b{b} = b.b{b} AND a.vec_id < b.vec_id"""
-    for b in range(N_BANDS)
-)
-
 #: Bucket-occupancy cap for the PAIR-generating (bucket self-join) path:
 #: a band bucket holding k vectors emits k(k−1)/2 candidate pairs, and with
 #: FIXED 4-bit buckets occupancy grows linearly with the corpus — so pair
@@ -187,6 +181,9 @@ _PAIR_UNION_SQL = "\n        UNION\n".join(
 #: the query-probe ANN paths (query × bucket, linear) need no cap.
 PAIR_BUCKET_CAP = 2048
 
+#: The ONLY pair-union oracle fragment (r5 superseded the uncapped form —
+#: it was quadratic in bucket occupancy; the HAVING census below mirrors
+#: the engine's broadcast occupancy filter exactly).
 _PAIR_UNION_CAPPED_SQL = "\n        UNION\n".join(
     f"""        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM base a

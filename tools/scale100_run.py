@@ -55,11 +55,18 @@ def main() -> None:
         code = _CHILD.format(repo=repo, name=name, data=data)
         res = subprocess.run(
             [sys.executable, "-c", code], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         out = res.stdout.strip()
-        print(out if out else f"{name}: FAILED rc={res.returncode}",
-              flush=True)
+        if out:
+            print(out, flush=True)
+        else:
+            # ADVICE r5: surface the failure the runner exists to isolate —
+            # print the stderr tail (OOMs / Py4J tracebacks) on a blank run.
+            print(f"{name}: FAILED rc={res.returncode}", flush=True)
+            tail = res.stderr.strip().splitlines()[-25:]
+            for line in tail:
+                print(f"  ! {line}", flush=True)
 
 
 if __name__ == "__main__":
