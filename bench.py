@@ -114,6 +114,13 @@ HEADLINE = [
     "survival_table",
     "ks_two_sample",
     "auction_second_price",
+    # round-6 additions (VERDICT r5 item 7): the live TCP wire round trip
+    # (S1/S2 socket path), the checkpointed k-core peel, the packed-pair
+    # wedge jaccard, and entity-resolution golden records
+    "wire_topic_roundtrip",
+    "graph_kcore",
+    "graph_jaccard_sim",
+    "er_golden_records",
 ]
 
 

@@ -29,7 +29,12 @@ from pyspark.sql.window import Window
 from ..catalog import Catalog
 from ..session import checkpoint_truncate
 from .registry import query
-from .dedup import _SHINGLES_SQL, _MINHASH_SIG_SQL, banded_minhash_pairs
+from .dedup import (
+    _MINHASH_CAND_SQL,
+    _SHINGLES_SQL,
+    _MINHASH_SIG_SQL,
+    banded_minhash_pairs,
+)
 from .graph import connected_components
 from .text import (
     _EN_MARKERS,
@@ -78,13 +83,7 @@ from .curation import MAX_SEQ_TOKENS
            {_MINHASH_SIG_SQL}
         FROM sh
     ), cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+{_MINHASH_CAND_SQL}
     ), edges AS (
         SELECT c.doc_a, c.doc_b
         FROM cand c
@@ -363,13 +362,7 @@ def shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_MINHASH_SIG_SQL}
         FROM sh
     ), cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+{_MINHASH_CAND_SQL}
     ), edges AS (
         SELECT c.doc_a, c.doc_b
         FROM cand c

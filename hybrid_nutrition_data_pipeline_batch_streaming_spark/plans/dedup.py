@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..operators.blocking import capped_blocking_join, capped_pair_sql
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -190,6 +191,25 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Band-bucket occupancy cap for the minhash pair generators (shared
+#: capped-blocking lever, operators/blocking.py): band buckets fill
+#: linearly with corpus duplicate families — measured 8 occupancy at
+#: sf0.1 → 508 at M=100 (500 k docs) — so the bucket self-join's pair
+#: volume grows quadratically without a cap. 4096 is ~8× the M=100
+#: maximum, so every shipped fixture AND every scale-study dataset is
+#: bit-identical; a bucket denser than this holds >0.8% of an M=100
+#: corpus sharing one 64-bit band signature — boilerplate, not near-dup
+#: signal, exactly the population MinHashLSH probe caps drop.
+MINHASH_BUCKET_CAP = 4096
+
+_MINHASH_BANDS = (("mh0", "mh1"), ("mh2", "mh3"))
+
+_MINHASH_CAND_SQL = "\n        UNION\n".join(
+    capped_pair_sql("sig", cols, "doc_id", MINHASH_BUCKET_CAP, "doc_a", "doc_b")
+    for cols in _MINHASH_BANDS
+)
+
+
 @query(
     "dedup_minhash_banded",
     oracle=f"""
@@ -200,13 +220,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_MINHASH_SIG_SQL}
         FROM sh
     ), cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+{_MINHASH_CAND_SQL}
     )
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
@@ -225,8 +239,12 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verifies. At J=0.5 the single-band (AND-of-4) recall is
     J⁴ ≈ 0.06; two bands of two give 1-(1-J²)² ≈ 0.44 — the recall knob
     `dedup_minhash`'s docstring promises, wired. Each band join is still an
-    equi-join (never O(n²)); the union + distinct dedups cross-band
-    candidates before the verify join, so no pair is rescored twice."""
+    equi-join (never O(n²)) AND capped at ``MINHASH_BUCKET_CAP`` occupancy
+    per bucket (round-6, shared operators/blocking.py lever — band buckets
+    measured growing 8 → 508 occupancy from sf0.1 to M=100, the same
+    linear fill that made dedup_embedding quadratic); the union + distinct
+    dedups cross-band candidates before the verify join, so no pair is
+    rescored twice."""
     cat = Catalog(spark, sf_dir)
     return banded_minhash_pairs(cat.documents.select("doc_id", "text"))
 
@@ -248,15 +266,15 @@ def banded_minhash_pairs(docs: DataFrame) -> DataFrame:
         )
         .persist()
     )
-    bands = [("mh0", "mh1"), ("mh2", "mh3")]
     cand = None
-    for cols in bands:
-        a, b = sig.alias("a"), sig.alias("b")
-        cond = (F.col(f"a.{cols[0]}") == F.col(f"b.{cols[0]}")) & (
-            F.col(f"a.{cols[1]}") == F.col(f"b.{cols[1]}")
-        )
-        pairs = a.join(b, cond & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    for cols in _MINHASH_BANDS:
+        pairs = capped_blocking_join(
+            sig.select("doc_id", *cols),
+            cols,
+            "doc_id",
+            MINHASH_BUCKET_CAP,
+            "doc_a",
+            "doc_b",
         )
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.distinct()

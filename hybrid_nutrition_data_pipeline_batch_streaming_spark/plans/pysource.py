@@ -193,3 +193,63 @@ def wire_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(windowed, output_mode="complete")
     finally:
         broker.stop()
+
+
+_WMP_N = 300  # messages across a 3-partition topic
+_WMP_PARTS = 3
+
+
+@query(
+    "wire_mp_roundtrip",
+    oracle=f"""
+    SELECT CAST(i % {_WMP_PARTS} AS INT) AS "partition",
+           i // {_WMP_PARTS} AS msg_offset,
+           {_word_list_sql(ADJECTIVES, 1)} || ' ' || {_word_list_sql(FOODS, 2)}
+               AS item_name
+    FROM generate_series(0, {_WMP_N - 1}) t(i)
+    """,
+)
+def wire_mp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-PARTITION wire path, live and value-checked (round-6 S1/S2
+    upgrade): the topic is CREATEd with 3 partitions — one append-only log
+    per partition, the real Kafka topic model — message i is produced to
+    partition i % 3 (explicit routing, so per-partition offsets are dense
+    in production order: i = partition + 3·offset), and the streaming
+    source's ``partitions()`` maps one broker partition (split at
+    maxRowsPerPartition) to each Spark task. The drained
+    (partition, offset, value) set is regenerated exactly by the oracle's
+    closed form. Keyed crc32 routing, concurrent consumer groups, and
+    restart exactly-once are pinned in tests/test_wire_multipartition.py;
+    ``sf_dir`` unused (the source is the broker)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.items_source import item_name_for
+    from ..sources.wire_source import register as register_wire
+    from ..streaming.ingest import run_to_memory
+    from ..streaming.wirebroker import WireBroker, WireClient
+
+    broker = WireBroker()
+    host, port = broker.start()
+    try:
+        with WireClient(host, port) as client:
+            client.create_topic("items_mp", _WMP_PARTS)
+            for i in range(_WMP_N):
+                client.produce_part("items_mp", i % _WMP_PARTS, item_name_for(i))
+        register_wire(spark)
+        stream = (
+            spark.readStream.format("wire_topic")
+            .option("host", host)
+            .option("port", port)
+            .option("topic", "items_mp")
+            .option("group", "parity-mp")
+            .option("maxRowsPerPartition", 64)
+            .load()
+        )
+        out = run_to_memory(stream)
+        return out.select(
+            "partition",
+            F.col("offset").alias("msg_offset"),
+            F.col("value").alias("item_name"),
+        )
+    finally:
+        broker.stop()

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Catalog
+from ..operators.blocking import capped_blocking_join, capped_pair_sql
 from .registry import ORACLE, query
 
 N_QUERIES = 20  # bounded probe set
@@ -182,14 +183,14 @@ _CAND_UNION_SQL = "\n        UNION\n".join(
 PAIR_BUCKET_CAP = 2048
 
 #: The ONLY pair-union oracle fragment (r5 superseded the uncapped form —
-#: it was quadratic in bucket occupancy; the HAVING census below mirrors
-#: the engine's broadcast occupancy filter exactly).
+#: it was quadratic in bucket occupancy). Round-6: generated by the shared
+#: ``operators/blocking.py`` fragment builder so the engine's broadcast
+#: occupancy filter and the oracle's HAVING census stay mirrored by
+#: construction.
 _PAIR_UNION_CAPPED_SQL = "\n        UNION\n".join(
-    f"""        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM base a
-        JOIN (SELECT b{b} AS k FROM base GROUP BY 1
-              HAVING COUNT(*) <= {PAIR_BUCKET_CAP}) ok{b} ON ok{b}.k = a.b{b}
-        JOIN base b ON a.b{b} = b.b{b} AND a.vec_id < b.vec_id"""
+    capped_pair_sql(
+        "base", [f"b{b}"], "vec_id", PAIR_BUCKET_CAP, "vec_a", "vec_b"
+    )
     for b in range(N_BANDS)
 )
 
@@ -493,21 +494,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n", _norm(F.col("e"))).persist()
     pairs = None
     for b in range(N_BANDS):
-        # ≤2^BAND_BITS rows: the occupancy census broadcasts for free.
-        ok = (
-            base.groupBy(F.col(f"b{b}").alias("ba"))
-            .agg(F.count("*").alias("occ"))
-            .filter(F.col("occ") <= PAIR_BUCKET_CAP)
-            .select("ba")
+        # ≤2^BAND_BITS distinct keys: the occupancy census broadcasts for
+        # free (shared capped-blocking operator, operators/blocking.py).
+        piece = capped_blocking_join(
+            base, [f"b{b}"], "vec_id", PAIR_BUCKET_CAP, "vec_a", "vec_b"
         )
-        lhs = (
-            base.select(F.col("vec_id").alias("vec_a"), F.col(f"b{b}").alias("ba"))
-            .join(F.broadcast(ok), "ba")
-        )
-        rhs = base.select(F.col("vec_id").alias("vec_b"), F.col(f"b{b}").alias("bb"))
-        piece = lhs.join(
-            rhs, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b"))
-        ).select("vec_a", "vec_b")
         pairs = piece if pairs is None else pairs.union(piece)
     pairs = pairs.distinct()
     return (

@@ -19,6 +19,15 @@ way the reference consumer consumes Kafka (`consumer/consume_items.py`):
   production Kafka's per-task consumer, not a driver-side drain. Ranges
   split at ``maxRowsPerPartition`` so a large backlog fans out.
 
+Round 6 — REAL topic partitions: when the topic was CREATEd with more than
+one partition, ``partitions()`` maps one-to-one onto broker partitions
+(plus offset-range splits within each), the checkpoint offset is a
+per-partition map (``{"0": o0, "1": o1}``, Kafka's offset-JSON shape), the
+schema gains a ``partition`` column, and the group commit is per
+(group, topic, partition). Single-partition topics keep the round-5 schema
+(``offset, value``) and checkpoint format — existing queries and
+checkpoints are untouched.
+
 Values are opaque strings (the broker's JSON-framed payloads), surfaced as
 ``(offset bigint, value string)`` — CAST/parse downstream, as with Kafka's
 ``CAST(value AS STRING)``.
@@ -36,119 +45,197 @@ from pyspark.sql.datasource import (
 )
 
 SCHEMA = "offset bigint, value string"
+SCHEMA_MP = "partition int, offset bigint, value string"
 
 
 class _OffsetRange(InputPartition):
-    def __init__(self, host: str, port: int, topic: str, start: int, end: int):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        topic: str,
+        start: int,
+        end: int,
+        part: int = 0,
+        with_part_col: bool = False,
+    ):
         self.host, self.port, self.topic = host, port, topic
         self.start, self.end = start, end
+        self.part = part
+        self.with_part_col = with_part_col
+
+
+def _fetch_range(partition: _OffsetRange) -> Iterator[tuple]:
+    from ..streaming.wirebroker import WireClient
+
+    client = WireClient(partition.host, partition.port)
+    try:
+        rows = client.fetch_part(
+            partition.topic, partition.part, partition.start, partition.end
+        )
+    finally:
+        client.close()
+    if partition.with_part_col:
+        for off, value in rows:
+            yield (partition.part, off, value)
+    else:
+        yield from rows
+
+
+def _split_ranges(
+    host: str,
+    port: int,
+    topic: str,
+    part: int,
+    lo: int,
+    hi: int,
+    step: int,
+    with_part_col: bool,
+) -> list[_OffsetRange]:
+    return [
+        _OffsetRange(host, port, topic, s, min(s + step, hi), part, with_part_col)
+        for s in range(lo, hi, step)
+    ] or [_OffsetRange(host, port, topic, lo, hi, part, with_part_col)]
 
 
 class _WireStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, n_parts: int):
         self.host = options.get("host", "127.0.0.1")
         self.port = int(options["port"])
         self.topic = options["topic"]
         self.group = options.get("group", "spark")
         self.max_rows = int(options.get("maxrowsperpartition", 10_000))
+        self.n_parts = n_parts
 
     def _client(self):
         from ..streaming.wirebroker import WireClient
 
         return WireClient(self.host, self.port)
 
+    # -- offset bookkeeping: {"offset": n} for 1-partition topics (the
+    # round-5 checkpoint format), {"0": n0, "1": n1, ...} for real
+    # multi-partition topics (Kafka's per-partition offset map).
     def initialOffset(self) -> dict:
         with self._client() as c:
-            committed = c.committed(self.group, self.topic)
-        return {"offset": committed if committed >= 0 else 0}
+            if self.n_parts == 1:
+                committed = c.committed(self.group, self.topic)
+                return {"offset": committed if committed >= 0 else 0}
+            return {
+                str(p): max(c.committed_part(self.group, self.topic, p), 0)
+                for p in range(self.n_parts)
+            }
 
     def latestOffset(self) -> dict:
         with self._client() as c:
-            return {"offset": c.end_offset(self.topic)}
+            if self.n_parts == 1:
+                return {"offset": c.end_offset(self.topic)}
+            return {
+                str(p): c.end_offset_part(self.topic, p)
+                for p in range(self.n_parts)
+            }
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        lo, hi = start["offset"], end["offset"]
-        step = self.max_rows
-        return [
-            _OffsetRange(self.host, self.port, self.topic, s, min(s + step, hi))
-            for s in range(lo, hi, step)
-        ] or [_OffsetRange(self.host, self.port, self.topic, lo, hi)]
-
-    def read(self, partition: _OffsetRange) -> Iterator[tuple[int, str]]:
-        from ..streaming.wirebroker import WireClient
-
-        client = WireClient(partition.host, partition.port)
-        try:
-            yield from client.fetch(
-                partition.topic, partition.start, partition.end
+        if self.n_parts == 1:
+            return _split_ranges(
+                self.host, self.port, self.topic, 0,
+                start["offset"], end["offset"], self.max_rows, False,
             )
-        finally:
-            client.close()
+        out: list[InputPartition] = []
+        for p in range(self.n_parts):
+            key = str(p)
+            out.extend(
+                _split_ranges(
+                    self.host, self.port, self.topic, p,
+                    start.get(key, 0), end.get(key, 0), self.max_rows, True,
+                )
+            )
+        return out
+
+    def read(self, partition: _OffsetRange) -> Iterator[tuple]:
+        return _fetch_range(partition)
 
     def commit(self, end: dict) -> None:
         # Manual consumer-group commit on epoch completion — the wire twin
         # of the reference's consumer.commit() after processing.
         with self._client() as c:
-            c.commit(self.group, self.topic, end["offset"])
+            if self.n_parts == 1:
+                c.commit(self.group, self.topic, end["offset"])
+            else:
+                for p in range(self.n_parts):
+                    c.commit_part(self.group, self.topic, p, end[str(p)])
 
 
 class _WireBatchReader(DataSourceReader):
     """``spark.read.format("wire_topic")`` — the whole topic (or an explicit
-    ``startOffset``/``endOffset`` range) as a batch frame, range-partitioned
-    so each task fetches its own slice — Kafka's batch-read mode."""
+    ``startOffset``/``endOffset`` range on 1-partition topics) as a batch
+    frame, range-partitioned so each task fetches its own slice — Kafka's
+    batch-read mode. Multi-partition topics read every partition."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, n_parts: int):
         self.host = options.get("host", "127.0.0.1")
         self.port = int(options["port"])
         self.topic = options["topic"]
         self.start = int(options.get("startoffset", 0))
         self.end = options.get("endoffset")
         self.max_rows = int(options.get("maxrowsperpartition", 10_000))
+        self.n_parts = n_parts
 
     def partitions(self) -> list[InputPartition]:
         from ..streaming.wirebroker import WireClient
 
-        if self.end is not None:
-            end = int(self.end)
-        else:
-            with WireClient(self.host, self.port) as c:
-                end = c.end_offset(self.topic)
-        step = self.max_rows
-        return [
-            _OffsetRange(self.host, self.port, self.topic, s,
-                         min(s + step, end))
-            for s in range(self.start, end, step)
-        ] or [_OffsetRange(self.host, self.port, self.topic,
-                           self.start, end)]
-
-    def read(self, partition: _OffsetRange) -> Iterator[tuple[int, str]]:
-        from ..streaming.wirebroker import WireClient
-
-        client = WireClient(partition.host, partition.port)
-        try:
-            yield from client.fetch(
-                partition.topic, partition.start, partition.end
+        if self.n_parts == 1:
+            if self.end is not None:
+                end = int(self.end)
+            else:
+                with WireClient(self.host, self.port) as c:
+                    end = c.end_offset(self.topic)
+            return _split_ranges(
+                self.host, self.port, self.topic, 0,
+                self.start, end, self.max_rows, False,
             )
-        finally:
-            client.close()
+        out: list[InputPartition] = []
+        with WireClient(self.host, self.port) as c:
+            ends = [
+                c.end_offset_part(self.topic, p) for p in range(self.n_parts)
+            ]
+        for p, end in enumerate(ends):
+            out.extend(
+                _split_ranges(
+                    self.host, self.port, self.topic, p,
+                    0, end, self.max_rows, True,
+                )
+            )
+        return out
+
+    def read(self, partition: _OffsetRange) -> Iterator[tuple]:
+        return _fetch_range(partition)
 
 
 class WireTopicDataSource(DataSource):
     """``format("wire_topic")`` — batch + streaming consumer for the TCP
-    broker."""
+    broker. Partition count is discovered from the broker once per reader
+    (PARTS), like a Kafka client fetching topic metadata."""
 
     @classmethod
     def name(cls) -> str:
         return "wire_topic"
 
+    def _n_parts(self) -> int:
+        from ..streaming.wirebroker import WireClient
+
+        host = self.options.get("host", "127.0.0.1")
+        port = int(self.options["port"])
+        with WireClient(host, port) as c:
+            return c.n_partitions(self.options["topic"])
+
     def schema(self) -> str:
-        return SCHEMA
+        return SCHEMA_MP if self._n_parts() > 1 else SCHEMA
 
     def reader(self, schema) -> DataSourceReader:
-        return _WireBatchReader(self.options)
+        return _WireBatchReader(self.options, self._n_parts())
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return _WireStreamReader(self.options)
+        return _WireStreamReader(self.options, self._n_parts())
 
 
 def register(spark) -> None:

@@ -12,6 +12,25 @@ produce/fetch/commit broker speaking newline-delimited UTF-8:
     COMMITTED <group> <topic>           -> OK <offset|-1>
     QUIT                                -> (closes connection)
 
+Round-6 multi-partition mode (one append-only log PER PARTITION, the real
+Kafka topic model — partition id in the protocol, offsets dense per
+partition, consumer-group commits per (group, topic, partition)):
+
+    CREATE <topic> <nparts>                      -> OK <nparts>
+    PARTS <topic>                                -> OK <nparts>
+    PRODUCEK <topic> <key> <json-value>          -> OK <part> <offset>
+    PRODUCEP <topic> <part> <json-value>         -> OK <offset>
+    ENDP <topic> <part>                          -> OK <end-offset>
+    FETCHP <topic> <part> <start> <end>          -> MSG ... DONE
+    COMMITP <group> <topic> <part> <offset>      -> OK
+    COMMITTEDP <group> <topic> <part>            -> OK <offset|-1>
+
+``PRODUCEK`` routes by key hash (crc32(key) % nparts — the keyed-producer
+contract: same key, same partition, per-partition order preserved). The
+legacy single-partition commands keep working against partition 0 of
+1-partition topics, so round-5 clients are untouched; unkeyed PRODUCE to a
+multi-partition topic is an ERR (explicit routing only).
+
 Semantics mirror the reference consumer/producer pair:
 
 - append-only per-topic log, offsets dense from 0 — Kafka's single-partition
@@ -38,6 +57,7 @@ import json
 import socket
 import socketserver
 import threading
+import zlib
 
 
 class _Handler(socketserver.StreamRequestHandler):
@@ -68,8 +88,10 @@ class WireBroker:
     def __init__(self, host: str = "127.0.0.1") -> None:
         self._host = host
         self._lock = threading.Lock()
-        self._topics: dict[str, list[str]] = {}
-        self._commits: dict[tuple[str, str], int] = {}
+        # topic -> one append-only log per partition (legacy topics
+        # auto-create with a single partition).
+        self._topics: dict[str, list[list[str]]] = {}
+        self._commits: dict[tuple[str, str, int], int] = {}
         self._server: _Server | None = None
         self._thread: threading.Thread | None = None
 
@@ -102,41 +124,113 @@ class WireBroker:
         self.stop()
 
     # -- protocol -----------------------------------------------------------
+    def _log(self, topic: str, part: int) -> list[str]:
+        """The partition's log; caller holds the lock. Auto-creates legacy
+        1-partition topics on partition-0 access, errors on out-of-range."""
+        parts = self._topics.get(topic)
+        if parts is None:
+            if part != 0:
+                raise ValueError(f"unknown topic {topic!r}")
+            parts = self._topics[topic] = [[]]
+        if not 0 <= part < len(parts):
+            raise ValueError(
+                f"partition {part} out of range for topic {topic!r}"
+                f" ({len(parts)} partitions)"
+            )
+        return parts[part]
+
     def _dispatch(self, line: str) -> list[str] | None:
         cmd, _, rest = line.partition(" ")
         cmd = cmd.upper()
         if cmd == "QUIT":
             return None
-        if cmd == "PRODUCE":
+        if cmd == "CREATE":
+            topic, n_s = rest.split(" ")
+            n = int(n_s)
+            if n < 1:
+                return ["ERR partition count must be >= 1"]
+            with self._lock:
+                existing = self._topics.get(topic)
+                if existing is not None and len(existing) != n:
+                    return [
+                        f"ERR topic {topic!r} exists with"
+                        f" {len(existing)} partitions"
+                    ]
+                if existing is None:
+                    self._topics[topic] = [[] for _ in range(n)]
+                return [f"OK {n}"]
+        if cmd == "PARTS":
+            with self._lock:
+                parts = self._topics.get(rest)
+                return [f"OK {1 if parts is None else len(parts)}"]
+        if cmd in ("PRODUCE", "PRODUCEK", "PRODUCEP"):
             topic, _, payload = rest.partition(" ")
+            key = None
+            part = 0
+            if cmd == "PRODUCEK":
+                key, _, payload = payload.partition(" ")
+            elif cmd == "PRODUCEP":
+                part_s, _, payload = payload.partition(" ")
+                part = int(part_s)
             value = json.loads(payload)
             if not isinstance(value, str):
                 return ["ERR value must be a JSON string"]
             with self._lock:
-                log = self._topics.setdefault(topic, [])
+                n = len(self._topics[topic]) if topic in self._topics else 1
+                if cmd == "PRODUCE" and n != 1:
+                    return [
+                        f"ERR topic {topic!r} has {n} partitions;"
+                        " use PRODUCEK or PRODUCEP"
+                    ]
+                if cmd == "PRODUCEK":
+                    part = zlib.crc32(key.encode("utf-8")) % n
+                log = self._log(topic, part)
                 log.append(value)
-                return [f"OK {len(log) - 1}"]
-        if cmd == "END":
+                off = len(log) - 1
+            return [f"OK {part} {off}" if cmd == "PRODUCEK" else f"OK {off}"]
+        if cmd in ("END", "ENDP"):
+            if cmd == "ENDP":
+                topic, part_s = rest.split(" ")
+                part = int(part_s)
+            else:
+                topic, part = rest, 0
             with self._lock:
-                return [f"OK {len(self._topics.get(rest, []))}"]
-        if cmd == "FETCH":
-            topic, start_s, end_s = rest.split(" ")
+                if topic not in self._topics:
+                    return ["OK 0"]
+                return [f"OK {len(self._log(topic, part))}"]
+        if cmd in ("FETCH", "FETCHP"):
+            if cmd == "FETCHP":
+                topic, part_s, start_s, end_s = rest.split(" ")
+                part = int(part_s)
+            else:
+                topic, start_s, end_s = rest.split(" ")
+                part = 0
             start, end = int(start_s), int(end_s)
             with self._lock:
-                log = self._topics.get(topic, [])
+                log = [] if topic not in self._topics else self._log(topic, part)
                 chunk = list(enumerate(log[start:end], start))
             out = [f"MSG {off} {json.dumps(v)}" for off, v in chunk]
             out.append("DONE")
             return out
-        if cmd == "COMMIT":
-            group, topic, off_s = rest.split(" ")
+        if cmd in ("COMMIT", "COMMITP"):
+            if cmd == "COMMITP":
+                group, topic, part_s, off_s = rest.split(" ")
+                part = int(part_s)
+            else:
+                group, topic, off_s = rest.split(" ")
+                part = 0
             with self._lock:
-                self._commits[(group, topic)] = int(off_s)
+                self._commits[(group, topic, part)] = int(off_s)
             return ["OK"]
-        if cmd == "COMMITTED":
-            group, topic = rest.split(" ")
+        if cmd in ("COMMITTED", "COMMITTEDP"):
+            if cmd == "COMMITTEDP":
+                group, topic, part_s = rest.split(" ")
+                part = int(part_s)
+            else:
+                group, topic = rest.split(" ")
+                part = 0
             with self._lock:
-                return [f"OK {self._commits.get((group, topic), -1)}"]
+                return [f"OK {self._commits.get((group, topic, part), -1)}"]
         return [f"ERR unknown command {cmd!r}"]
 
 
@@ -192,6 +286,52 @@ class WireClient:
         self._send(f"COMMITTED {group} {topic}")
         return int(self._expect_ok())
 
+    # -- multi-partition protocol (round 6) ---------------------------------
+    def create_topic(self, topic: str, n_partitions: int) -> int:
+        self._send(f"CREATE {topic} {n_partitions}")
+        return int(self._expect_ok())
+
+    def n_partitions(self, topic: str) -> int:
+        self._send(f"PARTS {topic}")
+        return int(self._expect_ok())
+
+    def produce_keyed(self, topic: str, key: str, value: str) -> tuple[int, int]:
+        """Keyed produce: broker routes crc32(key) % nparts; returns
+        (partition, offset) — same key always lands on the same partition."""
+        self._send(f"PRODUCEK {topic} {key} {json.dumps(value)}")
+        part_s, off_s = self._expect_ok().split(" ")
+        return int(part_s), int(off_s)
+
+    def produce_part(self, topic: str, part: int, value: str) -> int:
+        self._send(f"PRODUCEP {topic} {part} {json.dumps(value)}")
+        return int(self._expect_ok())
+
+    def end_offset_part(self, topic: str, part: int) -> int:
+        self._send(f"ENDP {topic} {part}")
+        return int(self._expect_ok())
+
+    def fetch_part(
+        self, topic: str, part: int, start: int, end: int
+    ) -> list[tuple[int, str]]:
+        self._send(f"FETCHP {topic} {part} {start} {end}")
+        out: list[tuple[int, str]] = []
+        while True:
+            reply = self._recv_line()
+            if reply == "DONE":
+                return out
+            if not reply.startswith("MSG "):
+                raise RuntimeError(f"broker error: {reply}")
+            _, off, payload = reply.split(" ", 2)
+            out.append((int(off), json.loads(payload)))
+
+    def commit_part(self, group: str, topic: str, part: int, offset: int) -> None:
+        self._send(f"COMMITP {group} {topic} {part} {offset}")
+        self._expect_ok()
+
+    def committed_part(self, group: str, topic: str, part: int) -> int:
+        self._send(f"COMMITTEDP {group} {topic} {part}")
+        return int(self._expect_ok())
+
     def close(self) -> None:
         try:
             self._send("QUIT")
@@ -208,19 +348,28 @@ class WireClient:
 
 
 def produce_dataframe(df, host: str, port: int, topic: str,
-                      value_col: str = "item_name") -> None:
+                      value_col: str = "item_name",
+                      key_col: str | None = None) -> None:
     """Wire PRODUCER from executors (S2): each partition opens its own
     connection and streams its rows — the reference's paced driver loop
     (`produce_items.py:30-41`) turned into a partitioned write. Offset
     assignment is the broker's, so cross-partition arrival order is
-    nondeterministic exactly like multi-producer Kafka."""
+    nondeterministic exactly like multi-producer Kafka. With ``key_col``
+    set, rows route by key hash to the topic's partitions (keyed-producer
+    mode: per-key order is preserved because one key always lands on one
+    partition's append-only log)."""
+
+    cols = [value_col] if key_col is None else [value_col, key_col]
 
     def _send(rows) -> None:
         client = WireClient(host, port)
         try:
             for row in rows:
-                client.produce(topic, row[value_col])
+                if key_col is None:
+                    client.produce(topic, row[value_col])
+                else:
+                    client.produce_keyed(topic, str(row[key_col]), row[value_col])
         finally:
             client.close()
 
-    df.select(value_col).foreachPartition(_send)
+    df.select(*cols).foreachPartition(_send)

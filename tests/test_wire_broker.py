@@ -57,7 +57,7 @@ def test_broker_protocol_roundtrip(broker):
 
 def test_stream_reader_partitions_split():
     reader = _WireStreamReader(
-        {"port": "1", "topic": "t", "maxrowsperpartition": "3"}
+        {"port": "1", "topic": "t", "maxrowsperpartition": "3"}, n_parts=1
     )
     parts = reader.partitions({"offset": 0}, {"offset": 8})
     assert [(p.start, p.end) for p in parts] == [(0, 3), (3, 6), (6, 8)]
