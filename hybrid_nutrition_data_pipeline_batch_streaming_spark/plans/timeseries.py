@@ -597,9 +597,12 @@ def ts_motif_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape for 100 TB: ONE per-user sort shuffle produces all
     {MOTIF_LEN} lead columns from a single Window node (sliding windows
-    never materialize as arrays); the anchor is a 1-row broadcast; the
-    top-10 is TakeOrderedAndProject (partial top-k per partition, never a
-    global sort). For long patterns the production upgrade is a
+    never materialize as arrays); the anchor is a 1-row broadcast DERIVED
+    FROM THE ANCHOR USER'S ROWS ONLY (broadcast-semi filter on min
+    user_id BEFORE the window — the M=100 study caught the anchor branch
+    re-executing the full-corpus window a second time, doubling the sort);
+    the top-10 is TakeOrderedAndProject (partial top-k per partition,
+    never a global sort). For long patterns the production upgrade is a
     z-normalized MASS/FFT scorer per partition — the plan shape
     (partition → score → global top-k) is unchanged.
     """
@@ -607,28 +610,37 @@ def ts_motif_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     units = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
     ev = cat.events.select("user_id", "event_id", "ts", units.alias("v"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    win = ev.select(
-        "user_id",
-        "event_id",
-        F.row_number().over(w).alias("rn"),
-        F.col("v").alias("v0"),
-        *[F.lead("v", i).over(w).alias(f"v{i}") for i in range(1, MOTIF_LEN)],
-    )
-    full_win = win.where(
-        F.lit(True)
-        & F.col("v0").isNotNull()
-        & F.col(f"v{MOTIF_LEN - 1}").isNotNull()
-    )
-    for i in range(1, MOTIF_LEN - 1):
-        full_win = full_win.where(F.col(f"v{i}").isNotNull())
-    mu = ev.agg(F.min("user_id").alias("anchor_user"))
-    anchor = (
-        full_win.join(
-            F.broadcast(mu), full_win.user_id == F.col("anchor_user")
+
+    def _windows(df):
+        win = df.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.col("v").alias("v0"),
+            *[F.lead("v", i).over(w).alias(f"v{i}") for i in range(1, MOTIF_LEN)],
         )
+        out = win.where(
+            F.lit(True)
+            & F.col("v0").isNotNull()
+            & F.col(f"v{MOTIF_LEN - 1}").isNotNull()
+        )
+        for i in range(1, MOTIF_LEN - 1):
+            out = out.where(F.col(f"v{i}").isNotNull())
+        return out
+
+    full_win = _windows(ev)
+    mu = ev.agg(F.min("user_id").alias("anchor_user"))
+    # The anchor needs only the min user's series: filter to it FIRST (1-row
+    # broadcast join), then window over that single tiny partition. rn over
+    # one user's rows is identical to rn over the full table (the window is
+    # partitioned by user_id), so the anchor is unchanged — but the
+    # full-corpus sort now executes once, not twice.
+    anchor = (
+        _windows(ev.join(F.broadcast(mu), ev.user_id == F.col("anchor_user")))
         .where(F.col("rn") == 1)
         .select(
-            "anchor_user", *[F.col(f"v{i}").alias(f"a{i}") for i in range(MOTIF_LEN)]
+            F.col("user_id").alias("anchor_user"),
+            *[F.col(f"v{i}").alias(f"a{i}") for i in range(MOTIF_LEN)],
         )
     )
     dist = sum(

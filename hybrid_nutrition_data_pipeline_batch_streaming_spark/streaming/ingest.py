@@ -93,15 +93,22 @@ def read_events_stream(
     """
     ensure_runtime_conf(spark)
     schema, raw_nanos = _events_file_schema(sf_dir)
-    # The file stream source requires a directory; stream the table dir with
-    # a glob filter selecting just the events file(s).
-    reader = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-    )
+    # The file stream source requires a directory. The driver fixtures ship
+    # events as a single FILE named events.parquet (stream the table dir with
+    # a glob selecting it); the scale generator writes a DIRECTORY of part
+    # files under events.parquet/ (stream that directory — a leaf-file glob
+    # of "events.parquet" would match nothing there and silently yield an
+    # empty stream, the M=100 stream_topk_live rows=0 failure).
+    import os
+
+    events_dir = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(schema)
+    if not os.path.isdir(events_dir):
+        events_dir = sf_dir
+        reader = reader.option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
+    df = reader.parquet(events_dir)
     if raw_nanos:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")

@@ -979,3 +979,41 @@ def test_upsert_store_point_lookup_reads_only_key_buckets(spark, tmp_path):
 
     # Missing keys → empty result, not an error.
     assert store.read_keys(["nope"]).where("item_name = 'nope'").count() == 0
+
+
+def test_events_stream_reads_directory_layout(spark, tmp_path):
+    """read_events_stream must handle BOTH on-disk layouts: the driver
+    fixtures ship events as a single FILE named events.parquet, while the
+    scale generator (tools/make_scale_data.py) writes a DIRECTORY of part
+    files under events.parquet/. The original reader glob-filtered leaf
+    files by the name "events.parquet", which matched nothing inside the
+    directory layout and yielded a silently EMPTY stream — caught as
+    stream_topk_live rows=0 in the M=100 study. Pin: a directory-layout
+    table streams every row, and the single-file fixture path still works."""
+    import datetime as _dt
+
+    rows = [
+        (i, _dt.datetime(2024, 1, 1, i % 24), i % 7, "click", 1.0, "{}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    # Directory layout: events.parquet/ with multiple part files.
+    df.repartition(3).write.parquet(str(tmp_path / "events.parquet"))
+    got = run_to_memory(
+        read_events_stream(spark, str(tmp_path)).groupBy("event_type").count(),
+        output_mode="complete",
+    )
+    assert [(r["event_type"], r["count"]) for r in got.collect()] == [
+        ("click", 40)
+    ]
+    # Single-file fixture layout still streams (regression guard on the
+    # glob branch): the sf0.001 fixture row count must come through.
+    n_fixture = spark.read.parquet(f"{SF}/events.parquet").count()
+    got2 = run_to_memory(
+        read_events_stream(spark, SF).groupBy().count(), output_mode="complete"
+    )
+    assert got2.collect()[0][0] == n_fixture
