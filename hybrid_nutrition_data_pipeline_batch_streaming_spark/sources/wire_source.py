@@ -28,6 +28,15 @@ schema gains a ``partition`` column, and the group commit is per
 (``offset, value``) and checkpoint format — existing queries and
 checkpoints are untouched.
 
+Round 6 — retention + auto.offset.reset: the broker's RETAIN command
+deletes a log prefix (offsets never renumber, Kafka's retention model), a
+fetch below the retained start raises OffsetOutOfRange, and the consumer's
+``offsetReset`` option decides: ``earliest`` (default — the reference's
+``auto_offset_reset="earliest"``, `consumer/consume_items.py:27`) seeks to
+the log start and accepts the loss; ``error`` fails the micro-batch loudly
+(Kafka's failOnDataLoss=true). ``initialOffset`` starts new groups at the
+earliest RETAINED offset, not 0.
+
 Values are opaque strings (the broker's JSON-framed payloads), surfaced as
 ``(offset bigint, value string)`` — CAST/parse downstream, as with Kafka's
 ``CAST(value AS STRING)``.
@@ -58,21 +67,38 @@ class _OffsetRange(InputPartition):
         end: int,
         part: int = 0,
         with_part_col: bool = False,
+        reset: str = "error",
     ):
         self.host, self.port, self.topic = host, port, topic
         self.start, self.end = start, end
         self.part = part
         self.with_part_col = with_part_col
+        self.reset = reset
 
 
 def _fetch_range(partition: _OffsetRange) -> Iterator[tuple]:
-    from ..streaming.wirebroker import WireClient
+    from ..streaming.wirebroker import OffsetOutOfRange, WireClient
 
     client = WireClient(partition.host, partition.port)
     try:
-        rows = client.fetch_part(
-            partition.topic, partition.part, partition.start, partition.end
-        )
+        try:
+            rows = client.fetch_part(
+                partition.topic, partition.part, partition.start, partition.end
+            )
+        except OffsetOutOfRange as oor:
+            # Broker retention deleted part of the planned range between
+            # offset planning and this task's fetch (or the checkpointed /
+            # committed offset predates retention). Kafka's
+            # auto.offset.reset decides: "earliest" seeks to the log start
+            # and accepts the data loss (the reference consumer's setting,
+            # consume_items.py:27); "error" fails the batch loudly
+            # (failOnDataLoss=true).
+            if partition.reset != "earliest":
+                raise
+            seek = min(max(partition.start, oor.start), partition.end)
+            rows = client.fetch_part(
+                partition.topic, partition.part, seek, partition.end
+            )
     finally:
         client.close()
     if partition.with_part_col:
@@ -91,11 +117,14 @@ def _split_ranges(
     hi: int,
     step: int,
     with_part_col: bool,
+    reset: str = "error",
 ) -> list[_OffsetRange]:
     return [
-        _OffsetRange(host, port, topic, s, min(s + step, hi), part, with_part_col)
+        _OffsetRange(
+            host, port, topic, s, min(s + step, hi), part, with_part_col, reset
+        )
         for s in range(lo, hi, step)
-    ] or [_OffsetRange(host, port, topic, lo, hi, part, with_part_col)]
+    ] or [_OffsetRange(host, port, topic, lo, hi, part, with_part_col, reset)]
 
 
 class _WireStreamReader(DataSourceStreamReader):
@@ -105,6 +134,16 @@ class _WireStreamReader(DataSourceStreamReader):
         self.topic = options["topic"]
         self.group = options.get("group", "spark")
         self.max_rows = int(options.get("maxrowsperpartition", 10_000))
+        # auto.offset.reset: "earliest" (the reference consumer's setting,
+        # consume_items.py:27 — seek to the retained log start when the
+        # wanted offsets were deleted by retention) or "error"
+        # (failOnDataLoss: fail the batch instead of skipping records).
+        self.offset_reset = options.get("offsetreset", "earliest").lower()
+        if self.offset_reset not in ("earliest", "error"):
+            raise ValueError(
+                f"offsetReset must be 'earliest' or 'error',"
+                f" got {self.offset_reset!r}"
+            )
         self.n_parts = n_parts
 
     def _client(self):
@@ -116,14 +155,22 @@ class _WireStreamReader(DataSourceStreamReader):
     # round-5 checkpoint format), {"0": n0, "1": n1, ...} for real
     # multi-partition topics (Kafka's per-partition offset map).
     def initialOffset(self) -> dict:
+        # No checkpoint: resume from the group's commit, else from the
+        # EARLIEST RETAINED offset (not 0 — retention may have deleted a
+        # prefix before this consumer ever started). A committed offset
+        # below the log start is handled by the reset policy at fetch time.
         with self._client() as c:
             if self.n_parts == 1:
                 committed = c.committed(self.group, self.topic)
-                return {"offset": committed if committed >= 0 else 0}
-            return {
-                str(p): max(c.committed_part(self.group, self.topic, p), 0)
-                for p in range(self.n_parts)
-            }
+                earliest = c.start_offset(self.topic)
+                return {"offset": committed if committed >= 0 else earliest}
+            out = {}
+            for p in range(self.n_parts):
+                committed = c.committed_part(self.group, self.topic, p)
+                if committed < 0:
+                    committed = c.start_offset_part(self.topic, p)
+                out[str(p)] = committed
+            return out
 
     def latestOffset(self) -> dict:
         with self._client() as c:
@@ -139,6 +186,7 @@ class _WireStreamReader(DataSourceStreamReader):
             return _split_ranges(
                 self.host, self.port, self.topic, 0,
                 start["offset"], end["offset"], self.max_rows, False,
+                self.offset_reset,
             )
         out: list[InputPartition] = []
         for p in range(self.n_parts):
@@ -147,6 +195,7 @@ class _WireStreamReader(DataSourceStreamReader):
                 _split_ranges(
                     self.host, self.port, self.topic, p,
                     start.get(key, 0), end.get(key, 0), self.max_rows, True,
+                    self.offset_reset,
                 )
             )
         return out
@@ -175,7 +224,7 @@ class _WireBatchReader(DataSourceReader):
         self.host = options.get("host", "127.0.0.1")
         self.port = int(options["port"])
         self.topic = options["topic"]
-        self.start = int(options.get("startoffset", 0))
+        self.start = options.get("startoffset")  # None -> earliest retained
         self.end = options.get("endoffset")
         self.max_rows = int(options.get("maxrowsperpartition", 10_000))
         self.n_parts = n_parts
@@ -184,25 +233,34 @@ class _WireBatchReader(DataSourceReader):
         from ..streaming.wirebroker import WireClient
 
         if self.n_parts == 1:
-            if self.end is not None:
-                end = int(self.end)
-            else:
-                with WireClient(self.host, self.port) as c:
-                    end = c.end_offset(self.topic)
+            with WireClient(self.host, self.port) as c:
+                end = (
+                    int(self.end) if self.end is not None
+                    else c.end_offset(self.topic)
+                )
+                # Default lower bound is the earliest RETAINED offset (an
+                # explicit startOffset below it fails at fetch — data loss
+                # must be asked for, never silent in batch mode).
+                start = (
+                    int(self.start) if self.start is not None
+                    else c.start_offset(self.topic)
+                )
             return _split_ranges(
                 self.host, self.port, self.topic, 0,
-                self.start, end, self.max_rows, False,
+                start, end, self.max_rows, False,
             )
         out: list[InputPartition] = []
         with WireClient(self.host, self.port) as c:
-            ends = [
-                c.end_offset_part(self.topic, p) for p in range(self.n_parts)
+            bounds = [
+                (c.start_offset_part(self.topic, p),
+                 c.end_offset_part(self.topic, p))
+                for p in range(self.n_parts)
             ]
-        for p, end in enumerate(ends):
+        for p, (start, end) in enumerate(bounds):
             out.extend(
                 _split_ranges(
                     self.host, self.port, self.topic, p,
-                    0, end, self.max_rows, True,
+                    start, end, self.max_rows, True,
                 )
             )
         return out

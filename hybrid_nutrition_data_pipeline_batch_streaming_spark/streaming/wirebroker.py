@@ -25,6 +25,19 @@ partition, consumer-group commits per (group, topic, partition)):
     COMMITP <group> <topic> <part> <offset>      -> OK
     COMMITTEDP <group> <topic> <part>            -> OK <offset|-1>
 
+Round-6 log retention (Kafka's retention.ms/retention.bytes model: a
+PREFIX of the log is deleted, offsets are never renumbered, the log keeps
+a start offset — reading below it is an offset-out-of-range error, which
+is exactly the situation the reference's ``auto_offset_reset="earliest"``
+(`consumer/consume_items.py:27`) exists to handle):
+
+    RETAIN <topic> <part> <keep_last_n>          -> OK <new-start-offset>
+    START <topic>                                -> OK <start-offset>
+    STARTP <topic> <part>                        -> OK <start-offset>
+
+    FETCH/FETCHP below the start offset          -> ERR OffsetOutOfRange
+                                                    start=<s> end=<e>
+
 ``PRODUCEK`` routes by key hash (crc32(key) % nparts — the keyed-producer
 contract: same key, same partition, per-partition order preserved). The
 legacy single-partition commands keep working against partition 0 of
@@ -60,6 +73,22 @@ import threading
 import zlib
 
 
+class _PartLog:
+    """One partition's append-only log with a retention-advanced start
+    offset: ``rows[i]`` holds offset ``start + i`` (Kafka's log segment
+    model — retention deletes a prefix, offsets are never renumbered)."""
+
+    __slots__ = ("start", "rows")
+
+    def __init__(self) -> None:
+        self.start = 0
+        self.rows: list[str] = []
+
+    @property
+    def end(self) -> int:
+        return self.start + len(self.rows)
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one connection, many commands
         broker: WireBroker = self.server.broker  # type: ignore[attr-defined]
@@ -90,7 +119,7 @@ class WireBroker:
         self._lock = threading.Lock()
         # topic -> one append-only log per partition (legacy topics
         # auto-create with a single partition).
-        self._topics: dict[str, list[list[str]]] = {}
+        self._topics: dict[str, list[_PartLog]] = {}
         self._commits: dict[tuple[str, str, int], int] = {}
         self._server: _Server | None = None
         self._thread: threading.Thread | None = None
@@ -124,14 +153,14 @@ class WireBroker:
         self.stop()
 
     # -- protocol -----------------------------------------------------------
-    def _log(self, topic: str, part: int) -> list[str]:
+    def _log(self, topic: str, part: int) -> _PartLog:
         """The partition's log; caller holds the lock. Auto-creates legacy
         1-partition topics on partition-0 access, errors on out-of-range."""
         parts = self._topics.get(topic)
         if parts is None:
             if part != 0:
                 raise ValueError(f"unknown topic {topic!r}")
-            parts = self._topics[topic] = [[]]
+            parts = self._topics[topic] = [_PartLog()]
         if not 0 <= part < len(parts):
             raise ValueError(
                 f"partition {part} out of range for topic {topic!r}"
@@ -157,7 +186,7 @@ class WireBroker:
                         f" {len(existing)} partitions"
                     ]
                 if existing is None:
-                    self._topics[topic] = [[] for _ in range(n)]
+                    self._topics[topic] = [_PartLog() for _ in range(n)]
                 return [f"OK {n}"]
         if cmd == "PARTS":
             with self._lock:
@@ -185,11 +214,11 @@ class WireBroker:
                 if cmd == "PRODUCEK":
                     part = zlib.crc32(key.encode("utf-8")) % n
                 log = self._log(topic, part)
-                log.append(value)
-                off = len(log) - 1
+                log.rows.append(value)
+                off = log.end - 1
             return [f"OK {part} {off}" if cmd == "PRODUCEK" else f"OK {off}"]
-        if cmd in ("END", "ENDP"):
-            if cmd == "ENDP":
+        if cmd in ("END", "ENDP", "START", "STARTP"):
+            if cmd in ("ENDP", "STARTP"):
                 topic, part_s = rest.split(" ")
                 part = int(part_s)
             else:
@@ -197,7 +226,20 @@ class WireBroker:
             with self._lock:
                 if topic not in self._topics:
                     return ["OK 0"]
-                return [f"OK {len(self._log(topic, part))}"]
+                log = self._log(topic, part)
+                return [f"OK {log.end if cmd in ('END', 'ENDP') else log.start}"]
+        if cmd == "RETAIN":
+            topic, part_s, keep_s = rest.split(" ")
+            part, keep = int(part_s), int(keep_s)
+            if keep < 0:
+                return ["ERR keep count must be >= 0"]
+            with self._lock:
+                log = self._log(topic, part)
+                drop = max(0, len(log.rows) - keep)
+                if drop:
+                    del log.rows[:drop]
+                    log.start += drop
+                return [f"OK {log.start}"]
         if cmd in ("FETCH", "FETCHP"):
             if cmd == "FETCHP":
                 topic, part_s, start_s, end_s = rest.split(" ")
@@ -207,8 +249,23 @@ class WireBroker:
                 part = 0
             start, end = int(start_s), int(end_s)
             with self._lock:
-                log = [] if topic not in self._topics else self._log(topic, part)
-                chunk = list(enumerate(log[start:end], start))
+                if topic not in self._topics:
+                    return ["DONE"]
+                log = self._log(topic, part)
+                # Kafka semantics: a fetch below the log start offset (the
+                # requested records were deleted by retention) is an ERROR,
+                # not an empty or silently-shifted read — the CONSUMER's
+                # auto.offset.reset policy decides what happens next.
+                if start < log.start and start < min(end, log.end):
+                    return [
+                        f"ERR OffsetOutOfRange start={log.start} end={log.end}"
+                    ]
+                chunk = list(
+                    enumerate(
+                        log.rows[start - log.start : max(end - log.start, 0)],
+                        start,
+                    )
+                )
             out = [f"MSG {off} {json.dumps(v)}" for off, v in chunk]
             out.append("DONE")
             return out
@@ -232,6 +289,27 @@ class WireBroker:
             with self._lock:
                 return [f"OK {self._commits.get((group, topic, part), -1)}"]
         return [f"ERR unknown command {cmd!r}"]
+
+
+class OffsetOutOfRange(RuntimeError):
+    """A fetch asked for offsets deleted by retention — Kafka's
+    OffsetOutOfRangeException. Carries the partition's valid range so the
+    consumer's reset policy can seek to ``start`` (= earliest)."""
+
+    def __init__(self, start: int, end: int) -> None:
+        super().__init__(
+            f"requested offsets below log start (valid range [{start}, {end}))"
+        )
+        self.start = start
+        self.end = end
+
+
+def _maybe_oor(reply: str) -> None:
+    if reply.startswith("ERR OffsetOutOfRange"):
+        fields = dict(
+            kv.split("=") for kv in reply.split(" ") if "=" in kv
+        )
+        raise OffsetOutOfRange(int(fields["start"]), int(fields["end"]))
 
 
 class WireClient:
@@ -274,9 +352,16 @@ class WireClient:
             if reply == "DONE":
                 return out
             if not reply.startswith("MSG "):
+                _maybe_oor(reply)
                 raise RuntimeError(f"broker error: {reply}")
             _, off, payload = reply.split(" ", 2)
             out.append((int(off), json.loads(payload)))
+
+    def start_offset(self, topic: str) -> int:
+        """Earliest retained offset (Kafka beginningOffsets); 0 unless
+        RETAIN has deleted a prefix."""
+        self._send(f"START {topic}")
+        return int(self._expect_ok())
 
     def commit(self, group: str, topic: str, offset: int) -> None:
         self._send(f"COMMIT {group} {topic} {offset}")
@@ -320,9 +405,20 @@ class WireClient:
             if reply == "DONE":
                 return out
             if not reply.startswith("MSG "):
+                _maybe_oor(reply)
                 raise RuntimeError(f"broker error: {reply}")
             _, off, payload = reply.split(" ", 2)
             out.append((int(off), json.loads(payload)))
+
+    def start_offset_part(self, topic: str, part: int) -> int:
+        self._send(f"STARTP {topic} {part}")
+        return int(self._expect_ok())
+
+    def retain(self, topic: str, part: int, keep_last_n: int) -> int:
+        """Prefix retention: keep only the newest ``keep_last_n`` records of
+        the partition (offsets unchanged); returns the new start offset."""
+        self._send(f"RETAIN {topic} {part} {keep_last_n}")
+        return int(self._expect_ok())
 
     def commit_part(self, group: str, topic: str, part: int, offset: int) -> None:
         self._send(f"COMMITP {group} {topic} {part} {offset}")

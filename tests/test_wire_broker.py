@@ -228,3 +228,109 @@ def test_wire_batch_read(spark, broker):
     assert {(r.offset, r.value) for r in ranged.collect()} == {
         (i, f"v{i}") for i in range(10, 15)
     }
+
+
+def test_broker_retention_protocol(broker):
+    """Kafka's retention model on the wire: RETAIN deletes a PREFIX, offsets
+    never renumber, START reports the earliest retained offset, and a fetch
+    below it is an explicit OffsetOutOfRange error — never an empty or
+    silently-shifted read."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.wirebroker import (
+        OffsetOutOfRange,
+    )
+
+    host, port = broker.address
+    with WireClient(host, port) as c:
+        for i in range(10):
+            c.produce("r", f"v{i}")
+        assert c.start_offset("r") == 0
+        assert c.retain("r", 0, 4) == 6  # keep v6..v9
+        assert c.start_offset("r") == 6
+        assert c.end_offset("r") == 10  # end offset unchanged
+        # surviving records keep their ORIGINAL offsets
+        assert c.fetch("r", 6, 10) == [(i, f"v{i}") for i in range(6, 10)]
+        with pytest.raises(OffsetOutOfRange) as exc:
+            c.fetch("r", 0, 10)
+        assert (exc.value.start, exc.value.end) == (6, 10)
+        # a fully-truncated range errors too; an empty range never does
+        with pytest.raises(OffsetOutOfRange):
+            c.fetch("r", 2, 5)
+        assert c.fetch("r", 6, 6) == []
+        # producing after retention continues the dense numbering
+        assert c.produce("r", "v10") == 10
+        # retain more than present is a no-op
+        assert c.retain("r", 0, 99) == 6
+
+
+def test_stream_starts_at_earliest_retained(spark, tmp_path, broker):
+    """A brand-new consumer group must begin at the earliest RETAINED
+    offset, not 0 — on a topic whose prefix was deleted before the consumer
+    ever existed, starting at 0 would fail (or re-read ghosts)."""
+    host, port = broker.address
+    register(spark)
+    with WireClient(host, port) as c:
+        for i in range(10):
+            c.produce("ret-new", f"x:{i}")
+        c.retain("ret-new", 0, 4)  # earliest is now 6
+
+    stream = (
+        spark.readStream.format("wire_topic")
+        .option("host", host)
+        .option("port", port)
+        .option("topic", "ret-new")
+        .option("group", "g-ret-new")
+        .load()
+    )
+    seen = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: seen.extend(r.offset for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(seen) == [6, 7, 8, 9]
+
+
+def test_offset_reset_policies_after_retention(spark, tmp_path, broker):
+    """The auto.offset.reset split, mid-stream: a group committed at offset
+    2 comes back after retention deleted everything below 7. 'earliest'
+    (the reference consumer's setting, consume_items.py:27) seeks to the
+    log start and reads 7..9; 'error' (failOnDataLoss) fails the batch."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    host, port = broker.address
+    register(spark)
+    with WireClient(host, port) as c:
+        for i in range(10):
+            c.produce("ret-mid", f"x:{i}")
+        c.commit("g-ret-mid", "ret-mid", 2)  # consumer fell behind
+        c.retain("ret-mid", 0, 3)  # earliest is now 7 > committed 2
+
+    def drain(ckpt, reset):
+        stream = (
+            spark.readStream.format("wire_topic")
+            .option("host", host)
+            .option("port", port)
+            .option("topic", "ret-mid")
+            .option("group", "g-ret-mid")
+            .option("offsetReset", reset)
+            .load()
+        )
+        seen = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: seen.extend(r.offset for r in b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(seen)
+
+    with pytest.raises(StreamingQueryException):
+        drain("ck-err", "error")
+    assert drain("ck-earliest", "earliest") == [7, 8, 9]
