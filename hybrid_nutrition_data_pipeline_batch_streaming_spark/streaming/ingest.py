@@ -22,6 +22,7 @@ touching the transformation graph — that separation is the point.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,8 +100,6 @@ def read_events_stream(
     # files under events.parquet/ (stream that directory — a leaf-file glob
     # of "events.parquet" would match nothing there and silently yield an
     # empty stream, the M=100 stream_topk_live rows=0 failure).
-    import os
-
     events_dir = os.path.join(sf_dir, "events.parquet")
     reader = spark.readStream.schema(schema)
     if not os.path.isdir(events_dir):
