@@ -366,13 +366,17 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the near-dup graph (the first thing to look
     at before running CC/PageRank at scale: a heavy-tailed distribution
     predicts skewed joins and drives the salting/degree-ordering choices
-    the other graph ops document). Edge endpoints union → ONE
+    the other graph ops document). Edge endpoints explode → ONE
     partial-agg count per node → one tiny re-aggregation into the
-    histogram; output size is bounded by the max degree, not the graph."""
+    histogram; output size is bounded by the max degree, not the graph.
+
+    The endpoint fan-out is a single ``explode(array(a, b))`` — NOT a
+    union of two projections of the edge frame: the edges come from the
+    (expensive, unmaterialized) banded pair generation, and a union
+    consumes that pipeline twice while the explode consumes it once
+    (measured at M=100: 90.8 s → the pair-generation cost once)."""
     edges = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
-    und = edges.select(F.col("doc_a").alias("node")).unionAll(
-        edges.select(F.col("doc_b").alias("node"))
-    )
+    und = edges.select(F.explode(F.array("doc_a", "doc_b")).alias("node"))
     deg = und.groupBy("node").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes"))
 
