@@ -509,20 +509,31 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = checkpoint_truncate(edges)
-    e = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+
+    def _doubled(ed):
+        return ed.union(
+            ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    e = _doubled(edges)
     n = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
         "src", "node"
     )
     census = []
     for i in range(1, KCORE_ROUNDS + 1):
         s = n.where(F.col("deg") >= KCORE_K).select("node")
-        e = checkpoint_truncate(
-            e.join(s.withColumnRenamed("node", "src"), "src", "left_semi")
+        # Checkpoint the SINGLE orientation per round and mirror it
+        # reader-side (the same halved-write discipline as the initial
+        # edge distillation): an undirected edge survives iff both its
+        # endpoints survive, so filtering one orientation by src AND dst
+        # equals filtering the doubled list — the checkpoint write is the
+        # round's dominant cost and this halves it.
+        edges = checkpoint_truncate(
+            edges.join(s.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(s.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
         )
+        e = _doubled(edges)
         n = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
             "src", "node"
         )
