@@ -44,75 +44,73 @@ from . import evaluation  # noqa: F401,E402
 from . import geo  # noqa: F401,E402
 
 # The driver-checked window: exactly these 50, in this order, all with
-# oracles. Round-6 rotation (VERDICT r5 item 1): 202/305 queries carry a
-# green driver CORRECTNESS row after five rounds, so this round keeps the
-# same FIVE core regressions and fills the other FORTY-FIVE slots with
-# oracle-backed queries that have never had a driver row, leading with the
-# round-5 live-socket wire queries (the S1/S2 stand-in path earning driver
-# rows), then the set-ops / relational tail, text/corpus, dedup/similarity
-# variants, streaming, samples/privacy, and sessions/attribution groups.
+# oracles. Round-7 rotation (VERDICT r6 item 1, NOTES "Round-7 rotation
+# backlog"): 247/306 queries carry a green driver CORRECTNESS row after six
+# rounds, so this round keeps the same FIVE core regressions and fills the
+# other FORTY-FIVE slots with oracle-backed queries that have never had a
+# driver row, leading with `wire_mp_roundtrip` (the round-6 multi-partition
+# wire path earning a driver row), then the ops/audit group, the timeseries
+# tail, and the text/corpus tail. `pipeline_user_features` is the one
+# backlog query bumped to r8 (the backlog held 46 for 45 slots).
 # Rotated-out queries stay registered below the window, still verified by
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 PRIORITY: tuple[str, ...] = (
-    # -- 5 core regressions (driver-green in r1-r5) --
+    # -- 5 core regressions (driver-green in r1-r6) --
     "flagship_revenue",
     "join_inner",
     "dedup_last_write",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    # -- live TCP wire broker path (r5 S1/S2 stand-in, zero driver rows) --
-    "wire_topic_roundtrip",
-    "wire_stream_windows",
-    # -- set ops / relational tail (§2.7, P6, O2) --
-    "set_except_all",
-    "set_intersect_all",
-    "filter_not_in",
-    "join_lateral_topn",
-    "agg_having_join_back",
-    "join_range_binned",
-    "join_interval_overlap",
-    "basket_pairs",
-    "abc_classification",
-    "keyset_pagination",
-    "agg_mode",
-    "topk_diversified",
-    "share_of_parent",
-    # -- text / corpus (X3, E16/E17) --
-    "explode_outer_tokens",
-    "token_count",
-    "pipeline_text_curation",
-    "text_chunking",
-    "curriculum_order",
-    "vocab_coverage",
-    # -- dedup / similarity variants (X1/X2) --
-    "dedup_minhash",
-    "dedup_cluster_report",
-    "dedup_snapshots",
-    "url_canonical_dedup",
-    "embedding_quantize",
-    "hard_negative_mining",
-    "similarity_mmr",
-    "centroid_similarity",
-    # -- streaming (T4/T6 batch-equivalents + live drains) --
-    "stream_tumbling",
-    "stream_stream_join",
-    "stream_user_growth_live",
-    "stream_hll_live",
-    # -- samples / privacy (E21/E22) --
-    "sample_stratified",
-    "sample_reservoir",
-    "sample_weighted",
-    "kanon_audit",
-    "kanon_generalize",
-    "ldiv_audit",
-    # -- sessions / attribution (E48-class) --
-    "conversion_latency",
-    "attribution_last_touch",
-    "attribution_linear",
-    "funnel_windowed",
-    "retention_curve",
-    "cohort_ltv",
+    # -- multi-partition wire broker path (r6 upgrade, zero driver rows) --
+    "wire_mp_roundtrip",
+    # -- ops / audit / allocation (E-class tail) --
+    "agg_approx_topk",
+    "arrow_batch_digest",
+    "checksum_buckets",
+    "corr_matrix",
+    "file_provenance",
+    "histogram_equidepth",
+    "join_size_audit",
+    "length_bucketize",
+    "skew_report",
+    "table_checksum",
+    "udtf_dynamic_schema",
+    "url_domain_caps",
+    "url_parse_funcs",
+    "sketch_hll_merge",
+    "bitmap_segment_overlap",
+    "shard_balanced",
+    "greedy_set_cover",
+    "allocate_largest_remainder",
+    "fifo_match_lots",
+    "phrase_search",
+    "text_search_rank",
+    # -- timeseries tail --
+    "anomaly_seasonal",
+    "trend_ols",
+    "interval_union_length",
+    "concurrency_peak",
+    "forecast_eval_naive",
+    "rolling_ols_slope",
+    "metric_decomposition",
+    "window_sliding_agg",
+    "join_temporal_scd2",
+    "temporal_split_purged",
+    "winsorize_values",
+    "standardize_values",
+    "running_sum_reset",
+    "gini_by_segment",
+    # -- text / corpus tail --
+    "clean_repeated_tokens",
+    "corpus_temperature_sample",
+    "corpus_recipe_plan",
+    "corpus_drift_tv",
+    "mojibake_score",
+    "epoch_shuffle",
+    "split_leakage_check",
+    "lang_confusion_matrix",
+    "pipeline_drop_reasons",
 )
 
 

@@ -318,6 +318,20 @@ def file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     debugging bad-file quarantine at 100 TB, where a scan covers millions of
     objects. ``_metadata.file_path`` is populated by the scan itself — zero
     extra IO, no join back to a manifest."""
+    if _os.path.abspath(sf_dir) != _os.path.abspath(PROV_ORACLE_SF):
+        # Loud skip beats silent mismatch: the registered oracle embeds a
+        # literal fixture path (DuckDB's filename pseudo-column needs
+        # read_parquet, not the driver's fixed views), so running the Spark
+        # side at a DIFFERENT sf would hash-mismatch for a reason that has
+        # nothing to do with correctness. Local harnesses re-point both
+        # sides together via provenance_oracle()/PROV_ORACLE_SF.
+        raise RuntimeError(
+            "file_provenance oracle is pinned to "
+            f"{PROV_ORACLE_SF!r} but the query was asked to run at "
+            f"{sf_dir!r}; re-derive the oracle with provenance_oracle() "
+            "and set profiling.PROV_ORACLE_SF, or set TEST_ORACLE_SF_DIR "
+            "before the plans package imports"
+        )
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         df.select(
@@ -333,17 +347,31 @@ def file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The provenance oracle needs the literal fixture path (DuckDB's filename
 # pseudo-column comes from read_parquet, not the pre-registered view). The
 # driver formats oracles against fixed views only, so substitute the default
-# correctness sf_dir here; the local harness patches per-SF via env.
+# correctness sf_dir here; local harnesses re-derive per-SF via
+# provenance_oracle() and re-point PROV_ORACLE_SF to match.
 import os as _os  # noqa: E402
 
 _PROV_SF = _os.environ.get("TEST_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-from .registry import ORACLE as _ORACLE  # noqa: E402
 
-_ORACLE["file_provenance"] = f"""
+#: The sf dir the CURRENTLY REGISTERED oracle reads. file_provenance refuses
+#: to run against any other sf_dir (loud failure instead of a silent
+#: value-hash mismatch). Mutable so tools that re-derive the oracle per-SF
+#: can re-point the guard in the same breath.
+PROV_ORACLE_SF = _PROV_SF
+
+
+def provenance_oracle(sf_dir: str) -> str:
+    """The file_provenance DuckDB oracle for a given fixture dir."""
+    return f"""
     SELECT parse_filename(filename) AS file, COUNT(*) AS row_cnt
-    FROM read_parquet('{_PROV_SF}/lineitem.parquet', filename = true)
+    FROM read_parquet('{sf_dir}/lineitem.parquet', filename = true)
     GROUP BY 1
     """
+
+
+from .registry import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["file_provenance"] = provenance_oracle(_PROV_SF)
 
 
 @query(

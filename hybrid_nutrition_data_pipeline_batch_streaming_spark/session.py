@@ -141,6 +141,73 @@ def checkpoint_truncate(df):
     return df.localCheckpoint()
 
 
+#: Application ids that already had the package zip shipped via addPyFile.
+_PKG_SHIPPED: set[str] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Python worker processes via ``addPyFile``.
+
+    Python data-source workers (``format("wire_topic")`` /
+    ``format("nutrition_items")``) re-import the module that defines the
+    DataSource class in a separate process; they do NOT inherit the
+    driver's ``sys.path`` inserts. When the driver process was started
+    outside the repo root (a packaged deployment, or a tool run from a
+    scratch cwd), that re-import fails with PYTHON_DATA_SOURCE_ERROR even
+    though the driver itself imported fine. Two mechanisms, because
+    workers come in two flavors:
+
+    - ``SparkContext.addPyFile`` of a package zip — reaches EXECUTOR-side
+      python workers (batch read tasks) via the standard pyFiles include
+      mechanism, exactly like ``spark-submit --py-files`` on a cluster;
+    - ``sc.environment["PYTHONPATH"]`` pointing at the zip — reaches the
+      DRIVER-side planner/streaming-runner processes
+      (``python_streaming_source_runner`` et al.), which unpickle the
+      DataSource instance before any include setup and so need the module
+      importable from their process environment (measured: addPyFile
+      alone leaves the streaming runner with ModuleNotFoundError while
+      batch reads succeed). The zip lives on the driver machine — the
+      only place these runners execute; on executors the stale path is
+      simply ignored.
+
+    Must run BEFORE ``spark.dataSource.register`` (the per-function env
+    is captured at registration). Idempotent per application; the zip is
+    built once per driver process.
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _PKG_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}-pyfiles.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    arc = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, arc)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    prev = sc.environment.get("PYTHONPATH")
+    if not prev or zip_path not in prev.split(os.pathsep):
+        sc.environment["PYTHONPATH"] = (
+            zip_path + (os.pathsep + prev if prev else "")
+        )
+    _PKG_SHIPPED.add(app_id)
+
+
 def ensure_runtime_conf(spark: SparkSession) -> None:
     """Apply runtime-settable engine configs to a foreign session.
 

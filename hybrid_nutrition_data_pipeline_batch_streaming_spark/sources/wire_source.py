@@ -297,4 +297,9 @@ class WireTopicDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # Data-source worker processes re-import this module; ship the package
+    # so the import resolves regardless of the driver's cwd/sys.path.
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     spark.dataSource.register(WireTopicDataSource)

@@ -47,9 +47,17 @@ def main() -> int:
         print(f"unknown queries: {unknown}")
         return 2
 
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans import (
+        profiling,
+    )
+
     failures = []
     for sf in sfs:
         sf_dir = f"/root/testdata/{sf}"
+        # file_provenance's oracle embeds a literal fixture path; re-derive
+        # it for this SF and re-point the query-side guard in one breath.
+        osql["file_provenance"] = profiling.provenance_oracle(sf_dir)
+        profiling.PROV_ORACLE_SF = sf_dir
         con = duckdb.connect()
         for t in TABLES:
             con.execute(

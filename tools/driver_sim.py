@@ -75,6 +75,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    # file_provenance's oracle embeds a literal fixture path; re-derive it
+    # for this run's SF and re-point the query-side guard to match.
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans import (
+        profiling,
+    )
+
+    osql["file_provenance"] = profiling.provenance_oracle(SF_DIR)
+    profiling.PROV_ORACLE_SF = SF_DIR
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
