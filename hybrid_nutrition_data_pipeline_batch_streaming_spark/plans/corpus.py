@@ -21,7 +21,6 @@ packing), so the whole composition is value-checked end-to-end.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -45,7 +44,7 @@ from .text import (
     _STOPWORDS,
     _occurrences,
 )
-from .curation import MAX_SEQ_TOKENS
+from .curation import _PACK_CTE_SQL, _PACK_SHARD_SQL, pack_next_fit
 
 
 @query(
@@ -104,26 +103,14 @@ from .curation import MAX_SEQ_TOKENS
     ), canon AS (
         SELECT k.doc_id, k.source, k.n_tok
         FROM k JOIN labels l ON l.doc = k.doc_id AND l.rep = k.doc_id
-    ), docs2 AS (
-        SELECT doc_id, source, n_tok,
-               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    ), docs AS (
+        SELECT doc_id, source, {_PACK_SHARD_SQL} AS pack_shard, n_tok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source, {_PACK_SHARD_SQL} ORDER BY doc_id
+               ) AS rn
         FROM canon
-    ), packed AS (
-        SELECT doc_id, source, n_tok, rn,
-               CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
-               CAST(n_tok AS BIGINT) AS filled
-        FROM docs2 WHERE rn = 1
-        UNION ALL
-        SELECT d.doc_id, d.source, d.n_tok, d.rn,
-               CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
-                    THEN p.seq_id ELSE p.seq_id + 1 END,
-               CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
-                    THEN p.filled ELSE CAST(0 AS BIGINT) END,
-               CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
-                    THEN p.filled + d.n_tok ELSE CAST(d.n_tok AS BIGINT) END
-        FROM packed p JOIN docs2 d ON d.source = p.source AND d.rn = p.rn + 1
-    )
-    SELECT doc_id, source, n_tok, seq_id, seq_offset,
+    ), {_PACK_CTE_SQL}
+    SELECT doc_id, source, pack_shard, n_tok, seq_id, seq_offset,
            CASE WHEN (strpos('0123456789abcdef',
                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
                      + strpos('0123456789abcdef',
@@ -199,31 +186,16 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tok")
     )
 
-    # Stage 5-6: deterministic split + next-fit packing (plans/curation.py).
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq_ids, offsets = [], []
-        seq, filled = 1, 0
-        for tok_cnt in pdf["n_tok"]:
-            if filled > 0 and filled + tok_cnt > MAX_SEQ_TOKENS:
-                seq += 1
-                filled = 0
-            seq_ids.append(seq)
-            offsets.append(filled)
-            filled += tok_cnt
-        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
-        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
-        return pdf[["doc_id", "source", "n_tok", "seq_id", "seq_offset"]]
-
-    packed = canon.groupBy("source").applyInPandas(
-        pack,
-        schema="doc_id bigint, source string, n_tok int, seq_id bigint, seq_offset bigint",
-    )
+    # Stage 5-6: deterministic split + shard-bounded next-fit packing
+    # (plans/curation.py::pack_next_fit — one Arrow batch per
+    # (source, pack_shard), so a giant source cannot OOM an executor).
+    packed = pack_next_fit(canon)
     key = F.md5(F.col("doc_id").cast("string"))
     bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
     return packed.select(
         "doc_id",
         "source",
+        "pack_shard",
         "n_tok",
         "seq_id",
         "seq_offset",

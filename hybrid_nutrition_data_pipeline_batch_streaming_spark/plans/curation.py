@@ -369,88 +369,148 @@ def corpus_quota_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SEQ_TOKENS = 256  # training-sequence capacity (tokens)
 
 
-@query(
-    "pack_sequences",
-    oracle=f"""
-    WITH RECURSIVE docs AS (
-        SELECT doc_id, source,
-               CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
-               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        FROM documents
-    ), packed AS (
-        SELECT doc_id, source, n_tok, rn,
+def _hex_u16_sql(expr: str) -> str:
+    """DuckDB: first 4 hex digits of md5(expr) as an int in [0, 65536)."""
+    digit = "strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1"
+    d = [digit.format(e=expr, i=i + 1) for i in range(4)]
+    return f"((({d[0]}) * 16 + ({d[1]})) * 16 + ({d[2]})) * 16 + ({d[3]})"
+
+
+#: Packing shards per source: each applyInPandas group is ONE Arrow batch,
+#: so a single giant source would otherwise become one unbounded in-memory
+#: pandas frame. The shard is an md5-derived hash of doc_id mod
+#: N_PACK_SHARDS — deterministic, engine-neutral (the oracle mirrors the
+#: identical hex arithmetic), and mixing (plain doc_id % N fails on
+#: fixtures that assign doc_ids round-robin by source: an entire source
+#: lands in one residue class). Packing runs within (source, pack_shard),
+#: accepting N-1 extra sequence seams per source — the standard trade. At
+#: 100 TB this constant is sized so max_source_docs / N_PACK_SHARDS rows
+#: fit one executor batch.
+N_PACK_SHARDS = 4
+
+#: DuckDB mirror of the Spark-side pack-shard expression.
+_PACK_SHARD_SQL = (
+    f"CAST(({_hex_u16_sql('CAST(doc_id AS VARCHAR)')})"
+    f" % {N_PACK_SHARDS} AS INT)"
+)
+
+
+def _pack_shard_col():
+    """Spark: first 16 bits of md5(doc_id) mod N_PACK_SHARDS — must stay
+    bit-identical to ``_PACK_SHARD_SQL``."""
+    u16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return (u16 % N_PACK_SHARDS).cast("int")
+
+#: The recursive next-fit CTE over a `docs` CTE that must provide
+#: (doc_id, source, pack_shard, n_tok, rn) with rn numbered per
+#: (source, pack_shard) in doc_id order.
+_PACK_CTE_SQL = f"""packed AS (
+        SELECT doc_id, source, pack_shard, n_tok, rn,
                CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
                CAST(n_tok AS BIGINT) AS filled
         FROM docs WHERE rn = 1
         UNION ALL
-        SELECT d.doc_id, d.source, d.n_tok, d.rn,
+        SELECT d.doc_id, d.source, d.pack_shard, d.n_tok, d.rn,
                CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
                     THEN p.seq_id ELSE p.seq_id + 1 END,
                CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
                     THEN p.filled ELSE CAST(0 AS BIGINT) END,
                CASE WHEN p.filled + d.n_tok <= {MAX_SEQ_TOKENS}
                     THEN p.filled + d.n_tok ELSE CAST(d.n_tok AS BIGINT) END
-        FROM packed p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1
+        FROM packed p JOIN docs d ON d.source = p.source
+                                 AND d.pack_shard = p.pack_shard
+                                 AND d.rn = p.rn + 1
+    )"""
+
+
+def _pack_pandas(pdf):
+    """Next-fit packing over one (source, pack_shard) Arrow batch."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    seq_ids, offsets = [], []
+    seq, filled = 1, 0
+    for n in pdf["n_tok"]:
+        if filled > 0 and filled + n > MAX_SEQ_TOKENS:
+            seq += 1
+            filled = 0
+        seq_ids.append(seq)
+        offsets.append(filled)
+        filled += n
+    pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+    pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
+    return pdf[
+        ["doc_id", "source", "pack_shard", "n_tok", "seq_id", "seq_offset"]
+    ]
+
+
+def pack_next_fit(docs: DataFrame) -> DataFrame:
+    """Shard-bounded greedy next-fit packing over (doc_id, source, n_tok).
+
+    Adds ``pack_shard`` (md5-hash of doc_id mod N_PACK_SHARDS) and packs
+    within
+    (source, pack_shard) in doc_id order — every Arrow batch handed to the
+    Python loop is at most ~1/N of its source, so one web-scale source can
+    no longer become a single unbounded executor batch. seq_id is local to
+    its (source, pack_shard) group."""
+    return (
+        docs.withColumn("pack_shard", _pack_shard_col())
+        .groupBy("source", "pack_shard")
+        .applyInPandas(
+            _pack_pandas,
+            schema=(
+                "doc_id bigint, source string, pack_shard int, n_tok int,"
+                " seq_id bigint, seq_offset bigint"
+            ),
+        )
     )
-    SELECT doc_id, source, n_tok, seq_id, seq_offset
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, source, {_PACK_SHARD_SQL} AS pack_shard,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source, {_PACK_SHARD_SQL} ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ), {_PACK_CTE_SQL}
+    SELECT doc_id, source, pack_shard, n_tok, seq_id, seq_offset
     FROM packed
     """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy next-fit sequence packing (north-star curation op): concatenate
-    consecutive documents (per source, doc_id order) into training sequences
-    of ≤ {MAX_SEQ_TOKENS} tokens; a doc that would overflow starts the next
-    sequence, and an oversized doc gets one to itself. Emits each doc's
-    (seq_id, seq_offset) placement — the map a dataloader needs to build
-    packed batches without padding waste.
+    consecutive documents (per source+shard, doc_id order) into training
+    sequences of ≤ {MAX_SEQ_TOKENS} tokens; a doc that would overflow starts
+    the next sequence, and an oversized doc gets one to itself. Emits each
+    doc's (seq_id, seq_offset) placement — the map a dataloader needs to
+    build packed batches without padding waste.
 
     Running-sum-with-reset is inherently sequential per group (not a window
     frame), so this is the textbook applyInPandas case: one Arrow batch per
-    source, a linear pass inside pandas, no Python in any other stage. At
-    100 TB the group key becomes (source, shard) so each Arrow batch stays
-    bounded; packing then has shard-boundary seams — the standard trade.
-    The oracle replays the identical next-fit recurrence as a recursive CTE,
-    so the Python loop is value-checked row-for-row."""
-    import pandas as pd
-
+    (source, pack_shard), a linear pass inside pandas, no Python in any
+    other stage. The deterministic doc_id-mod shard bounds every batch to
+    ~1/{N_PACK_SHARDS} of its source (see ``N_PACK_SHARDS``), so a single
+    giant source cannot OOM an executor; the oracle replays the identical
+    next-fit recurrence — shard seams included — as a recursive CTE, so the
+    Python loop is value-checked row-for-row."""
     cat = Catalog(spark, sf_dir)
     docs = cat.documents.select(
         "doc_id",
         "source",
         F.size(F.split(F.col("text"), " ")).alias("n_tok"),
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq_ids, offsets = [], []
-        seq, filled = 1, 0
-        for n in pdf["n_tok"]:
-            if filled > 0 and filled + n > MAX_SEQ_TOKENS:
-                seq += 1
-                filled = 0
-            seq_ids.append(seq)
-            offsets.append(filled)
-            filled += n
-        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
-        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
-        return pdf[["doc_id", "source", "n_tok", "seq_id", "seq_offset"]]
-
-    return docs.groupBy("source").applyInPandas(
-        pack,
-        schema="doc_id bigint, source string, n_tok int, seq_id bigint, seq_offset bigint",
-    )
+    return pack_next_fit(docs)
 
 
 # ---------------------------------------------------------------------------
 # Domain mixing (balanced downsampling)
 # ---------------------------------------------------------------------------
-
-
-def _hex_u16_sql(expr: str) -> str:
-    """DuckDB: first 4 hex digits of md5(expr) as an int in [0, 65536)."""
-    digit = "strpos('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1"
-    d = [digit.format(e=expr, i=i + 1) for i in range(4)]
-    return f"((({d[0]}) * 16 + ({d[1]})) * 16 + ({d[2]})) * 16 + ({d[3]})"
 
 
 @query(

