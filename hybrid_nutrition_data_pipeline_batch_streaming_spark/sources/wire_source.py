@@ -92,12 +92,31 @@ def _fetch_range(partition: _OffsetRange) -> Iterator[tuple]:
             # auto.offset.reset decides: "earliest" seeks to the log start
             # and accepts the data loss (the reference consumer's setting,
             # consume_items.py:27); "error" fails the batch loudly
-            # (failOnDataLoss=true).
+            # (failOnDataLoss=true). Retention can advance AGAIN between
+            # the error and the re-fetch, so the reseek itself retries
+            # (bounded) rather than failing the task despite the earliest
+            # policy; each round re-reads the fresh log start from the
+            # error. Skipped offsets are logged loudly — silent data loss
+            # under "earliest" should at least be visible in task logs.
             if partition.reset != "earliest":
                 raise
+            import logging
+
             seek = min(max(partition.start, oor.start), partition.end)
-            rows = client.fetch_part(
-                partition.topic, partition.part, seek, partition.end
+            for attempt in range(5):
+                try:
+                    rows = client.fetch_part(
+                        partition.topic, partition.part, seek, partition.end
+                    )
+                    break
+                except OffsetOutOfRange as again:
+                    if attempt == 4:  # bounded: fail loudly, not forever
+                        raise
+                    seek = min(max(seek, again.start), partition.end)
+            logging.getLogger(__name__).warning(
+                "wire_topic %s[%d]: offsetReset=earliest skipped offsets"
+                " [%d, %d) deleted by retention",
+                partition.topic, partition.part, partition.start, seek,
             )
     finally:
         client.close()

@@ -54,6 +54,17 @@ def _events_file_schema(sf_dir: str) -> tuple[StructType, bool]:
     import pyarrow.parquet as pq
     from pyspark.sql.types import TimestampNTZType
 
+    if "://" in sf_dir:
+        # os.path.isdir/exists resolve LOCAL paths only: a directory-layout
+        # events table at hdfs:// or s3a:// would fall into the single-file
+        # glob branch and reproduce the silent rows=0 empty-stream bug this
+        # probe exists to prevent. Fail loudly; remote deployments should
+        # resolve layout via the Hadoop FS API before calling in here.
+        raise ValueError(
+            f"read_events_stream probes the filesystem with local os.path"
+            f" calls and cannot inspect {sf_dir!r}; non-local URIs need a"
+            " Hadoop-FS-based layout probe"
+        )
     path = os.path.join(sf_dir, "events.parquet")
     probe = path
     if os.path.isdir(path):

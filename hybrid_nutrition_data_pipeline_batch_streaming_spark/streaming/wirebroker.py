@@ -234,6 +234,11 @@ class WireBroker:
             if keep < 0:
                 return ["ERR keep count must be >= 0"]
             with self._lock:
+                if topic not in self._topics:
+                    # A retention command is an admin op on an EXISTING
+                    # topic; auto-creating here would let a mistyped name
+                    # silently spawn an empty topic and answer OK 0.
+                    return [f"ERR unknown topic {topic}"]
                 log = self._log(topic, part)
                 drop = max(0, len(log.rows) - keep)
                 if drop:

@@ -334,3 +334,29 @@ def test_offset_reset_policies_after_retention(spark, tmp_path, broker):
     with pytest.raises(StreamingQueryException):
         drain("ck-err", "error")
     assert drain("ck-earliest", "earliest") == [7, 8, 9]
+
+
+def test_retain_on_unknown_topic_is_an_error(broker):
+    """ADVICE r6: RETAIN is an admin op on an EXISTING topic — a mistyped
+    topic name must error, not silently auto-create an empty topic and
+    answer OK 0."""
+    host, port = broker.address
+    with WireClient(host, port) as c:
+        with pytest.raises(RuntimeError, match="unknown topic"):
+            c.retain("no-such-topic", 0, 5)
+        # The failed admin op must not have created the topic: producing
+        # still starts at offset 0 with legacy auto-create semantics.
+        assert c.produce("no-such-topic", "x") == 0
+        assert c.retain("no-such-topic", 0, 1) == 0  # now it exists
+
+
+def test_events_stream_rejects_remote_uri(spark):
+    """ADVICE r6: the events-stream layout probe uses local os.path calls;
+    a non-local URI must fail loudly instead of silently matching nothing
+    and streaming zero rows."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.ingest import (
+        read_events_stream,
+    )
+
+    with pytest.raises(ValueError, match="non-local URIs"):
+        read_events_stream(spark, "hdfs://nn/warehouse/sf0.01")
