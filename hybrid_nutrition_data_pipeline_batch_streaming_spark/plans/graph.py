@@ -528,11 +528,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # endpoints survive, so filtering one orientation by src AND dst
         # equals filtering the doubled list — the checkpoint write is the
         # round's dominant cost and this halves it.
-        edges = checkpoint_truncate(
+        #
+        # Round-7: the PER-ROUND cut is a localCheckpoint even when a
+        # reliable checkpoint dir is configured. Each round's survivor set
+        # is consumed only by the next round and the census — intra-query
+        # scratch, not resumable state — and a dense graph may not shrink
+        # at all (M=100: every node keeps deg >= K, so each round rewrites
+        # the full 60 M-edge orientation; executor-local blocks beat the
+        # filesystem round-trip 253 s -> 207 s same-host, parity green at
+        # both SFs). The INITIAL distillation above stays on
+        # checkpoint_truncate: it is the large GC-sensitive write the
+        # reliable dir exists for (see session.py). A lost executor
+        # replays the loop from that base — the right trade for a
+        # 3-round peel.
+        edges = (
             edges.join(s.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(s.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
-        )
+        ).localCheckpoint(eager=True)
         e = _doubled(edges)
         n = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
             "src", "node"

@@ -117,7 +117,21 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is evicted once the watermark passes the interval — the bounded-state
     requirement for joining two unbounded streams. Inner-join matches emit
     as they arrive, so the drained AvailableNow result equals the batch
-    interval join — value-checked against it."""
+    interval join — value-checked against it.
+
+    State sizing (measured, M=100 ordered 10-file/4 drain — SCALE.md):
+    steady-state rows ≈ arrival_rate × (join_interval + min-side watermark
+    + one batch of eviction granularity). The signup watermark is 1 hour —
+    symmetric with the purchase side — because the watermark buys LATE-DATA
+    tolerance only; the 3-day join lookback is already encoded in the join
+    condition and Spark derives signup retention (s_ts ≥ wm − 3d) from it.
+    The r2-r6 setting of 4 days double-counted the interval into the
+    watermark and held ~1.7× the state (1.23 M rows/508 MB vs 707 k/337 MB
+    at M=100) for no extra matches. Correctness requires roughly in-order
+    arrival across micro-batches (Kafka's per-partition contract; for the
+    file-source stand-in, time-bucketed files in mtime order) — with
+    full-span unordered files ANY finite watermark drops late rows, which
+    is the documented trade of watermarking itself."""
     events = read_events_stream(spark, sf_dir)
     p = (
         events.where(F.col("event_type") == "purchase")
@@ -136,7 +150,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("timestamp").alias("s_ts"),
             F.col("value").alias("signup_value"),
         )
-        .withWatermark("s_ts", "4 days")
+        .withWatermark("s_ts", "1 hour")
     )
     joined = p.join(
         s,
