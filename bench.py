@@ -88,6 +88,11 @@ HEADLINE = [
     # join, the cumulative-distinct growth curve, and the shuffle-free audio
     # VAD over the multimodal payload
     "bm25_search",
+    # session-7 additions: the other two map-side-tf retrieval queries and
+    # the shard-bounded packer — the r7 plan reworks, kept visible per-round
+    "search_prf_expand",
+    "tfidf_terms",
+    "pack_sequences",
     "join_range_binned",
     "running_distinct",
     "mm_audio_energy",

@@ -190,15 +190,24 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top distinguishing terms per document by tf·(N/df) — the TF-IDF
     shape with an exact rational weight instead of ln(N/df), so the score
     is bit-identical across engines (production uses the log form; swap one
-    expression). Two aggregations (term frequency, document frequency) on
-    the same exploded tokens, a broadcast-sized scalar N, and a per-doc
-    top-k window — the inverted-index build every corpus indexer runs."""
+    expression). The per-(doc, term) tf table builds MAP-SIDE
+    (``plans.search._doc_tf`` — documents are single rows, so the r1-r6
+    explode→groupBy(doc, term) was a pure-overhead corpus shuffle); df is
+    one vocabulary-sized aggregate over it, N broadcasts, and the per-doc
+    top-k window is the one remaining doc-keyed shuffle."""
+    from .search import _doc_tf
+
     cat = Catalog(spark, sf_dir)
-    tok = cat.documents.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).where(F.col("term") != "")
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        _doc_tf(cat)
+        .select("doc_id", F.explode("tfs").alias("e"))
+        .select("doc_id", F.col("e.tok").alias("term"), F.col("e.tf").alias("tf"))
+        .where(F.col("term") != "")
+    )
+    # tf has exactly one row per (doc, term), so df is a plain COUNT — no
+    # distinct pass needed. The df join stays a shuffle join: vocabulary
+    # size is corpus-dependent (AQE demotes it to broadcast when small).
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = cat.documents.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df, "term")

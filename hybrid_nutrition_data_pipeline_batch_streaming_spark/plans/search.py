@@ -530,14 +530,14 @@ def search_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting read (the ``operators/ann_index.py`` build-once/probe-many
     split, twice)."""
     cat = Catalog(spark, sf_dir)
-    tok = cat.documents.where(F.col("text") != "").select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    docs = _doc_tf(cat)  # map-side per-doc tf; no corpus shuffle (r7)
+    tf = docs.select("doc_id", F.explode("tfs").alias("e")).select(
+        "doc_id", "e.tok", F.col("e.tf").cast("long").alias("tf")
     )
-    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
     dfs = tf.groupBy("tok").agg(
         F.sum("tf").cast("long").alias("total"), F.count("*").alias("df")
     )
-    n = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    n = docs.agg(F.count("*").alias("n_docs"))
     seed = (
         dfs.orderBy(F.desc("total"), F.asc("tok"))
         .limit(N_QUERY_TERMS)

@@ -37,22 +37,23 @@ def test_registry_priority_window():
     assert len(set(plans.PRIORITY)) == 50
     assert tuple(names[:50]) == plans.PRIORITY
     assert all(n in plans.ORACLE for n in names[:50])
-    # Round-6 rotation: five core regressions stay pinned; the other 45
-    # slots burn down families that never had a driver row (the live wire
-    # broker path first, then set ops / relational tail, text/corpus,
-    # dedup/similarity variants, streaming, samples/privacy, and
-    # sessions/attribution).
+    # Round-7 rotation: five core regressions stay pinned; the other 45
+    # slots burn down the last big never-driver-checked block, leading with
+    # the multi-partition wire path, then ops/audit, the timeseries tail,
+    # and the text/corpus tail (NOTES.md "Round-7 rotation backlog").
     core_regressions = {
         "flagship_revenue", "join_inner", "dedup_last_write",
         "pipeline_nutrition_e2e", "stream_tumbling_live",
     }
     assert core_regressions <= set(plans.PRIORITY)
     rotated_in = {
-        "wire_topic_roundtrip", "wire_stream_windows", "set_except_all",
-        "join_lateral_topn", "basket_pairs", "token_count",
-        "pipeline_text_curation", "dedup_minhash", "similarity_mmr",
-        "stream_stream_join", "sample_stratified", "kanon_audit",
-        "attribution_last_touch", "retention_curve",
+        "wire_mp_roundtrip", "agg_approx_topk", "file_provenance",
+        "table_checksum", "udtf_dynamic_schema", "sketch_hll_merge",
+        "greedy_set_cover", "fifo_match_lots", "phrase_search",
+        "text_search_rank", "anomaly_seasonal", "trend_ols",
+        "window_sliding_agg", "join_temporal_scd2", "running_sum_reset",
+        "clean_repeated_tokens", "epoch_shuffle", "lang_confusion_matrix",
+        "pipeline_drop_reasons",
     }
     assert rotated_in <= set(plans.PRIORITY)
 
