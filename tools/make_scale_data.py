@@ -282,6 +282,38 @@ def gen_events(spark, m, out):
         .write.mode("overwrite")
         .parquet(os.path.join(out, "events.parquet"))
     )
+    if os.environ.get("SCALE_EVENTS_ORDERED"):
+        gen_events_ordered(spark, out)
+
+
+def gen_events_ordered(spark, out):
+    """Rewrite events.parquet as a time-bucketed, mtime-ordered layout —
+    the arrival-order contract streaming scale studies need.
+
+    Two facts the r7 stream_stream_join study established (SCALE.md):
+    (a) a multi-micro-batch file-source drain only honors watermark
+    semantics when files arrive roughly in event-time order (Kafka's
+    per-partition contract), and (b) Spark's file source orders by
+    MODIFICATION TIME, so a range-partitioned write — whose mtimes land in
+    task-completion order, i.e. random — is NOT ordered even though each
+    file is a clean time slice. This helper range-partitions by ts AND
+    stamps strictly increasing mtimes in range order. Enable with
+    SCALE_EVENTS_ORDERED=1."""
+    import glob
+    import time as _time
+
+    src = os.path.join(out, "events.parquet")
+    dst = os.path.join(out, "events_ordered.parquet")
+    (
+        spark.read.parquet(src)
+        .repartitionByRange(33, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    base = _time.time() - 86_400
+    for i, f in enumerate(sorted(glob.glob(os.path.join(dst, "part-*")))):
+        os.utime(f, (base + i * 60, base + i * 60))
 
 
 def main():
