@@ -263,3 +263,40 @@ def test_bpe_merge_regex_matches_python_greedy(spark, words, n_merges):
     assert merges == train_bpe_python(word_list, n_merges=n_merges)
     got = sorted(r.syms.replace(" ", "") for r in final.collect())
     assert got == sorted(w for w, _ in word_list)
+
+
+@FAST
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab é中 ", min_size=1, max_size=40),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_doc_tf_matches_counter(spark, texts):
+    """The map-side run-length tf encoder (plans/search._doc_tf) must agree
+    with collections.Counter over ANY text — including empty tokens from
+    repeated/trailing spaces and non-ASCII — and dl must equal the token
+    count. Guards the r7 HOF rework against sort/boundary off-by-ones."""
+    from collections import Counter
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.search import (
+        _doc_tf,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    class _Cat:  # _doc_tf only touches .documents
+        documents = docs
+
+    out = _doc_tf(_Cat()).collect()
+    expected = {
+        i: Counter(t.split(" ")) for i, t in rows if t != ""
+    }
+    assert {r.doc_id for r in out} == set(expected)
+    for r in out:
+        got = {e.tok: e.tf for e in r.tfs}
+        assert got == dict(expected[r.doc_id]), (r.doc_id, got)
+        assert r.dl == sum(expected[r.doc_id].values())
+        assert len(got) == len(r.tfs)  # no duplicate token entries
