@@ -547,9 +547,11 @@ def search_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = docs.select("doc_id", F.explode("tfs").alias("e")).select(
         "doc_id", "e.tok", F.col("e.tf").cast("long").alias("tf")
     )
+    # Persisted: the vocabulary stats feed BOTH the seed cut and the final
+    # qterms lookup — uncached, the vocab aggregate runs twice.
     dfs = tf.groupBy("tok").agg(
         F.sum("tf").cast("long").alias("total"), F.count("*").alias("df")
-    )
+    ).persist()
     n = docs.agg(F.count("*").alias("n_docs"))
     seed = (
         dfs.orderBy(F.desc("total"), F.asc("tok"))
