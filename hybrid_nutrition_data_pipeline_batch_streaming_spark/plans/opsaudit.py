@@ -300,37 +300,64 @@ def fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the star schema checked for orphans (child keys with no parent) and
     NULL keys in one report — the constraint enforcement a warehouse
     schema declares but a lake must VERIFY (``dq_checks`` samples one
-    edge; this is the complete closure). Each edge is a null-safe
-    LEFT ANTI join — broadcast for dimension parents, shuffled equi-join
-    for fact-fact — plus two counts; the seven single-row results union
-    into the audit table. At 100 TB each edge remains one pass over its
-    child table with the parent's key set as the join side."""
+    edge; this is the complete closure).
+
+    r7 rework for the 100 TB shape: edges are grouped BY CHILD TABLE and
+    each child is scanned exactly ONCE — all of its parents left-join in
+    (marker columns), and a single aggregate emits every edge's
+    (child_rows, orphans, null_fks) which ``stack`` unpivots to the
+    report rows. The r1-r6 form scanned each child twice per edge (an
+    anti-join plus a totals pass): six lineitem scans for its three
+    edges; now one. Dimension parents broadcast; the one fact-fact edge
+    (lineitem→orders) is the same shuffled equi-join the anti-join
+    already paid."""
     cat = Catalog(spark, sf_dir)
-    out = None
+    by_child: dict[str, list[tuple[str, str, str]]] = {}
     for child, ck, parent, pk in _FK_EDGES:
-        c = cat.table(child)
-        p = cat.table(parent).select(F.col(pk).alias(ck)).distinct()
-        orphans = (
-            c.where(F.col(ck).isNotNull())
-            .join(p, ck, "left_anti")
-            .agg(F.count("*").alias("orphans"))
-        )
-        totals = c.agg(
-            F.count("*").alias("child_rows"),
-            F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("null_fks"),
-        )
-        row = (
-            totals.crossJoin(F.broadcast(orphans))
-            .select(
-                F.lit(f"{child}.{ck}").alias("fk_edge"),
-                "child_rows",
-                "orphans",
-                "null_fks",
+        by_child.setdefault(child, []).append((ck, parent, pk))
+    out = None
+    for child, edges in by_child.items():
+        c = cat.table(child).select(*[ck for ck, _, _ in edges])
+        for i, (ck, parent, pk) in enumerate(edges):
+            p = (
+                cat.table(parent)
+                .select(F.col(pk).alias(ck))
+                .distinct()
+                .withColumn(f"_mk{i}", F.lit(1))
             )
+            c = c.join(p, ck, "left")
+        agg = c.agg(
+            F.count("*").alias("child_rows"),
+            *[
+                x
+                for i, (ck, _, _) in enumerate(edges)
+                for x in (
+                    F.sum(
+                        F.when(
+                            F.col(ck).isNotNull() & F.col(f"_mk{i}").isNull(),
+                            1,
+                        ).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias(f"orphans_{i}"),
+                    F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
+                    .cast("long")
+                    .alias(f"null_fks_{i}"),
+                )
+            ],
         )
-        out = row if out is None else out.unionByName(row)
+        stack = ", ".join(
+            f"'{child}.{ck}', orphans_{i}, null_fks_{i}"
+            for i, (ck, _, _) in enumerate(edges)
+        )
+        rows = agg.select(
+            F.expr(
+                f"stack({len(edges)}, {stack})"
+                " AS (fk_edge, orphans, null_fks)"
+            ),
+            "child_rows",
+        ).select("fk_edge", "child_rows", "orphans", "null_fks")
+        out = rows if out is None else out.unionByName(rows)
     return out
 
 
