@@ -666,6 +666,13 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 43 - length(bin(h % {_HLL_REST})) END"
         ).alias("rho"),
     )
+    # Persisted: rho derives from the fact-scale distinct and feeds the
+    # per-month partials, the direct rebuild AND the n_partials count —
+    # uncached, the orders distinct would execute three times. (In a
+    # production store only `partials` is ever materialized; the direct
+    # rebuild exists to verify the merge, so the triple-scan is an
+    # artifact of shipping the proof in-band.)
+    rho = rho.persist()
     partials = rho.groupBy("m", "reg").agg(F.max("rho").alias("m_j"))
     regs = spark.range(HLL_M).withColumnRenamed("id", "reg")
     merged = (
@@ -693,7 +700,9 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s_direct")
         )
     )
-    np_ = vals.agg(F.countDistinct("m").alias("n_partials"))
+    # Counted off the cached rho (rho is a 1:1 map of vals, so the month
+    # set is identical) — reading vals here would re-run the distinct.
+    np_ = rho.agg(F.countDistinct("m").alias("n_partials"))
     return (
         merged.crossJoin(F.broadcast(direct))
         .crossJoin(F.broadcast(np_))

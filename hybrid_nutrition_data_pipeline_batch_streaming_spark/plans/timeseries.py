@@ -1879,6 +1879,12 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     second-order statistics: scale to integers, fold associatively, divide
     once."""
     cat = Catalog(spark, sf_dir)
+    # Persisted: daily is the fact-scale rollup and EVERY downstream leg
+    # re-derives from it (stats, both sides of both lag joins, the
+    # denominator fold) — uncached, the events scan + rollup would
+    # re-execute ~6× per run, which at 100 TB is six full fact scans. The
+    # cache itself is calendar-bounded (event_type × days), tiny at any
+    # corpus size.
     daily = (
         cat.events.select(
             "event_type",
@@ -1886,6 +1892,7 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "d")
         .agg(F.count("*").alias("y"))
+        .persist()
     )
     stats = daily.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("y").cast("long").alias("s")
