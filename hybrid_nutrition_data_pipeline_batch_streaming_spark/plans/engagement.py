@@ -611,7 +611,14 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-keyed delta aggregate + calendar-bounded cumsum — no range join,
     no distinct-in-window, each user processed once."""
     cat = Catalog(spark, sf_dir)
-    days = cat.events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    # Persisted: days is the fact-scale distinct and feeds dau, the island
+    # window AND the date-bounds scalar — uncached, the events scan +
+    # distinct would run four times. (user, day)-cardinality cache.
+    days = (
+        cat.events.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .persist()
+    )
     dau = days.groupBy("d").agg(F.count("*").alias("dau"))
     # Merge each user's [d, d+27] cover intervals: a new island starts when
     # the day is > 27 days after the previous day (gap exceeds the window).
@@ -770,6 +777,12 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     actives(w) = actives(w−1) + new + resurrected − churned is what makes
     this the accounting identity dashboards reconcile against."""
     cat = Catalog(spark, sf_dir)
+    # Persisted: weeks is the fact-scale distinct and feeds the window
+    # pass, the max-week scalar AND the churn anti-join's right side —
+    # uncached, the events scan + distinct would run four times. flagged
+    # is additionally cached for its two consumers (classification and the
+    # churn probe) so the user-window runs once. Both caches are
+    # (user, week)-cardinality.
     weeks = (
         cat.events.select(
             "user_id",
@@ -778,11 +791,14 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wk"),
         )
         .distinct()
+        .persist()
     )
     w_all = Window.partitionBy("user_id")
     w_seq = Window.partitionBy("user_id").orderBy("wk")
-    flagged = weeks.withColumn("first_wk", F.min("wk").over(w_all)).withColumn(
-        "prev_wk", F.lag("wk").over(w_seq)
+    flagged = (
+        weeks.withColumn("first_wk", F.min("wk").over(w_all))
+        .withColumn("prev_wk", F.lag("wk").over(w_seq))
+        .persist()
     )
     classed = flagged.select(
         "wk",

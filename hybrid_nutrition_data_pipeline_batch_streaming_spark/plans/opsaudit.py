@@ -522,12 +522,15 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums pre-screen partitions — diff only the buckets whose checksums
     disagree (the ``ParquetUpsertStore`` manifest-diff trick)."""
     cat = Catalog(spark, sf_dir)
+    # Persisted: v1 feeds the three v2 perturbation branches AND the diff
+    # join's left side — uncached, orders was scanned four times (the md5
+    # gate can't push down).
     v1 = cat.orders.select(
         F.col("o_orderkey").alias("k"),
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").alias(
             "cents"
         ),
-    )
+    ).persist()
     gated = v1.withColumn(
         "g",
         F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 4), 16, 10)
@@ -646,8 +649,13 @@ def fifo_match_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    s = cum("F", "cs").withColumnsRenamed({"qty": "sq"})
-    d = cum("O", "cd").withColumnsRenamed({"qty": "dq"})
+    # Persisted: each side feeds the overlap join AND its per-part total
+    # (the total is the part's LAST prefix sum — max of the running sum —
+    # so no separate fact scan recomputes it). The two cached subsets are
+    # disjoint linestatus slices: one effective pass over lineitem total,
+    # where the r1-r6 form scanned it four times.
+    s = cum("F", "cs").withColumnsRenamed({"qty": "sq"}).persist()
+    d = cum("O", "cd").withColumnsRenamed({"qty": "dq"}).persist()
     overlap = F.least(F.col("cs"), F.col("cd")) - F.greatest(
         F.col("cs") - F.col("sq"), F.col("cd") - F.col("dq")
     )
@@ -660,16 +668,8 @@ def fifo_match_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         F.sum("matched").cast("long").alias("matched_qty"),
     )
-    ts = (
-        li.filter(F.col("l_linestatus") == "F")
-        .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_supply"))
-    )
-    td = (
-        li.filter(F.col("l_linestatus") == "O")
-        .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_demand"))
-    )
+    ts = s.groupBy("l_partkey").agg(F.max("cs").alias("total_supply"))
+    td = d.groupBy("l_partkey").agg(F.max("cd").alias("total_demand"))
     return (
         m.join(ts, "l_partkey")
         .join(td, "l_partkey")

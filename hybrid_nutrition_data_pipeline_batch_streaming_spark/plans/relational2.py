@@ -1205,16 +1205,30 @@ def join_delta_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 20
         == 0
     )
-    o = cat.orders.select("o_orderkey", "o_orderpriority")
-    li_cols = [
-        "l_orderkey",
-        F.expr(
-            "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
-        ).alias("cents"),
-    ]
-    o_b, o_d = o.where(~is_delta_o), o.where(is_delta_o)
-    l_b = cat.lineitem.where(~is_delta_l).select(*li_cols)
-    l_d = cat.lineitem.where(is_delta_l).select(*li_cols)
+    # Persisted: each side's flagged projection is scanned once and every
+    # base/delta split reads the cache — uncached, orders and lineitem
+    # were each scanned four times (the md5 gate can't push down, so each
+    # where() was a full pass).
+    o = (
+        cat.orders.select(
+            "o_orderkey", "o_orderpriority", is_delta_o.alias("is_d")
+        )
+        .persist()
+    )
+    lp = (
+        cat.lineitem.select(
+            "l_orderkey",
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+            is_delta_l.alias("is_d"),
+        )
+        .persist()
+    )
+    o_b = o.where(~F.col("is_d")).drop("is_d")
+    o_d = o.where(F.col("is_d")).drop("is_d")
+    l_b = lp.where(~F.col("is_d")).drop("is_d")
+    l_d = lp.where(F.col("is_d")).drop("is_d")
     on = F.col("l_orderkey") == F.col("o_orderkey")
     full = (
         o_b.join(l_b, on)

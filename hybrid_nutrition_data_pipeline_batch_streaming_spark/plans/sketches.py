@@ -433,24 +433,36 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the union's k smallest needs only the sketches themselves (any
     union-bottom-k hash from A is necessarily in A's bottom k). Exact
     overlap is reported beside the estimate, integer arithmetic
-    throughout."""
+    throughout.
+
+    r7: each side's distinct-user set is computed ONCE (persisted,
+    user-cardinality) and feeds both its sketch and the exact-overlap
+    verifier; each k-row sketch is persisted for its two probes — the
+    fact table is scanned twice (once per side) instead of six times."""
     cat = Catalog(spark, sf_dir)
 
-    def sketch(etype: str) -> DataFrame:
+    def users(etype: str) -> DataFrame:
         return (
             cat.events.where(F.col("event_type") == etype)
             .select(F.col("user_id").cast("string").alias("v"))
             .distinct()
-            .select(
+            .persist()
+        )
+
+    def sketch(us: DataFrame) -> DataFrame:
+        return (
+            us.select(
                 F.conv(F.substring(F.md5(F.col("v")), 1, 12), 16, 10)
                 .cast("long")
                 .alias("h")
             )
             .orderBy("h")
             .limit(KMV_K)
+            .persist()
         )
 
-    ska, skb = sketch("click"), sketch("purchase")
+    a_users, b_users = users("click"), users("purchase")
+    ska, skb = sketch(a_users), sketch(b_users)
     uni = ska.union(skb).distinct().orderBy("h").limit(KMV_K)
     flagged = (
         uni.join(ska.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"), "left")
@@ -464,16 +476,6 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("j_common"),
-    )
-    a_users = (
-        cat.events.where(F.col("event_type") == "click")
-        .select(F.col("user_id").cast("string").alias("v"))
-        .distinct()
-    )
-    b_users = (
-        cat.events.where(F.col("event_type") == "purchase")
-        .select(F.col("user_id").cast("string").alias("v"))
-        .distinct()
     )
     ex = a_users.intersect(b_users).agg(F.count("*").alias("exact_overlap"))
     est = F.expr(f"(k_used - 1) * {_KMV_SPACE} DIV kth_hash")

@@ -165,7 +165,12 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import connected_components
 
     cat = Catalog(spark, sf_dir)
-    ids = cat.part.groupBy("p_name").agg(F.min("p_partkey").alias("id"))
+    # Persisted: the name→id vocabulary feeds both pair-endpoint joins, the
+    # CC node seed AND the record attachment — uncached, the part scan +
+    # name aggregate ran three more times. Name-cardinality cache.
+    ids = (
+        cat.part.groupBy("p_name").agg(F.min("p_partkey").alias("id")).persist()
+    )
     pairs = (
         fuzzy_match_names(spark, sf_dir)
         .join(ids.select(F.col("p_name").alias("name_a"), F.col("id").alias("doc_a")), "name_a")

@@ -56,14 +56,23 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     by ``user_id`` equi-joins — every shuffle is on the same key, and each
     stage's output is one row per surviving user (monotonically shrinking),
     so at 100 TB the joins stay co-partitioned and the stage tables are tiny
-    relative to the event scan. The final counts are scalar aggregates."""
+    relative to the event scan. The final counts are scalar aggregates.
+    r7: the fact table is scanned ONCE — the type-filtered projection is
+    persisted and all three stage filters read the cache (previously three
+    full event scans), and s1/s2 are persisted because each feeds both the
+    next stage and its own census row."""
     cat = Catalog(spark, sf_dir)
-    ev = cat.events.select("user_id", "event_type", F.col("ts").alias("ts"))
+    ev = (
+        cat.events.select("user_id", "event_type", F.col("ts").alias("ts"))
+        .where(F.col("event_type").isin("signup", "click", "purchase"))
+        .persist()
+    )
 
     s1 = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     s2 = (
         ev.where(F.col("event_type") == "click")
@@ -71,6 +80,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
@@ -1155,9 +1165,15 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user aggregates on one user_id key. The cap makes stage counts
     NON-monotone-safe to assume — a user can convert late and drop out of
     step 2 while another converts in-window — which is precisely why
-    real funnels are windowed."""
+    real funnels are windowed. r7: one persisted type-filtered fact scan
+    feeds all three stages (was three); s1/s2 cached for their two
+    consumers each."""
     cat = Catalog(spark, sf_dir)
-    ev = cat.events.select("user_id", "event_type", "ts")
+    ev = (
+        cat.events.select("user_id", "event_type", "ts")
+        .where(F.col("event_type").isin("signup", "click", "purchase"))
+        .persist()
+    )
 
     def within(e_ts, prev_ts):
         return (
@@ -1170,6 +1186,7 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     s2 = (
         ev.where(F.col("event_type") == "click")
@@ -1177,6 +1194,7 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("ts") >= F.col("t1")) & within(F.col("ts"), F.col("t1")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
@@ -1642,6 +1660,10 @@ def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("m")
         .agg(F.sum("cents").cast("long").alias("rev_cents"))
+        # Persisted: the monthly rollup is fact-scale to compute and feeds
+        # the current series AND both alignment sides — uncached, the
+        # orders scan + rollup ran three times. ~|months| rows cached.
+        .persist()
     )
     cur = monthly.alias("cur")
     mom = monthly.select(
