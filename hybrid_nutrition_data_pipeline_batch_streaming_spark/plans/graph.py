@@ -99,6 +99,11 @@ def connected_components(
         prop = und.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "label")
+        # Stays checkpoint_truncate (NOT the kcore peel-round
+        # localCheckpoint): measured at M=100 on dedup_keep_best, forcing
+        # localCheckpoint here was 45.2 s vs 41.6 s — the per-round labels
+        # cover only the edge-touched node sliver, so the reliable write
+        # was never the cost the way kcore's 60 M-edge survivor sets were.
         new_labels = checkpoint_truncate(
             labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
         )
