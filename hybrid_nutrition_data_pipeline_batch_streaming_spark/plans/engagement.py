@@ -76,7 +76,9 @@ def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only single-partition stage is calendar-bounded (≤ 365 rows/year),
     never event-bounded."""
     cat = Catalog(spark, sf_dir)
-    daily = cat.events.select(F.to_date("ts").alias("d"), "user_id")
+    # Persisted: the (day, user) projection feeds both the first-seen pass
+    # and the per-day activity rollup — one events scan instead of two.
+    daily = cat.events.select(F.to_date("ts").alias("d"), "user_id").persist()
     firsts = daily.groupBy("user_id").agg(F.min("d").alias("first_d"))
     newby = firsts.groupBy(F.col("first_d").alias("d")).agg(
         F.count("*").alias("new_users")

@@ -713,6 +713,9 @@ def kth_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cents")
         .agg(F.count("*").alias("cnt"))
+        # Persisted: the value-histogram feeds both the total count and
+        # the cumulative pass - one events scan instead of two.
+        .persist()
     )
     totals = hist.agg(F.sum("cnt").cast("long").alias("n_rows"))
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
@@ -780,6 +783,9 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("qty")
         .agg(F.sum("w_cents").cast("long").alias("w"))
+        # Persisted: the weight-histogram feeds both the total weight and
+        # the cumulative pass - one lineitem scan instead of two.
+        .persist()
     )
     tot = hist.agg(F.sum("w").cast("long").alias("w_total"))
     w_cum = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)

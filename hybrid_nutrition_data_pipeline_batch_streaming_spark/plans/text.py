@@ -779,21 +779,25 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", F.explode(F.split(F.col("text"), " ")).alias("t")
         ).where(F.col("t") != "")
     )
-    tf = tok.groupBy("t").agg(F.count("*").alias("c"))
+    # r7: ONE corpus explode+shuffle — the (lang, token) count table feeds
+    # both the vocab cut and the coverage rollup as weighted counts
+    # (Σc ≡ the per-token row count the r1-r6 plan re-exploded the corpus
+    # to get). Persisted for its two consumers.
+    lt = tok.groupBy("lang", "t").agg(F.count("*").alias("c")).persist()
+    tf = lt.groupBy("t").agg(F.sum("c").alias("c"))
     vocab = tf.orderBy(F.desc("c"), "t").limit(VOCAB_TOP_K).select(
         "t", F.lit(1).alias("in_vocab")
     )
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
     return (
-        tok.join(F.broadcast(vocab), "t", "left")
+        lt.join(F.broadcast(vocab), "t", "left")
         .groupBy("lang")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_oov"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(oov_c).cast("long").alias("n_oov"),
             F.expr(
-                "cast(sum(case when in_vocab is null then 1 else 0 end)"
-                " * 1000000 div count(*) as bigint)"
+                "cast(sum(case when in_vocab is null then c else 0 end)"
+                " * 1000000 div sum(c) as bigint)"
             ).alias("oov_ppm"),
         )
     )

@@ -275,9 +275,12 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gap-fill/resample primitive time-series stores ship natively,
     composed from three relational ops."""
     cat = Catalog(spark, sf_dir)
+    # Persisted: the per-(user, day) rollup feeds both the spine bounds
+    # and the fill join — uncached, the events scan + rollup ran twice.
     daily = (
         cat.events.groupBy("user_id", F.col("ts").cast("date").alias("d"))
         .agg(dsum(F.col("value")).alias("day_value"))
+        .persist()
     )
     spine = (
         daily.groupBy("user_id")
@@ -1434,12 +1437,16 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     w7 = (
         Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
     )
+    # Persisted: detr (fact rollup + trend window) feeds both the seasonal
+    # aggregate and the final join — uncached, the events scan + rollup +
+    # window ran twice. Calendar-bounded cache.
     detr = (
         daily.withColumn("win_sum", F.sum("c").over(w7).cast("long"))
         .withColumn("win_n", F.count("*").over(w7))
         .withColumn(
             "d_scaled", F.col("c") * F.col("win_n") - F.col("win_sum")
         )
+        .persist()
     )
     seas = detr.groupBy(
         F.col("event_type").alias("et2"), F.col("dow").alias("dow2")
@@ -1749,19 +1756,24 @@ def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 600000
         ).alias("e"),
     )
+    # One fact scan: both endpoints explode from the same row (the r1-r6
+    # UNION ALL of two projections scanned events twice for a map-only
+    # transform).
     pts = iv.select(
         "event_type",
-        F.col("s").alias("t"),
-        F.lit(1).cast("long").alias("delta"),
         "event_id",
-    ).unionByName(
-        iv.select(
-            "event_type",
-            F.col("e").alias("t"),
-            F.lit(-1).cast("long").alias("delta"),
-            "event_id",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("t"), F.lit(1).cast("long").alias("delta")
+                ),
+                F.struct(
+                    F.col("e").alias("t"),
+                    F.lit(-1).cast("long").alias("delta"),
+                ),
+            )
+        ).alias("pt"),
+    ).select("event_type", F.col("pt.t").alias("t"), F.col("pt.delta").alias("delta"), "event_id")
     w = (
         Window.partitionBy("event_type")
         .orderBy("t", "delta", "event_id")
@@ -1815,6 +1827,8 @@ def forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold. At 100 TB the daily table is the pre-aggregated metrics store;
     scoring any horizon h is the same join with d−h."""
     cat = Catalog(spark, sf_dir)
+    # Persisted: the rollup self-joins (forecast side vs actual side) —
+    # uncached, the events scan + rollup ran twice.
     daily = (
         cat.events.select(
             "event_type",
@@ -1822,6 +1836,7 @@ def forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "d")
         .agg(F.count("*").alias("y"))
+        .persist()
     )
     f = daily.select(
         F.col("event_type").alias("et_f"),
