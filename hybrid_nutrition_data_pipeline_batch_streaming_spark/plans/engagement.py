@@ -187,6 +187,9 @@ def agg_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
             F.count("*").alias("n_events"),
         )
+        # Persisted: the rollup feeds both the epoch scalar and the
+        # weighting pass — one events scan instead of two.
+        .persist()
     )
     epoch = daily.agg(F.min("d").alias("day0"))
     weeks = F.expr("datediff(d, day0) DIV 7")
@@ -413,12 +416,18 @@ def bitmap_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id")
         .distinct()
     )
-    words = seg.groupBy(
-        "event_type", F.expr("user_id DIV 63").alias("word_idx")
-    ).agg(
-        F.bit_or(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
-        ).alias("bits")
+    # Persisted: the word table is the bitmap index and both self-join
+    # sides read it — one events scan + bitmap build instead of two.
+    words = (
+        seg.groupBy("event_type", F.expr("user_id DIV 63").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+                )
+            ).alias("bits")
+        )
+        .persist()
     )
     a = words.select(
         F.col("event_type").alias("seg_a"),

@@ -298,7 +298,11 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — deterministic on both engines for positive operands, and
     Σ credits ≤ revenue by construction (the auditable invariant)."""
     cat = Catalog(spark, sf_dir)
-    ev = cat.events
+    # One persisted type-filtered scan feeds both sides (was two full
+    # event scans).
+    ev = cat.events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).persist()
     c = ev.where(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),

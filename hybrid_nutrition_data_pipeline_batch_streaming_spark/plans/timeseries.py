@@ -1007,7 +1007,13 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical inputs). Two user-keyed aggregates joined on user_id, then
     one scalar summary row."""
     cat = Catalog(spark, sf_dir)
-    ev = cat.events.select("user_id", "event_type", "ts")
+    # One persisted type-filtered scan feeds both stages (was two full
+    # event scans).
+    ev = (
+        cat.events.select("user_id", "event_type", "ts")
+        .where(F.col("event_type").isin("signup", "purchase"))
+        .persist()
+    )
     s1 = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
