@@ -88,11 +88,11 @@ HEADLINE = [
     # join, the cumulative-distinct growth curve, and the shuffle-free audio
     # VAD over the multimodal payload
     "bm25_search",
-    # session-7 additions: the other two map-side-tf retrieval queries and
-    # the shard-bounded packer — the r7 plan reworks, kept visible per-round
+    # session-7 additions: the other two map-side-tf retrieval queries —
+    # the r7 plan reworks, kept visible per-round (pack_sequences already
+    # listed above)
     "search_prf_expand",
     "tfidf_terms",
-    "pack_sequences",
     "join_range_binned",
     "running_distinct",
     "mm_audio_energy",
@@ -151,19 +151,45 @@ def main() -> None:
         F.pandas_udf(lambda s: s + 1, "long")(F.col("id"))
     ).collect()
 
-    # Best-of-3 per query: the minimum is the standard noise-floor estimator
-    # on shared hosts (each run still executes the full plan end-to-end;
-    # NOTES.md documents ±3 s host noise at sf0.1).
+    # Host-speed calibration (VERDICT r7 item 3): two rounds of BENCH
+    # confusion were pure host drift (r6 bm25 scare, r7's +11% board-wide).
+    # Time a fixed, data-independent workload — a 10 M-row hash aggregate
+    # through a shuffle plus a broadcast join — so any BENCH_rN can be
+    # drift-normalized against another: ratio_normalized =
+    # (total_N / total_M) / (calibration_N / calibration_M).
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(10_000_000).groupBy((F.col("id") % 4096).alias("k")).agg(
+            F.sum("id"), F.count("*")
+        ).join(
+            F.broadcast(spark.range(4096).withColumnRenamed("id", "k")), "k"
+        ).agg(F.count("*")).collect()
+        cal = min(cal, time.perf_counter() - t0)
+    calibration_s = round(cal, 3)
+
+    # Best-of-3 per query, COLD-cache convention (VERDICT r7 item 2): every
+    # repeat starts from an empty CacheManager — the registry wrapper
+    # releases all cached fragments at each top-level query invocation, and
+    # the explicit clearCache below keeps that true even if the wrapper
+    # convention changes. Queries that persist() intermediates therefore
+    # rebuild them each repeat: timings measure the full cold plan, never a
+    # warm re-read of a previous run's cache. The minimum of 3 is the
+    # standard noise-floor estimator on shared hosts (each run still
+    # executes the full plan end-to-end; NOTES.md documents ±3 s host noise
+    # at sf0.1).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = plans.QUERIES[name]
         best = float("inf")
         for _ in range(3):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    spark.catalog.clearCache()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -176,6 +202,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cache_convention": "cold",
+                "calibration_s": calibration_s,
             }
         )
     )

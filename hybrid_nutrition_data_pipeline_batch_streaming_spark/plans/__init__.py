@@ -44,73 +44,82 @@ from . import evaluation  # noqa: F401,E402
 from . import geo  # noqa: F401,E402
 
 # The driver-checked window: exactly these 50, in this order, all with
-# oracles. Round-7 rotation (VERDICT r6 item 1, NOTES "Round-7 rotation
-# backlog"): 247/306 queries carry a green driver CORRECTNESS row after six
-# rounds, so this round keeps the same FIVE core regressions and fills the
-# other FORTY-FIVE slots with oracle-backed queries that have never had a
-# driver row, leading with `wire_mp_roundtrip` (the round-6 multi-partition
-# wire path earning a driver row), then the ops/audit group, the timeseries
-# tail, and the text/corpus tail. `pipeline_user_features` is the one
-# backlog query bumped to r8 (the backlog held 46 for 45 slots).
+# oracles. Round-8 endgame rotation (VERDICT r7 item 1, NOTES "Round-8
+# endgame window"): 292/306 queries carry a green driver CORRECTNESS row
+# after seven rounds with zero failures. This window (a) keeps the same
+# FIVE core regressions, (b) drives the final SEVEN oracle-backed
+# never-verified queries through the gate, (c) adds the TWO new r8
+# error-bound companions for the approx aggregates, and (d) spends the
+# remaining slots re-verifying every query whose PLAN CHANGED in round 7
+# after its last driver row — the search-family map-side tf rework
+# (plans/search.py _doc_tf), the (source, pack_shard) packing split, and
+# both cache-boundary sweep batches — plus graph_kcore (r8
+# scratch_checkpoint gating) and stream_stream_join (r7 watermark
+# re-sizing), finishing with the oldest-green (r2-only) rows. After this
+# window no green row predates its query's current plan.
 # Rotated-out queries stay registered below the window, still verified by
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 PRIORITY: tuple[str, ...] = (
-    # -- 5 core regressions (driver-green in r1-r6) --
+    # -- 5 core regressions (driver-green in r1-r7) --
     "flagship_revenue",
     "join_inner",
     "dedup_last_write",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    # -- multi-partition wire broker path (r6 upgrade, zero driver rows) --
-    "wire_mp_roundtrip",
-    # -- ops / audit / allocation (E-class tail) --
-    "agg_approx_topk",
-    "arrow_batch_digest",
-    "checksum_buckets",
-    "corr_matrix",
-    "file_provenance",
-    "histogram_equidepth",
-    "join_size_audit",
-    "length_bucketize",
-    "skew_report",
-    "table_checksum",
-    "udtf_dynamic_schema",
-    "url_domain_caps",
-    "url_parse_funcs",
-    "sketch_hll_merge",
-    "bitmap_segment_overlap",
-    "shard_balanced",
-    "greedy_set_cover",
-    "allocate_largest_remainder",
-    "fifo_match_lots",
-    "phrase_search",
-    "text_search_rank",
-    # -- timeseries tail --
-    "anomaly_seasonal",
-    "trend_ols",
-    "interval_union_length",
-    "concurrency_peak",
-    "forecast_eval_naive",
-    "rolling_ols_slope",
-    "metric_decomposition",
-    "window_sliding_agg",
-    "join_temporal_scd2",
-    "temporal_split_purged",
-    "winsorize_values",
-    "standardize_values",
-    "running_sum_reset",
-    "gini_by_segment",
-    # -- text / corpus tail --
-    "clean_repeated_tokens",
-    "corpus_temperature_sample",
-    "corpus_recipe_plan",
-    "corpus_drift_tv",
-    "mojibake_score",
-    "epoch_shuffle",
-    "split_leakage_check",
-    "lang_confusion_matrix",
-    "pipeline_drop_reasons",
+    # -- final 7 never-driver-verified oracle-backed queries --
+    "pipeline_user_features",
+    "embedding_matryoshka_eval",
+    "embedding_outliers",
+    "graph_degrees",
+    "path_trigrams",
+    "sessionize_gap_sweep",
+    "stickiness_dau_mau",
+    # -- new r8 queries: approx-agg error-bound companions --
+    "agg_approx_distinct_bound",
+    "agg_approx_percentile_bound",
+    # -- r7 search-family rework (map-side _doc_tf) --
+    "bm25_search",
+    "search_prf_expand",
+    "tfidf_terms",
+    # -- r7 packing split + corpus pipeline --
+    "pack_sequences",
+    "pipeline_corpus_build",
+    # -- r7 cache-boundary sweep, batch 1 --
+    "similarity_maxsim",
+    "similarity_ann_lsh",
+    "join_delta_maintain",
+    "funnel_conversion",
+    "funnel_windowed",
+    "kmv_overlap",
+    "growth_accounting",
+    "er_golden_records",
+    "period_over_period",
+    "table_diff_audit",
+    "ts_autocorr",
+    # -- r7 cache-boundary sweep, threshold-2 batch --
+    "ts_decompose",
+    "gap_fill_forward",
+    "vocab_coverage",
+    "running_distinct",
+    "kth_order_statistics",
+    "weighted_median",
+    "attribution_linear",
+    "conversion_latency",
+    "agg_decayed",
+    # -- plans changed r7/r8: kcore checkpoint, join watermark --
+    "graph_kcore",
+    "stream_stream_join",
+    # -- oldest-green re-verification (r2-only rows) --
+    "wire_topic_roundtrip",
+    "wire_stream_windows",
+    "join_broadcast",
+    "join_outer",
+    "agg_conditional",
+    "window_lag",
+    "str_funcs",
+    "date_funcs",
+    "math_funcs",
 )
 
 

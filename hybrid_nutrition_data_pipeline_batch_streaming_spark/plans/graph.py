@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..session import checkpoint_truncate
+from ..session import checkpoint_truncate, scratch_checkpoint
 from .registry import ORACLE, query
 from .dedup import dedup_minhash_banded
 
@@ -534,23 +534,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # equals filtering the doubled list — the checkpoint write is the
         # round's dominant cost and this halves it.
         #
-        # Round-7: the PER-ROUND cut is a localCheckpoint even when a
-        # reliable checkpoint dir is configured. Each round's survivor set
-        # is consumed only by the next round and the census — intra-query
-        # scratch, not resumable state — and a dense graph may not shrink
-        # at all (M=100: every node keeps deg >= K, so each round rewrites
-        # the full 60 M-edge orientation; executor-local blocks beat the
-        # filesystem round-trip 253 s -> 207 s same-host, parity green at
-        # both SFs). The INITIAL distillation above stays on
+        # Round-7/8: the PER-ROUND cut is scratch_checkpoint — on local
+        # masters a localCheckpoint (each round's survivor set is
+        # intra-query scratch consumed only by the next round, and a dense
+        # graph may not shrink at all; M=100: every node keeps deg >= K,
+        # so each round rewrites the full 60 M-edge orientation —
+        # executor-local blocks beat the filesystem round-trip
+        # 253 s -> 207 s same-host, parity green at both SFs), but on a
+        # DISTRIBUTED master with a reliable dir it falls back to a real
+        # checkpoint: localCheckpoint blocks are unrecoverable, so losing
+        # one executor mid-peel would fail the query instead of
+        # recomputing (ADVICE r7). The INITIAL distillation above stays on
         # checkpoint_truncate: it is the large GC-sensitive write the
-        # reliable dir exists for (see session.py). A lost executor
-        # replays the loop from that base — the right trade for a
-        # 3-round peel.
-        edges = (
+        # reliable dir exists for (see session.py).
+        edges = scratch_checkpoint(
             edges.join(s.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(s.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
-        ).localCheckpoint(eager=True)
+        )
         e = _doubled(edges)
         n = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
             "src", "node"

@@ -14,6 +14,7 @@ regardless of partitioning. See ``functions.parity``.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +24,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+#: Nesting depth of query invocations — composite plans invoke other
+#: registered queries as building blocks (e.g. graph_jaccard_sim consumes
+#: dedup_minhash_banded), and the cache release below must fire only at the
+#: TOP-level entry: clearing mid-build would drop frames the outer plan has
+#: already persisted. Single-threaded by the harness contract.
+_DEPTH = 0
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query; ``oracle`` is the DuckDB-equivalent ANSI SQL.
@@ -30,12 +38,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     ``oracle=None`` marks a genuinely non-SQL-expressible operator (streaming,
     external-I/O, iterative) — the driver then applies its weaker rows-only
     check.
+
+    Each registered callable is wrapped so that a TOP-LEVEL invocation first
+    releases the caches left behind by the previous query
+    (``session.release_caches`` — ADVICE r7: plan functions persist
+    intermediates their callers materialize later, so the release point is
+    the start of the NEXT query, by which time the prior result has been
+    consumed). This bounds a long-lived session's storage to one query's
+    working set without forfeiting intra-query single-scan caching.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str, *args, **kwargs) -> DataFrame:
+            global _DEPTH
+            if _DEPTH == 0:
+                from ..session import release_caches
+
+                release_caches(spark)
+            _DEPTH += 1
+            try:
+                return fn(spark, sf_dir, *args, **kwargs)
+            finally:
+                _DEPTH -= 1
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
-        return fn
+        return wrapped
 
     return deco

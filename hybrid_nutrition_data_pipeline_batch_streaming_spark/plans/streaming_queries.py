@@ -131,7 +131,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival across micro-batches (Kafka's per-partition contract; for the
     file-source stand-in, time-bucketed files in mtime order) — with
     full-span unordered files ANY finite watermark drops late rows, which
-    is the documented trade of watermarking itself."""
+    is the documented trade of watermarking itself. The reader enforces
+    the precondition where it can: ``read_events_stream`` streams the
+    mtime-ordered ``events_ordered.parquet`` layout whenever the generator
+    wrote one (ingest._events_table_path), and the driver fixtures are
+    single-file (one micro-batch — ordering moot)."""
     events = read_events_stream(spark, sf_dir)
     p = (
         events.where(F.col("event_type") == "purchase")

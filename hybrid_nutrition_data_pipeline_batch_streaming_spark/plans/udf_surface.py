@@ -130,6 +130,74 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_distinct_bound",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion to ``agg_approx_distinct`` (VERDICT r7
+    item 4): the HLL++ sketch VALUE is engine-specific (rows-only), but its
+    ERROR CONTRACT is deterministic and hash-able — compute approx and
+    exact distinct in the same pass and emit whether the approx lies within
+    5σ of the configured rsd (0.02 → 10% relative tolerance; HLL++ is
+    hash-based and deterministic, so the flag is stable). The oracle
+    asserts TRUE per group: any sketch drifting outside its published bound
+    hash-mismatches."""
+    cat = Catalog(spark, sf_dir)
+    agg = cat.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    tol = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("exact_orders") * 0.10))
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (F.abs(F.col("approx_orders") - F.col("exact_orders")) <= tol).alias(
+            "within_bound"
+        ),
+    )
+
+
+@query(
+    "agg_approx_percentile_bound",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS line_cnt,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion to ``agg_approx_percentile`` (VERDICT r7
+    item 4): approx_percentile(accuracy=1000) guarantees rank error
+    ≤ N/1000; with 10× slack the approx median must lie between the EXACT
+    0.49 and 0.51 quantiles of its group — computed in the same query, so
+    the deterministic bound flag is what gets hashed, not the
+    engine-specific sketch value. The oracle asserts TRUE per group."""
+    cat = Catalog(spark, sf_dir)
+    agg = cat.lineitem.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            F.col("l_extendedprice"), F.lit(0.5), F.lit(1000)
+        ).alias("approx_med"),
+        F.expr("percentile(l_extendedprice, 0.49D)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.51D)").alias("hi"),
+        F.count("*").alias("line_cnt"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "line_cnt",
+        (
+            (F.col("approx_med") >= F.col("lo"))
+            & (F.col("approx_med") <= F.col("hi"))
+        ).alias("within_bound"),
+    )
+
+
+@query(
     "enrich_rest_stub",
     oracle="""
     WITH names AS (

@@ -141,6 +141,58 @@ def checkpoint_truncate(df):
     return df.localCheckpoint()
 
 
+def release_caches(spark: SparkSession) -> None:
+    """Drop every cached plan fragment in this context's CacheManager.
+
+    Plan functions ``.persist()`` intermediates that are read by multiple
+    legs of the SAME query (the cache-boundary discipline, NOTES r7), but
+    they return an UNMATERIALIZED frame — the caller collects later — so
+    they cannot unpersist before returning without forfeiting the very
+    single-scan property the persist buys (an unpersisted fragment is
+    recomputed per consumer). In a long-lived session running many queries
+    (the driver's 50-query window, the parity sweep, bench) those
+    MEMORY_AND_DISK entries would otherwise accumulate without bound —
+    disk-backed blocks are not LRU-evicted (ADVICE r7). The query registry
+    calls this at each top-level query invocation, bounding live cache to
+    one query's working set; harnesses may also call it directly between
+    repeats. Correctness is unaffected: a cleared fragment recomputes from
+    lineage.
+    """
+    spark.catalog.clearCache()
+
+
+def scratch_checkpoint(df):
+    """Lineage cut for INTRA-QUERY scratch frames (per-round loop state
+    consumed only by the next round — e.g. graph_kcore's survivor edges).
+
+    The fast option is ``localCheckpoint`` (executor-local blocks, no
+    filesystem round-trip: kcore 253 s → 207 s at M=100), but its blocks
+    are unrecoverable — on a multi-node cluster losing one executor
+    mid-loop FAILS the query instead of recomputing (ADVICE r7). So the
+    choice is gated on deployment rather than hard-coded:
+
+    - local master (``local[*]`` — one JVM, executor loss == driver loss,
+      nothing to survive): always ``localCheckpoint``;
+    - distributed master with a reliable checkpoint dir configured:
+      ``checkpoint`` — the availability the dir exists to provide;
+    - distributed master, no dir: ``localCheckpoint`` (nothing reliable
+      to write to), accepting the recompute-on-loss trade.
+
+    Override either way with the engine conf
+    ``spark.hybridnutrition.scratchCheckpoint=local|reliable``.
+    """
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    mode = spark.conf.get("spark.hybridnutrition.scratchCheckpoint", "auto")
+    if mode == "local":
+        return df.localCheckpoint()
+    if mode == "reliable":
+        return checkpoint_truncate(df)
+    if not sc.master.startswith("local") and sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 #: Application ids that already had the package zip shipped via addPyFile.
 _PKG_SHIPPED: set[str] = set()
 
@@ -171,35 +223,53 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
       simply ignored.
 
     Must run BEFORE ``spark.dataSource.register`` (the per-function env
-    is captured at registration). Idempotent per application; the zip is
-    built once per driver process.
+    is captured at registration). Idempotent per application. The zip is
+    named by a CONTENT DIGEST of the shipped sources (ADVICE r7: a
+    pid-keyed name is both a /tmp leak — every driver process writes a
+    new zip nothing cleans up — and a staleness hazard: /tmp outlives
+    processes, so pid reuse could ship an outdated zip while the driver
+    runs current code). Same sources → same path, reused across
+    processes; any source edit → new digest → fresh zip.
     """
     sc = spark.sparkContext
     app_id = sc.applicationId
     if app_id in _PKG_SHIPPED:
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
+    members: list[tuple[str, str]] = []
+    digest = hashlib.sha256()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            # Ship .py plus any package data a future revision adds;
+            # exclude caches/compiled artifacts.
+            if f.endswith((".pyc", ".pyo")) or "__pycache__" in root:
+                continue
+            full = os.path.join(root, f)
+            arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+            members.append((full, arc))
+            digest.update(arc.encode())
+            with open(full, "rb") as fh:
+                digest.update(fh.read())
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}-pyfiles.zip"
+        tempfile.gettempdir(),
+        f"{pkg_name}-{digest.hexdigest()[:16]}-pyfiles.zip",
     )
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in sorted(files):
-                    if not f.endswith(".py"):
-                        continue
-                    full = os.path.join(root, f)
-                    arc = os.path.join(
-                        pkg_name, os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, arc)
+            for full, arc in members:
+                zf.write(full, arc)
         os.replace(tmp, zip_path)
-    sc.addPyFile(zip_path)
+    # addPyFile blindly appends to _python_includes; a re-ship of the same
+    # content-addressed zip (e.g. a fresh memo after session reuse) must
+    # not duplicate the include entry.
+    if os.path.basename(zip_path) not in sc._python_includes:
+        sc.addPyFile(zip_path)
     prev = sc.environment.get("PYTHONPATH")
     if not prev or zip_path not in prev.split(os.pathsep):
         sc.environment["PYTHONPATH"] = (

@@ -38,6 +38,29 @@ from pyspark.sql.types import (
 from ..session import ensure_runtime_conf
 
 
+def _events_table_path(sf_dir: str) -> str:
+    """Resolve the events table path for streaming reads, preferring the
+    event-time-ordered layout when one exists.
+
+    Watermark semantics over a file source are only honored when files
+    arrive roughly in event-time order (Kafka's per-partition contract;
+    Spark's file source orders by MODIFICATION TIME). The scale generator's
+    ``gen_events_ordered`` (tools/make_scale_data.py) writes such a layout
+    to ``events_ordered.parquet`` — time-bucketed part files with strictly
+    increasing mtimes. When present it is the layout every streaming read
+    should use; the plain ``events.parquet`` directory's part-file mtimes
+    land in task-completion (random) order, under which any finite
+    watermark may drop late rows on a multi-micro-batch drain. The driver
+    fixtures ship events as a SINGLE file (one micro-batch under
+    AvailableNow — ordering is moot), so this preference only engages on
+    generated scale datasets. Rows are identical in both layouts.
+    """
+    ordered = os.path.join(sf_dir, "events_ordered.parquet")
+    if os.path.isdir(ordered):
+        return ordered
+    return os.path.join(sf_dir, "events.parquet")
+
+
 def _events_file_schema(sf_dir: str) -> tuple[StructType, bool]:
     """(stream schema, ts_is_raw_nanos) for the events file at ``sf_dir``.
 
@@ -65,7 +88,7 @@ def _events_file_schema(sf_dir: str) -> tuple[StructType, bool]:
             f" calls and cannot inspect {sf_dir!r}; non-local URIs need a"
             " Hadoop-FS-based layout probe"
         )
-    path = os.path.join(sf_dir, "events.parquet")
+    path = _events_table_path(sf_dir)
     probe = path
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
@@ -110,12 +133,16 @@ def read_events_stream(
     # a glob selecting it); the scale generator writes a DIRECTORY of part
     # files under events.parquet/ (stream that directory — a leaf-file glob
     # of "events.parquet" would match nothing there and silently yield an
-    # empty stream, the M=100 stream_topk_live rows=0 failure).
-    events_dir = os.path.join(sf_dir, "events.parquet")
+    # empty stream, the M=100 stream_topk_live rows=0 failure). When the
+    # generator also wrote the mtime-ordered layout (events_ordered.parquet,
+    # see _events_table_path) stream THAT — watermarked multi-batch drains
+    # need event-time-ordered file arrival.
+    events_dir = _events_table_path(sf_dir)
     reader = spark.readStream.schema(schema)
     if not os.path.isdir(events_dir):
+        glob_name = os.path.basename(events_dir)
         events_dir = sf_dir
-        reader = reader.option("pathGlobFilter", "events.parquet")
+        reader = reader.option("pathGlobFilter", glob_name)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(events_dir)

@@ -178,8 +178,11 @@ def test_crypto_shredding_per_user_keys(spark, tmp_path):
 def test_pack_batches_are_shard_bounded(spark, sf_dir):
     """VERDICT r6 item 5: each applyInPandas group is one Arrow batch, so
     the packer must never see a whole source as a single batch. With
-    pack_shard = pmod(doc_id, N_PACK_SHARDS), every (source, pack_shard)
-    group — the real batch unit — is bounded by ~|source|/N shards."""
+    pack_shard = (first 16 bits of md5(doc_id)) mod N_PACK_SHARDS — an
+    md5-derived hash, NOT plain doc_id % N, because fixture doc_ids are
+    round-robin by source and a whole source would land in one residue —
+    every (source, pack_shard) group — the real batch unit — is bounded
+    by ~|source|/N shards."""
     from pyspark.sql import functions as F
 
     from hybrid_nutrition_data_pipeline_batch_streaming_spark.catalog import (

@@ -361,6 +361,80 @@ def test_checkpoint_truncate_flips_to_reliable_with_conf(spark, tmp_path):
         assert sc.getCheckpointDir() is None
 
 
+def test_scratch_checkpoint_gates_on_deployment(spark, tmp_path):
+    """ADVICE r7: per-round scratch cuts (graph_kcore's survivor edges)
+    use localCheckpoint for speed, but on a multi-node cluster the blocks
+    are unrecoverable — losing an executor mid-loop fails the query. The
+    scratch_checkpoint helper must therefore gate on deployment: local
+    master → localCheckpoint even when a reliable dir is configured (the
+    measured 253→207 s kcore win); explicit conf override → honored both
+    ways. (The distributed-master branch can't execute on local[*]; its
+    selection logic is what the override paths exercise.)"""
+    import os
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.session import (
+        scratch_checkpoint,
+    )
+
+    sc = spark.sparkContext
+    assert sc.master.startswith("local")
+    ckpt = str(tmp_path / "reliable")
+    sc.setCheckpointDir(ckpt)
+    key = "spark.hybridnutrition.scratchCheckpoint"
+    try:
+        df = spark.range(10)
+        # auto + local master: local blocks, nothing written to the dir.
+        scratch_checkpoint(df).collect()
+        assert not [
+            f for root, _, fs in os.walk(ckpt) for f in fs if f.startswith("part-")
+        ], "local master must not write reliable checkpoints in auto mode"
+        # reliable override: files land under the configured dir.
+        spark.conf.set(key, "reliable")
+        scratch_checkpoint(df).collect()
+        assert [
+            f for root, _, fs in os.walk(ckpt) for f in fs if f.startswith("part-")
+        ], "reliable override must write to the checkpoint dir"
+        # local override with a dir configured: still local blocks (count
+        # of reliable files unchanged).
+        before = sum(
+            len(fs) for _, _, fs in os.walk(ckpt)
+        )
+        spark.conf.set(key, "local")
+        scratch_checkpoint(df).collect()
+        assert sum(len(fs) for _, _, fs in os.walk(ckpt)) == before
+    finally:
+        spark.conf.unset(key)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+
+
+def test_query_invocation_releases_previous_caches(spark):
+    """ADVICE r7: plan functions persist() intermediates their callers
+    materialize later, so nothing inside a query can unpersist them — in a
+    long-lived session (driver's 50-query window) disk-backed cache entries
+    would accumulate unboundedly. Pin the registry contract: a TOP-LEVEL
+    query invocation clears the CacheManager before building (previous
+    query's result is already consumed by then), while NESTED invocations
+    (composite plans consuming other registered queries) must NOT clear —
+    that would drop frames the outer plan already persisted."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans import (
+        registry,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    plans.QUERIES["bm25_search"](spark, SF).count()  # persists _doc_tf
+    assert not cm.isEmpty(), "expected bm25_search to leave cached frames"
+    # graph_triangles nests dedup_minhash_banded AND persists its own edge
+    # list: outer entry clears the bm25 leftovers, the nested call leaves
+    # the outer's persisted edges alone.
+    df = plans.QUERIES["graph_triangles"](spark, SF)
+    assert not cm.isEmpty(), "nested invocation must not clear outer caches"
+    df.count()
+    plans.QUERIES["flagship_revenue"](spark, SF)  # no persists of its own
+    assert cm.isEmpty(), "top-level invocation must release prior caches"
+    assert registry._DEPTH == 0
+
+
 def test_perplexity_filter_contract(spark):
     """LM scores are mean probabilities in (0, 1]; the gate is exactly
     score >= threshold; every scoreable doc (>= 2 alpha tokens) is scored."""

@@ -282,7 +282,11 @@ def gen_events(spark, m, out):
         .write.mode("overwrite")
         .parquet(os.path.join(out, "events.parquet"))
     )
-    if os.environ.get("SCALE_EVENTS_ORDERED"):
+    # Default ON: read_events_stream prefers the ordered layout when present
+    # (streaming/ingest.py _events_table_path) — without it, multi-batch
+    # watermarked drains over random-mtime part files can drop late rows.
+    # Opt out with SCALE_EVENTS_ORDERED=0 for batch-only scale studies.
+    if os.environ.get("SCALE_EVENTS_ORDERED", "1") != "0":
         gen_events_ordered(spark, out)
 
 
