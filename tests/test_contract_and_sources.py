@@ -37,23 +37,25 @@ def test_registry_priority_window():
     assert len(set(plans.PRIORITY)) == 50
     assert tuple(names[:50]) == plans.PRIORITY
     assert all(n in plans.ORACLE for n in names[:50])
-    # Round-7 rotation: five core regressions stay pinned; the other 45
-    # slots burn down the last big never-driver-checked block, leading with
-    # the multi-partition wire path, then ops/audit, the timeseries tail,
-    # and the text/corpus tail (NOTES.md "Round-7 rotation backlog").
+    # Round-8 endgame rotation: five core regressions stay pinned; the
+    # other 45 slots seat the final never-driver-verified backlog, the two
+    # new r8 bound companions, and re-verification of every query whose
+    # plan changed in r7/r8 (NOTES.md "Round 8 (in progress log)" item 1).
     core_regressions = {
         "flagship_revenue", "join_inner", "dedup_last_write",
         "pipeline_nutrition_e2e", "stream_tumbling_live",
     }
     assert core_regressions <= set(plans.PRIORITY)
     rotated_in = {
-        "wire_mp_roundtrip", "agg_approx_topk", "file_provenance",
-        "table_checksum", "udtf_dynamic_schema", "sketch_hll_merge",
-        "greedy_set_cover", "fifo_match_lots", "phrase_search",
-        "text_search_rank", "anomaly_seasonal", "trend_ols",
-        "window_sliding_agg", "join_temporal_scd2", "running_sum_reset",
-        "clean_repeated_tokens", "epoch_shuffle", "lang_confusion_matrix",
-        "pipeline_drop_reasons",
+        # final never-verified
+        "pipeline_user_features", "embedding_matryoshka_eval",
+        "embedding_outliers", "graph_degrees", "path_trigrams",
+        "sessionize_gap_sweep", "stickiness_dau_mau",
+        # new r8 queries
+        "agg_approx_distinct_bound", "agg_approx_percentile_bound",
+        # r7/r8 plan-rework re-verification (sample)
+        "bm25_search", "pack_sequences", "similarity_ann_lsh",
+        "er_golden_records", "graph_kcore", "stream_stream_join",
     }
     assert rotated_in <= set(plans.PRIORITY)
 
