@@ -180,17 +180,28 @@ def scratch_checkpoint(df):
 
     Override either way with the engine conf
     ``spark.hybridnutrition.scratchCheckpoint=local|reliable``.
+
+    The local blocks are stored SERIALIZED (StorageLevel.MEMORY_AND_DISK,
+    not the deserialized default) — measured at M=100 (VERDICT r7 item 6,
+    SCALE.md round-8): the deserialized default's storage footprint
+    squeezes the 8 g heap until hash aggregation OOMs (reproduced twice),
+    while serialized blocks complete the kcore peel in 112-135 s — faster
+    than the r7 deserialized reading (207 s) because the rounds' 60 M-row
+    edge sets compress ~2× serialized and stop evicting execution memory.
     """
+    from pyspark.storagelevel import StorageLevel
+
     spark = df.sparkSession
     sc = spark.sparkContext
+    level = StorageLevel.MEMORY_AND_DISK
     mode = spark.conf.get("spark.hybridnutrition.scratchCheckpoint", "auto")
     if mode == "local":
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=True, storageLevel=level)
     if mode == "reliable":
         return checkpoint_truncate(df)
     if not sc.master.startswith("local") and sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+    return df.localCheckpoint(eager=True, storageLevel=level)
 
 
 #: Application ids that already had the package zip shipped via addPyFile.
