@@ -110,6 +110,12 @@ PRIORITY: tuple[str, ...] = (
     # -- plans changed r7/r8: kcore checkpoint, join watermark --
     "graph_kcore",
     "stream_stream_join",
+    # -- r8 promotions/companions earning their first hash-checked row:
+    # text_ml_pipeline (rows-only → full oracle via the pinned stop list),
+    # the MLlib-LSH recall contract, the seeded-sampler bound --
+    "text_ml_pipeline",
+    "similarity_ann_mllib_recall",
+    "sample_bernoulli_bound",
     # -- oldest-green re-verification (r2-only rows) --
     "wire_topic_roundtrip",
     "wire_stream_windows",
@@ -117,9 +123,6 @@ PRIORITY: tuple[str, ...] = (
     "join_outer",
     "agg_conditional",
     "window_lag",
-    "str_funcs",
-    "date_funcs",
-    "math_funcs",
 )
 
 

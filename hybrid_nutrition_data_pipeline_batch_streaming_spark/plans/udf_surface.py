@@ -259,6 +259,37 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_bernoulli_bound",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total, TRUE AS within_bound
+    FROM documents
+    """,
+)
+def sample_bernoulli_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion to ``sample_bernoulli`` (VERDICT r7 item-4
+    pattern): the sampler's RNG stream is engine-specific, but its
+    STATISTICAL CONTRACT is deterministic under the pinned seed — the
+    sample size must lie within 6σ of p·N (binomial; at the fixture sizes
+    6σ ≈ 0.8·mean, and the seeded draw is exactly reproducible anyway).
+    The oracle asserts the bound flag per run; a sampler regression that
+    breaks the fraction contract hash-mismatches."""
+    cat = Catalog(spark, sf_dir)
+    p = 0.1
+    total = cat.documents.agg(F.count("*").alias("n_total"))
+    samp = (
+        cat.documents.sample(fraction=p, seed=42)
+        .agg(F.count("*").alias("n_samp"))
+    )
+    return total.crossJoin(samp).select(
+        "n_total",
+        (
+            F.abs(F.col("n_samp") - F.col("n_total") * p)
+            <= F.lit(6.0) * F.sqrt(F.col("n_total") * p * (1 - p)) + 1
+        ).alias("within_bound"),
+    )
+
+
+@query(
     "sample_stratified",
     oracle="""
     SELECT doc_id, lang, n_chars
