@@ -513,7 +513,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = checkpoint_truncate(edges)
+    # Initial distillation: reliable checkpoint when a dir is configured
+    # (fastest measured M=100 config: 112.6 s — the disk write is page-
+    # cache-cheap to read back and keeps the heap clear of storage blocks).
+    # WITHOUT a dir, the old deserialized localCheckpoint fallback OOMs the
+    # 8 g heap at M=100 (r5 finding, reproduced r8); the serialized
+    # scratch_checkpoint completes at 124.7 s — so the no-dir fallback goes
+    # through it instead. dedup_keep_best's CC labels measured the OPPOSITE
+    # preference (61.2 s deserialized vs 80.6 s serialized — small slivers,
+    # serialize CPU dominates), which is why this is a site choice, not a
+    # checkpoint_truncate-wide change (SCALE.md round-8).
+    if spark.sparkContext.getCheckpointDir() is not None:
+        edges = checkpoint_truncate(edges)
+    else:
+        edges = scratch_checkpoint(edges)
 
     def _doubled(ed):
         return ed.union(
