@@ -126,6 +126,14 @@ HEADLINE = [
     "graph_kcore",
     "graph_jaccard_sim",
     "er_golden_records",
+    # round-8 additions: the approx-agg error-bound companions, the
+    # promoted MLlib text pipeline, the LSH recall contract, and the
+    # seeded-sampler bound — the queries that closed the rows-only tail
+    "agg_approx_distinct_bound",
+    "agg_approx_percentile_bound",
+    "text_ml_pipeline",
+    "similarity_ann_mllib_recall",
+    "sample_bernoulli_bound",
 ]
 
 
