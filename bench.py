@@ -165,10 +165,13 @@ def main() -> None:
     # through a shuffle plus a broadcast join — so any BENCH_rN can be
     # drift-normalized against another: ratio_normalized =
     # (total_N / total_M) / (calibration_N / calibration_M).
+    # 30 M rows: a ~2 s workload — the first 10 M-row version finished in
+    # ~0.5 s and was itself noise-dominated (0.65 vs 0.47 s between
+    # back-to-back exclusive runs), defeating the purpose.
     cal = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(10_000_000).groupBy((F.col("id") % 4096).alias("k")).agg(
+        spark.range(30_000_000).groupBy((F.col("id") % 4096).alias("k")).agg(
             F.sum("id"), F.count("*")
         ).join(
             F.broadcast(spark.range(4096).withColumnRenamed("id", "k")), "k"
