@@ -161,21 +161,28 @@ def main() -> None:
 
     # Host-speed calibration (VERDICT r7 item 3): two rounds of BENCH
     # confusion were pure host drift (r6 bm25 scare, r7's +11% board-wide).
-    # Time a fixed, data-independent workload — a 10 M-row hash aggregate
-    # through a shuffle plus a broadcast join — so any BENCH_rN can be
+    # Time a fixed, data-independent workload so any BENCH_rN can be
     # drift-normalized against another: ratio_normalized =
     # (total_N / total_M) / (calibration_N / calibration_M).
-    # 30 M rows: a ~2 s workload — the first 10 M-row version finished in
-    # ~0.5 s and was itself noise-dominated (0.65 vs 0.47 s between
-    # back-to-back exclusive runs), defeating the purpose.
+    # Sizing (measured r8): pure hash-agg over range() is overhead-bound —
+    # 30 M and 300 M rows timed identically (~0.5 s) — so it cannot sense
+    # throughput drift. This 60 M-row wide exchange + sort + aggregate
+    # (~2 s) is the smallest probe whose time scales with data volume on
+    # this host class; it tracks the 1.5×-class host drift the field
+    # exists to catch, not single-digit noise.
     cal = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(30_000_000).groupBy((F.col("id") % 4096).alias("k")).agg(
-            F.sum("id"), F.count("*")
-        ).join(
-            F.broadcast(spark.range(4096).withColumnRenamed("id", "k")), "k"
-        ).agg(F.count("*")).collect()
+        (
+            spark.range(60_000_000)
+            .select(F.col("id"), F.xxhash64("id").alias("k"))
+            .repartition(64, "k")
+            .sortWithinPartitions("k")
+            .groupBy((F.col("k") % 997).alias("g"))
+            .agg(F.sum("id"), F.count("*"))
+            .agg(F.count("*"))
+            .collect()
+        )
         cal = min(cal, time.perf_counter() - t0)
     calibration_s = round(cal, 3)
 
