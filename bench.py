@@ -212,19 +212,33 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cache_convention": "cold",
-                "calibration_s": calibration_s,
-            }
-        )
+    # Field order is load-bearing (VERDICT r8 item 2): the driver's
+    # BENCH_rN.json artifact keeps only the LAST ~2000 characters of stdout,
+    # and the 86-entry `queries` dict is longer than that — so the summary
+    # scalars (`value`, `calibration_s`, ...) must come AFTER `queries` or
+    # the committed artifact loses its own headline number (it did, r5-r8).
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "unit": "sec",
+            "queries": timings,
+            "value": total,
+            "sf": sf,
+            "cache_convention": "cold",
+            "calibration_s": calibration_s,
+        }
     )
+    print(line)
+    # Full-fidelity history independent of driver truncation: append each
+    # run's complete line to a committed log (VERDICT r8 item 2).
+    try:
+        log_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCHLOG.jsonl"
+        )
+        with open(log_path, "a") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the artifact
     spark.stop()
 
 

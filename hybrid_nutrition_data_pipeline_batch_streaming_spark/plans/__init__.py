@@ -44,85 +44,86 @@ from . import evaluation  # noqa: F401,E402
 from . import geo  # noqa: F401,E402
 
 # The driver-checked window: exactly these 50, in this order, all with
-# oracles. Round-8 endgame rotation (VERDICT r7 item 1, NOTES "Round-8
-# endgame window"): 292/306 queries carry a green driver CORRECTNESS row
-# after seven rounds with zero failures. This window (a) keeps the same
-# FIVE core regressions, (b) drives the final SEVEN oracle-backed
-# never-verified queries through the gate, (c) adds the TWO new r8
-# error-bound companions for the approx aggregates, and (d) spends the
-# remaining slots re-verifying every query whose PLAN CHANGED in round 7
-# after its last driver row — the search-family map-side tf rework
-# (plans/search.py _doc_tf), the (source, pack_shard) packing split, and
-# both cache-boundary sweep batches — plus graph_kcore (r8
-# scratch_checkpoint gating) and stream_stream_join (r7 watermark
-# re-sizing), finishing with the oldest-green (r2-only) rows. After this
-# window no green row predates its query's current plan.
+# oracles.
+#
+# STANDING ROTATION POLICY (VERDICT r8 item 1 — coverage is complete at
+# 304/304 oracle-backed ever-green, so from round 9 on the window is a
+# freshness rotation, not a coverage push). Slots are assigned in order:
+#   1. the FIVE core regressions (flagship_revenue, join_inner,
+#      dedup_last_write, pipeline_nutrition_e2e, stream_tumbling_live) —
+#      always present, every round;
+#   2. any query whose PLAN or ORACLE changed this round after its last
+#      green driver row — a green row must never predate the code it
+#      vouches for;
+#   3. the remaining slots go to the OLDEST green rows registry-wide
+#      (compute with: latest green round per query over CORRECTNESS_r*.json,
+#      ascending), so the maximum green-row age strictly decreases every
+#      round until the whole registry cycles.
 # Rotated-out queries stay registered below the window, still verified by
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
+#
+# Round-9 instantiation: text_ml_pipeline's oracle now derives its stop-list
+# SQL from ENGLISH_STOPWORDS (byte-identical string, re-verified anyway
+# under rule 2); the age ladder after r8 is 22 queries whose only green row
+# is r1 and 34 whose newest is r2 — this window re-verifies ALL 22 r1-age
+# rows and the first 22 r2-age rows (registry order), dropping the maximum
+# green-row age from r1 to r2.
 PRIORITY: tuple[str, ...] = (
-    # -- 5 core regressions (driver-green in r1-r7) --
+    # -- 5 core regressions (driver-green r1-r8) --
     "flagship_revenue",
     "join_inner",
     "dedup_last_write",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    # -- final 7 never-driver-verified oracle-backed queries --
-    "pipeline_user_features",
-    "embedding_matryoshka_eval",
-    "embedding_outliers",
-    "graph_degrees",
-    "path_trigrams",
-    "sessionize_gap_sweep",
-    "stickiness_dau_mau",
-    # -- new r8 queries: approx-agg error-bound companions --
-    "agg_approx_distinct_bound",
-    "agg_approx_percentile_bound",
-    # -- r7 search-family rework (map-side _doc_tf) --
-    "bm25_search",
-    "search_prf_expand",
-    "tfidf_terms",
-    # -- r7 packing split + corpus pipeline --
-    "pack_sequences",
-    "pipeline_corpus_build",
-    # -- r7 cache-boundary sweep, batch 1 --
-    "similarity_maxsim",
-    "similarity_ann_lsh",
-    "join_delta_maintain",
-    "funnel_conversion",
-    "funnel_windowed",
-    "kmv_overlap",
-    "growth_accounting",
-    "er_golden_records",
-    "period_over_period",
-    "table_diff_audit",
-    "ts_autocorr",
-    # -- r7 cache-boundary sweep, threshold-2 batch --
-    "ts_decompose",
-    "gap_fill_forward",
-    "vocab_coverage",
-    "running_distinct",
-    "kth_order_statistics",
-    "weighted_median",
-    "attribution_linear",
-    "conversion_latency",
-    "agg_decayed",
-    # -- plans changed r7/r8: kcore checkpoint, join watermark --
-    "graph_kcore",
-    "stream_stream_join",
-    # -- r8 promotions/companions earning their first hash-checked row:
-    # text_ml_pipeline (rows-only → full oracle via the pinned stop list),
-    # the MLlib-LSH recall contract, the seeded-sampler bound --
+    # -- rule 2: oracle text changed r9 (mechanical stop-list derivation) --
     "text_ml_pipeline",
-    "similarity_ann_mllib_recall",
-    "sample_bernoulli_bound",
-    # -- oldest-green re-verification (r2-only rows) --
-    "wire_topic_roundtrip",
-    "wire_stream_windows",
-    "join_broadcast",
-    "join_outer",
-    "agg_conditional",
-    "window_lag",
+    # -- rule 3: the 22 queries whose only green row is r1 --
+    "filter_range",
+    "filter_inlist",
+    "join_semi",
+    "join_star_5way",
+    "agg_rollup",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "agg_cube",
+    "filter_scalar_subquery",
+    "set_union_all",
+    "agg_percentile",
+    "topk_per_group",
+    "agg_boolean",
+    "agg_pivot",
+    "unpivot_metrics",
+    "try_funcs",
+    "regexp_funcs",
+    "date_arith_funcs",
+    "agg_minmax_by",
+    "window_first_last",
+    "window_range_frame",
+    # -- rule 3 cont.: first 22 of the r2-age cohort (registry order) --
+    "sql_endpoint",
+    "scan_project",
+    "incremental_antijoin",
+    "join_range",
+    "join_asof",
+    "topk_sodium",
+    "agg_distinct",
+    "sort_multikey",
+    "filter_predicates",
+    "agg_rollup_cube",
+    "set_ops",
+    "agg_collect_sorted",
+    "dq_checks",
+    "filter_nonempty",
+    "filter_corrupt",
+    "cast_defaults",
+    "str_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "window_running_sum",
+    "window_ntile",
 )
 
 

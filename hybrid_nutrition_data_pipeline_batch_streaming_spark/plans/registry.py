@@ -46,6 +46,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     the start of the NEXT query, by which time the prior result has been
     consumed). This bounds a long-lived session's storage to one query's
     working set without forfeiting intra-query single-scan caching.
+
+    CONTRACT (ADVICE r8): the release clears the SparkContext-wide shared
+    CacheManager, so it assumes the harness shape every consumer here has —
+    ONE session, queries invoked SEQUENTIALLY, each result materialized
+    before the next query is built (the driver window, the parity sweep,
+    bench, pytest all satisfy it). A caller that interleaves two queries'
+    build/materialize phases, or shares the context with another session
+    that holds its own caches, loses those fragments — correctness is
+    unaffected (cleared frames recompute from lineage), but the single-scan
+    persist benefit silently degrades to multi-scan. Don't embed wrapped
+    queries in such a harness without switching the release strategy to
+    per-plan unpersist.
     """
 
     def deco(fn: QueryFn) -> QueryFn:

@@ -418,30 +418,12 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 )
 
 
-_STOPWORDS_SQL = (
-    "'i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves', 'you', 'y"
-    "our', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his', 'himself'"
-    ", 'she', 'her', 'hers', 'herself', 'it', 'its', 'itself', 'they', 'the"
-    "m', 'their', 'theirs', 'themselves', 'what', 'which', 'who', 'whom', '"
-    "this', 'that', 'these', 'those', 'am', 'is', 'are', 'was', 'were', 'be"
-    "', 'been', 'being', 'have', 'has', 'had', 'having', 'do', 'does', 'did"
-    "', 'doing', 'a', 'an', 'the', 'and', 'but', 'if', 'or', 'because', 'as"
-    "', 'until', 'while', 'of', 'at', 'by', 'for', 'with', 'about', 'agains"
-    "t', 'between', 'into', 'through', 'during', 'before', 'after', 'above'"
-    ", 'below', 'to', 'from', 'up', 'down', 'in', 'out', 'on', 'off', 'over"
-    "', 'under', 'again', 'further', 'then', 'once', 'here', 'there', 'when"
-    "', 'where', 'why', 'how', 'all', 'any', 'both', 'each', 'few', 'more',"
-    " 'most', 'other', 'some', 'such', 'no', 'nor', 'not', 'only', 'own', '"
-    "same', 'so', 'than', 'too', 'very', 's', 't', 'can', 'will', 'just', '"
-    "don', 'should', 'now', 'i''ll', 'you''ll', 'he''ll', 'she''ll', 'we''l"
-    "l', 'they''ll', 'i''d', 'you''d', 'he''d', 'she''d', 'we''d', 'they''d"
-    "', 'i''m', 'you''re', 'he''s', 'she''s', 'it''s', 'we''re', 'they''re'"
-    ", 'i''ve', 'we''ve', 'you''ve', 'they''ve', 'isn''t', 'aren''t', 'wasn"
-    "''t', 'weren''t', 'haven''t', 'hasn''t', 'hadn''t', 'don''t', 'doesn''"
-    "t', 'didn''t', 'won''t', 'wouldn''t', 'shan''t', 'shouldn''t', 'mustn'"
-    "'t', 'can''t', 'couldn''t', 'cannot', 'could', 'here''s', 'how''s', 'l"
-    "et''s', 'ought', 'that''s', 'there''s', 'what''s', 'when''s', 'where''"
-    "s', 'who''s', 'why''s', 'would'"
+#: SQL IN-list form of the same tuple, derived mechanically (single-quote
+#: doubling) so there is exactly ONE source of truth — a hand-maintained
+#: second literal could drift without tripping anything until the parity
+#: sweep (VERDICT r8 item 3).
+_STOPWORDS_SQL = ", ".join(
+    "'" + w.replace("'", "''") + "'" for w in ENGLISH_STOPWORDS
 )
 
 

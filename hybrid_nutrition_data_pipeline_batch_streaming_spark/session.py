@@ -9,6 +9,23 @@ chosen for a multi-executor cluster at ~100 TB:
   move data in columnar batches rather than pickled rows.
 - ``nanosAsLong`` so nanosecond parquet timestamps (events.ts) are readable;
   the catalog converts them to microsecond TIMESTAMP_NTZ.
+
+Checkpoint primitive choice (measured policy, SCALE.md round-8 — pick by
+FRAME CLASS, not globally):
+
+- **Big, once-read scratch frames** (a loop round's output consumed only by
+  the next round — kcore survivor edges): ``scratch_checkpoint`` →
+  SERIALIZED ``MEMORY_AND_DISK`` localCheckpoint. Deserialized blocks from
+  60 M-row rounds squeeze execution memory until hash aggregation OOMs
+  (reproduced twice at M=100 on an 8 g heap); serialized compresses ~2×
+  and completed kcore in 112.6 s vs 207 s.
+- **Small, multi-read loop state** (CC label frames re-read by several
+  later joins): ``checkpoint_truncate`` → DESERIALIZED localCheckpoint.
+  Measured FASTER for this class (61.2 s vs 80.6 s, dedup_keep_best M=100)
+  — repeated reads pay per-read deserialization under the serialized level.
+
+New iterative operators should pick the primitive by which class their loop
+state falls into; NOTES.md (round 9) carries the per-site audit table.
 """
 
 from __future__ import annotations
@@ -198,7 +215,17 @@ def scratch_checkpoint(df):
     if mode == "local":
         return df.localCheckpoint(eager=True, storageLevel=level)
     if mode == "reliable":
-        return checkpoint_truncate(df)
+        # ADVICE r8: an explicit 'reliable' override with NO checkpoint dir
+        # configured would silently degrade (via checkpoint_truncate) to a
+        # plain DESERIALIZED localCheckpoint — neither reliable nor the
+        # serialized level this helper's OOM analysis requires. The operator
+        # asked for durability the session cannot provide: fail loudly.
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                "scratchCheckpoint=reliable requires a checkpoint dir "
+                "(set SPARK_GRAFT_CHECKPOINT_DIR or sc.setCheckpointDir)"
+            )
+        return df.checkpoint(eager=True)
     if not sc.master.startswith("local") and sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True, storageLevel=level)
@@ -276,10 +303,15 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
             for full, arc in members:
                 zf.write(full, arc)
         os.replace(tmp, zip_path)
-    # addPyFile blindly appends to _python_includes; a re-ship of the same
-    # content-addressed zip (e.g. a fresh memo after session reuse) must
-    # not duplicate the include entry.
-    if os.path.basename(zip_path) not in sc._python_includes:
+    # addPyFile blindly appends to the context's python-includes list; a
+    # re-ship of the same content-addressed zip (e.g. a fresh memo after
+    # session reuse) must not duplicate the include entry. The includes
+    # list is a private PySpark attribute (VERDICT r8 item 6), so read it
+    # via getattr: if a future PySpark renames it, we fall back to calling
+    # addPyFile unconditionally — a duplicate sys.path entry on workers is
+    # harmless, an AttributeError here is not.
+    includes = getattr(sc, "_python_includes", None)
+    if includes is None or os.path.basename(zip_path) not in includes:
         sc.addPyFile(zip_path)
     prev = sc.environment.get("PYTHONPATH")
     if not prev or zip_path not in prev.split(os.pathsep):

@@ -37,25 +37,24 @@ def test_registry_priority_window():
     assert len(set(plans.PRIORITY)) == 50
     assert tuple(names[:50]) == plans.PRIORITY
     assert all(n in plans.ORACLE for n in names[:50])
-    # Round-8 endgame rotation: five core regressions stay pinned; the
-    # other 45 slots seat the final never-driver-verified backlog, the two
-    # new r8 bound companions, and re-verification of every query whose
-    # plan changed in r7/r8 (NOTES.md "Round 8 (in progress log)" item 1).
+    # Round-9 freshness rotation (the standing policy documented above
+    # PRIORITY): five core regressions stay pinned; rule 2 seats any query
+    # whose plan/oracle changed this round; rule 3 spends the rest on the
+    # OLDEST green rows (all 22 r1-age + the first 22 r2-age).
     core_regressions = {
         "flagship_revenue", "join_inner", "dedup_last_write",
         "pipeline_nutrition_e2e", "stream_tumbling_live",
     }
     assert core_regressions <= set(plans.PRIORITY)
     rotated_in = {
-        # final never-verified
-        "pipeline_user_features", "embedding_matryoshka_eval",
-        "embedding_outliers", "graph_degrees", "path_trigrams",
-        "sessionize_gap_sweep", "stickiness_dau_mau",
-        # new r8 queries
-        "agg_approx_distinct_bound", "agg_approx_percentile_bound",
-        # r7/r8 plan-rework re-verification (sample)
-        "bm25_search", "pack_sequences", "similarity_ann_lsh",
-        "er_golden_records", "graph_kcore", "stream_stream_join",
+        # rule 2: oracle text changed in r9 (derived stop-list SQL)
+        "text_ml_pipeline",
+        # rule 3 sample: r1-age rows
+        "filter_range", "join_star_5way", "agg_cube", "set_union",
+        "regexp_funcs", "window_range_frame",
+        # rule 3 sample: oldest r2-age rows
+        "sql_endpoint", "scan_project", "str_funcs", "date_funcs",
+        "math_funcs", "window_ntile",
     }
     assert rotated_in <= set(plans.PRIORITY)
 
@@ -115,9 +114,21 @@ def test_rotation_is_self_auditing():
     for keys in round_keysets:
         cumulative |= keys
         counts.append(len(cumulative))
-    assert all(b > a for a, b in zip(counts, counts[1:])), (
-        f"cumulative driver coverage stalled across rounds: {counts}"
-    )
+    # STRICT growth is required only while coverage is incomplete; once
+    # every oracle-backed query is ever-green (the r8 endgame closed the
+    # backlog at 304/304), rounds are freshness re-verification and the
+    # cumulative count legitimately plateaus — it must still never shrink
+    # (it can't, being cumulative) and never stall EARLY.
+    full_coverage = set(plans.ORACLE) <= cumulative
+    stalls = [i for i, (a, b) in enumerate(zip(counts, counts[1:])) if b <= a]
+    if full_coverage:
+        assert all(counts[i + 1] == counts[-1] for i in stalls), (
+            f"coverage stalled before completion: {counts}"
+        )
+    else:
+        assert not stalls, (
+            f"cumulative driver coverage stalled across rounds: {counts}"
+        )
     # And the CURRENT window must use its slots well. Two phases:
     # - BURN-DOWN (never-verified backlog exceeds the window): at most the
     #   5 pinned core regressions may already be verified; every other
@@ -146,7 +157,7 @@ def _prior_verified(priority, round_keysets):
     file is excluded when it is this window's own result — same rule as
     _window_waste)."""
     rounds = list(round_keysets)
-    if rounds and len(set(priority) & rounds[-1]) > 5:
+    if rounds and len(set(priority) & rounds[-1]) > len(priority) // 2:
         rounds = rounds[:-1]
     return set().union(*rounds) if rounds else set()
 
@@ -158,10 +169,15 @@ def _window_waste(priority, round_keysets):
     driver's verification of the CURRENT window — committed after the
     rotation landed. That file is the *result* of this window, not evidence
     the window wastes slots, so exclude any trailing round whose green key
-    set covers the window's non-core slots.
+    set covers MOST of the window. The threshold is half the window (not a
+    handful): in the freshness-rotation era a new window legitimately
+    overlaps the previous round's file on the pinned core + rule-2 re-
+    verifications, and a small overlap must NOT suppress that file — r8's
+    results are real prior coverage, only a file that verified this very
+    window (≈ all 50 keys) postdates the rotation.
     """
     rounds = list(round_keysets)
-    if rounds and len(set(priority) & rounds[-1]) > 5:
+    if rounds and len(set(priority) & rounds[-1]) > len(priority) // 2:
         # The newest round verified (most of) this very window — it
         # postdates the rotation, so it can't indicate wasted slots.
         rounds = rounds[:-1]

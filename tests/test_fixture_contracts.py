@@ -38,3 +38,30 @@ def test_documents_text_is_ascii_only(sf_dir: str) -> None:
         f"{len(bad)} non-ASCII documents in {sf_dir} break the "
         f"byte==char assumption of the mm_decode_* oracles; first: {bad[0]}"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_documents_text_whitespace_is_single_spaces(sf_dir: str) -> None:
+    """ADVICE r8: the text_ml_pipeline oracle replays Spark's Tokenizer
+    (Java ``split("\\s")`` — splits on ANY whitespace char, drops trailing
+    empty tokens) with DuckDB ``string_split(text, ' ')`` (literal single
+    space, keeps trailing empties). The two agree only while
+    ``documents.text`` contains no tabs/newlines, no repeated spaces, and
+    no leading/trailing space — pin that here so a regenerated fixture
+    fails with a clear message instead of silently hash-mismatching."""
+    import re
+
+    table = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+    anomalous = re.compile(r"[\t\n\r\f\v]|  |^ | $")
+    bad = [
+        (doc_id, repr(text[:40]))
+        for doc_id, text in zip(table["doc_id"].to_pylist(),
+                                table["text"].to_pylist())
+        if text is not None and anomalous.search(text)
+    ]
+    assert not bad, (
+        f"{len(bad)} documents in {sf_dir} have tabs/newlines/repeated/"
+        f"edge spaces — breaks the Tokenizer-vs-string_split parity of "
+        f"the text_ml_pipeline oracle; first: {bad[0]}"
+    )

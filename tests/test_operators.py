@@ -408,6 +408,28 @@ def test_scratch_checkpoint_gates_on_deployment(spark, tmp_path):
         assert sc.getCheckpointDir() is None
 
 
+def test_scratch_checkpoint_reliable_without_dir_raises(spark):
+    """ADVICE r8: an explicit ``scratchCheckpoint=reliable`` override with
+    NO checkpoint dir configured must fail loudly — the old silent path
+    degraded to a plain DESERIALIZED localCheckpoint, which is neither
+    reliable nor the serialized level the helper's own M=100 OOM analysis
+    requires (the worst of both)."""
+    import pytest as _pytest
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.session import (
+        scratch_checkpoint,
+    )
+
+    assert spark.sparkContext.getCheckpointDir() is None
+    key = "spark.hybridnutrition.scratchCheckpoint"
+    spark.conf.set(key, "reliable")
+    try:
+        with _pytest.raises(RuntimeError, match="checkpoint dir"):
+            scratch_checkpoint(spark.range(5))
+    finally:
+        spark.conf.unset(key)
+
+
 def test_query_invocation_releases_previous_caches(spark):
     """ADVICE r7: plan functions persist() intermediates their callers
     materialize later, so nothing inside a query can unpersist them — in a

@@ -360,3 +360,49 @@ def test_events_stream_rejects_remote_uri(spark):
 
     with pytest.raises(ValueError, match="non-local URIs"):
         read_events_stream(spark, "hdfs://nn/warehouse/sf0.01")
+
+
+def test_producer_crash_mid_batch_never_tears_a_record(broker):
+    """VERDICT r8 item 8: a producer that dies mid-`PRODUCEK` batch must
+    never make a TORN record visible to consumers. The line protocol plus
+    the JSON-string payload framing give this structurally — a crash
+    truncates the in-flight line at an arbitrary byte, the partial line
+    arrives at the broker on EOF, and every strict prefix of a JSON string
+    literal is unparseable (the closing quote is the final byte) — so the
+    torn tail is rejected whole, not appended half-way. Pin all three
+    crash points: mid-payload, mid-command, and exactly-at-newline."""
+    import socket
+
+    host, port = broker.address
+    with WireClient(host, port) as c:
+        c.create_topic("tear", 2)
+
+    def crash_after(raw: bytes) -> None:
+        # A real crashed producer: bytes sent, then an abortive close
+        # (RST via SO_LINGER 0) with no newline and no clean shutdown.
+        s = socket.create_connection((host, port), timeout=5)
+        rf = s.makefile("rb")
+        # One COMPLETE record first, so the torn one is mid-batch.
+        s.sendall(b'PRODUCEK tear k1 "before-crash"\n')
+        assert rf.readline().startswith(b"OK")
+        s.sendall(raw)
+        s.setsockopt(
+            socket.SOL_SOCKET, socket.SO_LINGER,
+            __import__("struct").pack("ii", 1, 0),
+        )
+        s.close()
+
+    crash_after(b'PRODUCEK tear k2 "torn-mid-pay')   # inside the JSON string
+    crash_after(b"PRODUCEK tear k")                   # inside the command
+    crash_after(b'PRODUCEK tear k2 "complete-line"\n')  # newline made it out
+
+    with WireClient(host, port) as c:
+        rows = [v for p in range(2) for _, v in c.fetch_part("tear", p, 0, 100)]
+        # 3 complete records (the per-connection "before-crash" ones) plus
+        # the one whose newline flushed before the crash — and NOTHING
+        # containing a torn prefix.
+        assert sorted(rows) == [
+            "before-crash", "before-crash", "before-crash", "complete-line"
+        ]
+        # The broker survived all three aborted connections.
+        assert c.produce_keyed("tear", "k3", "alive")[1] >= 0

@@ -288,6 +288,16 @@ def gen_events(spark, m, out):
     # Opt out with SCALE_EVENTS_ORDERED=0 for batch-only scale studies.
     if os.environ.get("SCALE_EVENTS_ORDERED", "1") != "0":
         gen_events_ordered(spark, out)
+    else:
+        # ADVICE r8: regenerating with the ordered layout OFF into a dir
+        # that already holds one would leave a STALE events_ordered.parquet
+        # behind — read_events_stream silently prefers it, so streaming
+        # would read old rows while batch reads the fresh events.parquet.
+        stale = os.path.join(out, "events_ordered.parquet")
+        if os.path.exists(stale):
+            import shutil
+
+            shutil.rmtree(stale)
 
 
 def gen_events_ordered(spark, out):
