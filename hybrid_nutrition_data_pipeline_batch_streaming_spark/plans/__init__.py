@@ -63,12 +63,16 @@ from . import geo  # noqa: F401,E402
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 #
-# Round-9 instantiation: text_ml_pipeline's oracle now derives its stop-list
-# SQL from ENGLISH_STOPWORDS (byte-identical string, re-verified anyway
-# under rule 2); the age ladder after r8 is 22 queries whose only green row
-# is r1 and 34 whose newest is r2 — this window re-verifies ALL 22 r1-age
-# rows and the first 22 r2-age rows (registry order), dropping the maximum
-# green-row age from r1 to r2.
+# Round-9 instantiation: rule 2 seats text_ml_pipeline (oracle now derives
+# its stop-list SQL from ENGLISH_STOPWORDS — byte-identical string, but
+# re-verify the derivation) and dedup_ngram_jaccard (plan reworked onto the
+# packed-long posting-bag shape) and join_range_binned (quadratic
+# bin-equi-join replaced by the diff-array coverage census — 195.9 s →
+# 11.3 s at M=100); the age ladder after r8 is 22 queries whose only green
+# row is r1 and 34 whose newest is r2 — the remaining slots re-verify ALL
+# 22 r1-age rows and the first 20 r2-age rows (registry order), dropping
+# the maximum green-row age from r1 to r2 (window_running_sum and
+# window_ntile head the r10 backlog).
 PRIORITY: tuple[str, ...] = (
     # -- 5 core regressions (driver-green r1-r8) --
     "flagship_revenue",
@@ -76,8 +80,11 @@ PRIORITY: tuple[str, ...] = (
     "dedup_last_write",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    # -- rule 2: oracle text changed r9 (mechanical stop-list derivation) --
+    # -- rule 2: oracle/plan changed in r9 (stop-list derivation; the
+    # packed-long posting-bag rework) --
     "text_ml_pipeline",
+    "dedup_ngram_jaccard",
+    "join_range_binned",
     # -- rule 3: the 22 queries whose only green row is r1 --
     "filter_range",
     "filter_inlist",
@@ -101,7 +108,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_minmax_by",
     "window_first_last",
     "window_range_frame",
-    # -- rule 3 cont.: first 22 of the r2-age cohort (registry order) --
+    # -- rule 3 cont.: first 20 of the r2-age cohort (registry order) --
     "sql_endpoint",
     "scan_project",
     "incremental_antijoin",
@@ -122,8 +129,6 @@ PRIORITY: tuple[str, ...] = (
     "date_funcs",
     "math_funcs",
     "array_funcs",
-    "window_running_sum",
-    "window_ntile",
 )
 
 

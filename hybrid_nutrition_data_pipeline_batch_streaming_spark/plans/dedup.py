@@ -498,6 +498,17 @@ def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram Jaccard near-dup (blocked)
 # ---------------------------------------------------------------------------
 
+#: Loud upper bound on a (source, shingle) posting list in the EXACT
+#: inverted-index jaccard. A posting of length L emits C(L,2) intersection
+#: rows, so one boilerplate shingle shared by 100 k docs would emit 5e9
+#: pairs from a single group — at that density the exact all-pairs query is
+#: the wrong tool (use dedup_ngram_prefix's PPJoin prefix filter, or a
+#: df-cutoff mirrored in the oracle) and silently grinding through it would
+#: mask the problem. Fixture/generated max occupancy is 81 (M=100 census,
+#: SCALE.md round-9) — ~1200× headroom; this guard trips only on data whose
+#: shape breaks the query's own contract.
+_NGRAM_POSTING_GUARD = 100_000
+
 
 @query(
     "dedup_ngram_jaccard",
@@ -518,34 +529,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup (X2) with blocking on `source`: pairs are
     only formed within a block (equi-join key), then verified exactly. The
     blocking key is what keeps this linear-ish at scale — swap in the LSH
-    band key from dedup_minhash for content-based blocking."""
+    band key from dedup_minhash for content-based blocking.
+
+    Plan (reworked by the round-9 M=100 refresh, SCALE.md): ONE
+    (source, shingle)-keyed shuffle collects each posting's sorted doc bag
+    and the C(L,2) ordered pairs explode MAP-SIDE as packed longs — the
+    same wedge idiom as graph_jaccard_sim. The logically-equivalent
+    explode-self-join additionally shuffles the 21 M-row posting table a
+    second time and ships two-column pair structs through the count
+    aggregation. Measured NEUTRAL at M=100 on the word-salad fixtures
+    (best-of 154.8 s vs the old shape's 149.5 s, single-run noise ±50 s):
+    the wall is the 464 M-row pair-count aggregation both shapes pay —
+    inherent to the exact semantics. Kept anyway: 8-byte pair keys through
+    the engine's biggest dedup shuffle, one less exchange, and loud
+    id-space/posting-density guards are the right 100 TB shape even where
+    uniform fixtures can't show a local win (the dedup_incremental
+    precedent, SCALE.md round-5)."""
     cat = Catalog(spark, sf_dir)
     sh = cat.documents.select(
         "doc_id", "source", _shingles(F.col("text")).alias("shingles")
-    ).persist()  # read 3× below (sizes + both self-join sides); without the
+    ).persist()  # read 2× below (sizes + the posting build); without the
     # persist each read re-runs the zip_with shingling — profiled 1.9× slower
     # at sf0.1
-    # Inverted-index formulation: |A∩B| by exploding shingles and counting
-    # per-pair postings-list collisions; |A∪B| = |A|+|B|-|A∩B|. No shingle
-    # ARRAY ever crosses a shuffle and pairs sharing zero shingles are never
-    # materialized — at sf0.1 this is ~7× faster than joining arrays and
-    # computing array_intersect per pair, and it's the shape that survives
-    # 100 TB (the equi-join key is (shingle, block), standard posting-list
-    # skew handling applies).
+    # Inverted-index formulation: |A∩B| by counting per-pair postings-list
+    # collisions; |A∪B| = |A|+|B|-|A∩B|. No shingle ARRAY ever crosses a
+    # shuffle and pairs sharing zero shingles are never materialized — the
+    # shape that survives 100 TB (the shuffle key is (source, shingle),
+    # standard posting-list skew handling applies).
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", "source", F.explode("shingles").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
+    # The pair key packs doc_a·2³² + doc_b into ONE signed long (same
+    # contract as graph_jaccard_sim's wedge key): enforce the id-space
+    # assumption loudly, once per bag (sorted, so the max element covers
+    # every pair it emits), and refuse posting lists whose C(L,2) fan-out
+    # says the exact query is being pointed at df-cutoff-shaped data.
+    packable = F.assert_true(
+        F.element_at(F.col("ds"), -1) < F.lit(2**31),
+        F.lit(
+            "dedup_ngram_jaccard: doc_id >= 2^31 overflows the packed long"
+            " pair key; repack into DECIMAL(38,0) for this id space"
+        ),
+    )
+    guard = F.assert_true(
+        F.size("ds") <= _NGRAM_POSTING_GUARD,
+        F.lit(
+            "dedup_ngram_jaccard: a (source, shingle) posting exceeds"
+            f" {_NGRAM_POSTING_GUARD} docs — C(L,2) pair fan-out is"
+            " quadratic; use dedup_ngram_prefix or add a df-cutoff"
+        ),
+    )
+    posting = (
+        ex.groupBy("source", "s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .filter(packable.isNull())
+        .filter(guard.isNull())
+    )
+    # doc_a < doc_b by construction (sorted distinct bag) — matches the
+    # oracle's a.doc_id < b.doc_id orientation; _shingles is distinct per
+    # doc, so each pair is counted once per SHARED shingle = |A∩B| exactly.
+    pairs = posting.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ds, (x, i) -> transform("
+                    "slice(ds, i + 2, size(ds)),"
+                    " y -> x * 4294967296 + y))"
+                )
+            )
+        ).alias("pk")
+    )
+    common = pairs.groupBy("pk").agg(F.count("*").alias("inter"))
+    common = common.select(
+        F.expr("pk DIV 4294967296").cast("long").alias("doc_a"),
+        F.pmod("pk", F.lit(4294967296)).cast("long").alias("doc_b"),
+        "inter",
     )
     return (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")

@@ -588,25 +588,38 @@ def agg_having_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned interval join where BOTH sides are large — the scale path for
+    """Interval×point join where BOTH sides are large — the scale path for
     J5 that ``join_range``'s broadcast-BNLJ deliberately is not. Each
-    lineitem defines a ship window [l_shipdate, +7..27 days]; the task is to
-    match every order placed inside any window. A naive non-equi join is
-    O(n·m); instead both sides map to 7-day bins — the interval side EXPLODES
-    to every bin it overlaps (``sequence`` + ``explode``, ≤ 5 bins per row),
-    the point side to its single bin — and the join becomes a plain
-    shuffled EQUI-join on week_bin with the exact BETWEEN as a residual
-    filter. Each (interval, point) pair meets in exactly one bin (the
-    point's), so no dedup pass is needed. Cost falls from n·m comparisons to
-    Σ_bin n_bin·m_bin — with date-partitioned storage the bins are partition-
-    pruned reads. This is the bin-equi-join rewrite range-join optimizers
-    apply internally (DuckDB's IEJoin answers the oracle natively — a nice
-    cross-check of the rewrite's exactness). The per-week rollup aggregates
-    TWO-LEVEL — (bin, order) partial counts first, then the bin — so the
-    distinct-order count never expands the pair stream twice; revenue is
-    decimal-exact (price × pair-multiplicity)."""
+    lineitem defines a ship window [l_shipdate, +7..27 days]; the task is
+    per-week pair counts, distinct matched orders, and coverage-weighted
+    revenue over every (window, order-inside-it) pair.
+
+    Plan (reworked by the round-9 M=100 sweep, SCALE.md): the r1-r8 shape
+    was the textbook bin-equi-join — both sides mapped to 7-day bins, the
+    interval side exploded to every bin it overlaps, exact BETWEEN as a
+    residual filter (that general rewrite still powers
+    ``join_interval_overlap``). Its cost is Σ_bin n_bin·m_bin, and here the
+    bins are FIXED calendar weeks while both densities grow with the data —
+    the pair stream grows QUADRATICALLY (M=10 7.5 s → M=100 195.9 s, 26×
+    per 10×). The escape is that every requested aggregate is PER-POINT
+    DECOMPOSABLE: an order contributes cnt = (#windows covering o_orderdate)
+    to n_pairs, 1 to n_orders iff cnt > 0, and price·cnt to revenue — so a
+    DIFF-ARRAY COVERAGE CENSUS replaces the join. Intervals emit +1 at
+    start_d and −1 at end_d+1 (2 rows each, map-side combined to ≤ span
+    dates), a running sum over the CALENDAR-BOUNDED span (Q1-1996 starts +
+    ≤27-day tails ⇒ ~118 dates, constant at ANY scale) yields coverage per
+    date, and orders equi-join the broadcast census on their exact date. No
+    (interval, point) pair ever materializes: O(n + m + |calendar|) with
+    two map-side-combinable aggregations and one broadcast join — M=100
+    runs in seconds. The bin-equi-join remains the general fallback when
+    downstream genuinely needs the pair rows; when it only needs
+    per-point-decomposable aggregates, the census IS the 100 TB answer.
+    (DuckDB's IEJoin answers the oracle natively — a nice cross-check of
+    the decomposition's exactness.)"""
     cat = Catalog(spark, sf_dir)
-    li = (
+    # ±1 coverage deltas per ship window; the date-keyed rollup collapses
+    # 2 rows/interval to ≤ ~236 distinct dates before any exchange.
+    deltas = (
         cat.lineitem.where(
             (F.col("l_returnflag") == "R")
             & (F.year(F.col("l_shipdate").cast("date")) == 1996)
@@ -619,36 +632,59 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " CAST(7 + l_orderkey % 21 AS INT))"
             ).alias("end_d"),
         )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("start_d").alias("d"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.date_add("end_d", 1).alias("d"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("ev")
+        )
+        .select(F.col("ev.d").alias("d"), F.col("ev.delta").alias("delta"))
+        .groupBy("d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    # Dense calendar over the span the query's own constants bound: starts
+    # in Q1 1996, windows ≤ 27 days ⇒ coverage can only change inside
+    # [1996-01-01, 1996-04-28] (end_d+1 of the last possible window). The
+    # single-partition running sum is over ~120 rows — constant at any M.
+    calendar = spark.sql(
+        "SELECT explode(sequence(DATE '1996-01-01', DATE '1996-04-28'))"
+        " AS d"
+    )
+    census = (
+        calendar.join(deltas, "d", "left")
+        .select("d", F.coalesce("delta", F.lit(0)).alias("delta"))
         .withColumn(
-            "week_bin",
-            F.expr(
-                "explode(sequence(datediff(start_d, DATE '1992-01-01') DIV 7,"
-                " datediff(end_d, DATE '1992-01-01') DIV 7))"
+            "cover",
+            F.sum("delta").over(
+                Window.orderBy("d").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
             ),
         )
+        .where(F.col("cover") > 0)
+        .select("d", "cover")
     )
     o = cat.orders.select(
         "o_orderkey",
         "o_totalprice",
         F.col("o_orderdate").cast("date").alias("o_d"),
+    )
+    matched = o.join(
+        F.broadcast(census), o["o_d"] == census["d"]
     ).withColumn(
         "week_bin", F.expr("datediff(o_d, DATE '1992-01-01') DIV 7")
     )
-    per_order = (
-        li.join(o, "week_bin")
-        .where(F.col("o_d").between(F.col("start_d"), F.col("end_d")))
-        .groupBy("week_bin", "o_orderkey")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.first("o_totalprice").alias("o_totalprice"),
-        )
-    )
-    return per_order.groupBy("week_bin").agg(
-        F.sum("cnt").cast("long").alias("n_pairs"),
+    return matched.groupBy("week_bin").agg(
+        F.sum("cover").cast("long").alias("n_pairs"),
         F.count("*").alias("n_orders"),
-        F.sum(
-            F.col("o_totalprice").cast(MONEY) * F.col("cnt")
-        )
+        F.sum(F.col("o_totalprice").cast(MONEY) * F.col("cover"))
         .cast("double")
         .alias("revenue"),
     )

@@ -47,14 +47,15 @@ def test_registry_priority_window():
     }
     assert core_regressions <= set(plans.PRIORITY)
     rotated_in = {
-        # rule 2: oracle text changed in r9 (derived stop-list SQL)
-        "text_ml_pipeline",
+        # rule 2: oracle/plan changed in r9 (derived stop-list SQL; the
+        # packed-long posting-bag rework)
+        "text_ml_pipeline", "dedup_ngram_jaccard",
         # rule 3 sample: r1-age rows
         "filter_range", "join_star_5way", "agg_cube", "set_union",
         "regexp_funcs", "window_range_frame",
         # rule 3 sample: oldest r2-age rows
         "sql_endpoint", "scan_project", "str_funcs", "date_funcs",
-        "math_funcs", "window_ntile",
+        "math_funcs",
     }
     assert rotated_in <= set(plans.PRIORITY)
 

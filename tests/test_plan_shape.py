@@ -503,9 +503,11 @@ def test_bm25_probe_broadcasts_terms_and_stats(spark):
 
 
 def test_join_range_binned_is_equi_join_no_bnlj(spark):
-    """The binned interval join must plan as a hash-partitioned EQUI-join on
-    week_bin (+ residual filter) — never a nested-loop/cartesian product,
-    which is exactly what the bin rewrite exists to avoid."""
+    """The interval×point join must never plan a nested-loop/cartesian
+    product. Since the r9 rework it is a diff-array coverage census
+    broadcast-EQUI-joined to orders on the exact date (no pair stream at
+    all — SCALE.md round-9); before that, a binned equi-join on week_bin.
+    Either way the slice predicate must reach the lineitem scan."""
     plan = _plan(spark, "join_range_binned", execute=True)
     plan = plan.split("== Initial Plan ==")[0]
     assert "BroadcastNestedLoopJoin" not in plan
