@@ -271,50 +271,53 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality validation suite (the expectations pass every 100 TB
-    ingest needs) as ONE lazy plan: the four row-local checks (row count,
-    null keys, domain range, impossible dates) are conditional aggregates
-    over a single lineitem scan; referential integrity is one anti-join
-    count and PK uniqueness one groupBy count — three 1-row aggregates
-    cross-joined (broadcast NLJ of single rows) into the assertion row.
-    No driver-side `.count()` actions: the whole suite is a plan the
-    optimizer schedules in one job."""
+    ingest needs) as ONE lazy plan over ONE fact scan. The r1-r8 shape ran
+    three independent legs (map-side conditional aggregates + an anti-join
+    + a PK groupBy) cross-joined into the assertion row — three full
+    lineitem scans, the dominant cost at 100 TB. Reworked (round 9): every
+    check rides the PK groupBy the uniqueness check needs anyway — the
+    row-local sums (row count, null keys, domain range, impossible dates)
+    become per-group partial aggregates, referential integrity becomes a
+    LEFT join of the group table against orders with orphan rows counted
+    in the final fold (NULL keys never equi-match, so they count as
+    orphans — same as the anti-join), and PK duplication is a cnt > 1
+    flag. One scan, one PK-keyed exchange, one key join, one scalar fold;
+    no crossJoins. No driver-side `.count()` actions: the whole suite is a
+    plan the optimizer schedules in one job."""
     cat = Catalog(spark, sf_dir)
     li, orders = cat.lineitem, cat.orders
-    row_checks = li.agg(
-        F.count("*").alias("row_cnt"),
+    g = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("*").alias("cnt"),
         F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
-            "null_orderkeys"
+            "nulls"
         ),
         F.sum(
             F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
-        ).alias("bad_discounts"),
+        ).alias("bad"),
         F.sum(
             F.when(
                 F.col("l_shipdate") < F.lit("1990-01-01").cast("timestamp_ntz"), 1
             ).otherwise(0)
-        ).alias("impossible_dates"),
+        ).alias("bad_dates"),
     )
-    orphan_check = (
-        li.join(
-            orders.select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-            "left_anti",
+    j = g.join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    )
+    return j.agg(
+        F.sum("cnt").cast("bigint").alias("row_cnt"),
+        F.sum("nulls").cast("bigint").alias("null_orderkeys"),
+        F.sum("bad").cast("bigint").alias("bad_discounts"),
+        F.sum("bad_dates").cast("bigint").alias("impossible_dates"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), F.col("cnt")).otherwise(0)
         )
-        .agg(F.count("*").alias("orphan_lineitems"))
-    )
-    dup_check = (
-        li.groupBy("l_orderkey", "l_linenumber")
-        .count()
-        .where(F.col("count") > 1)
-        .agg(F.count("*").alias("dup_pk_groups"))
-    )
-    return row_checks.crossJoin(orphan_check).crossJoin(dup_check).select(
-        F.col("row_cnt").cast("bigint"),
-        F.col("null_orderkeys").cast("bigint"),
-        F.col("bad_discounts").cast("bigint"),
-        F.col("impossible_dates").cast("bigint"),
-        F.col("orphan_lineitems").cast("bigint"),
-        F.col("dup_pk_groups").cast("bigint"),
+        .cast("bigint")
+        .alias("orphan_lineitems"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dup_pk_groups"),
     )
 
 
