@@ -411,7 +411,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality on the top 8 signature bits (an LSH block — equi-join, never
     O(n²)), verified by Hamming distance ≤ {HAMMING_MAX}. Single-probe, so a
     pair whose differing bits land in the top byte is missed — see
-    ``dedup_simhash_multiprobe`` for the complete-recall form."""
+    ``dedup_simhash_multiprobe`` for the complete-recall form.
+
+    Scale note (round-9): the block key space is FIXED (256 values), so
+    occupancy grows linearly with the corpus and candidate pairs
+    quadratically — M=100 measured 43.0 s with 19 M verified pairs OUT
+    (~2.3 µs/pair: output-bound, the candidates are mostly true matches at
+    this fixture density). The 100 TB lever is a wider block (more bits),
+    which here only narrows recall it never promised (single-probe is
+    already lossy); the multiprobe sibling documents why ITS occupancy
+    cannot be capped."""
     cat = Catalog(spark, sf_dir)
     sig = simhash_signatures(cat.documents.select("doc_id", "text"))
     a, b = sig.alias("a"), sig.alias("b")
@@ -453,7 +462,20 @@ def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked plan must reproduce it EXACTLY, and the equality is the
     completeness proof run as a test. Each probe stays an equi-join
     (O(n · block-occupancy), never O(n²)); candidates are deduped across
-    probes before the single verification pass."""
+    probes before the single verification pass.
+
+    Scale note (round-9 density audit): each probe's key space is FIXED
+    (256 values per 8-bit block), so block occupancy — and with it the
+    candidate volume — grows linearly with the corpus and the pair count
+    quadratically, the same class as the round-9 join_range_binned /
+    ngram-posting finds (the single-probe sibling measured 43.0 s / 19 M
+    verified pairs at M=100 — output-bound at that density; this 8-probe
+    form pays ~8× the candidates before the dedup). Capping occupancy
+    would break the pigeonhole completeness this query exists to prove;
+    the production levers at 100 TB are WIDER probe blocks (16-bit →
+    65 536 keys, trading probe count for occupancy under the same
+    pigeonhole bound) or pre-partitioning by a content block key — both
+    change the recall contract and belong to a separate query if needed."""
     cat = Catalog(spark, sf_dir)
     sig = simhash_signatures(cat.documents.select("doc_id", "text"))
 
