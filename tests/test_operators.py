@@ -706,3 +706,102 @@ def test_bpe_encode_applies_learned_merges(spark):
     # no Python in the encode plan
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_join_range_binned_census_equals_naive_join(spark, tmp_path):
+    """The r9 census decomposition of join_range_binned must reproduce the
+    naive non-equi join EXACTLY on adversarial data the fixtures don't
+    have: intervals straddling the quarter boundary, orders ON window
+    endpoints, orders outside the calendar span, non-qualifying flags and
+    years. Seeded-random, engine-vs-naive both in Spark — independent of
+    the DuckDB oracle."""
+    import datetime
+    import random
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.functions.parity import (
+        MONEY,
+    )
+
+    rng = random.Random(42)
+    d0 = datetime.date(1995, 12, 1)
+    li_rows = []
+    for i in range(400):
+        ship = d0 + datetime.timedelta(days=rng.randrange(170))
+        li_rows.append(
+            (
+                rng.randrange(1, 500),  # l_orderkey drives window length
+                rng.choice(["R", "R", "A", "N"]),
+                ship,
+            )
+        )
+    # Edge pins: a window starting on the last Q1 day (tail past quarter
+    # end), one on the first day, and non-1996 rows that must be filtered.
+    li_rows += [
+        (20, "R", datetime.date(1996, 3, 31)),
+        (0, "R", datetime.date(1996, 1, 1)),
+        (7, "R", datetime.date(1995, 3, 1)),
+        (7, "R", datetime.date(1997, 2, 1)),
+    ]
+    o_rows = []
+    for k in range(300):
+        o_rows.append(
+            (
+                k,
+                round(rng.uniform(10, 5000), 2),
+                d0 + datetime.timedelta(days=rng.randrange(200)),
+            )
+        )
+    # Orders exactly ON a window start and a window end date.
+    o_rows += [(300, 100.0, datetime.date(1996, 1, 1)),
+               (301, 100.0, datetime.date(1996, 4, 27))]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        li_rows, "l_orderkey long, l_returnflag string, l_shipdate date"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        o_rows, "o_orderkey long, o_totalprice double, o_orderdate date"
+    ).write.parquet(f"{sf}/orders.parquet")
+
+    from pyspark.sql import functions as F
+
+    got = {
+        r.week_bin: (r.n_pairs, r.n_orders, round(r.revenue, 6))
+        for r in plans.QUERIES["join_range_binned"](spark, sf).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .where(
+            (F.col("l_returnflag") == "R")
+            & (F.year("l_shipdate") == 1996)
+            & (F.quarter("l_shipdate") == 1)
+        )
+        .select(
+            F.col("l_shipdate").alias("start_d"),
+            F.expr(
+                "date_add(l_shipdate, CAST(7 + l_orderkey % 21 AS INT))"
+            ).alias("end_d"),
+        )
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    naive = (
+        li.join(
+            o, F.col("o_orderdate").between(F.col("start_d"), F.col("end_d"))
+        )
+        .groupBy(
+            F.expr("datediff(o_orderdate, DATE '1992-01-01') DIV 7").alias(
+                "week_bin"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias(
+                "revenue"
+            ),
+        )
+    )
+    want = {
+        r.week_bin: (r.n_pairs, r.n_orders, round(r.revenue, 6))
+        for r in naive.collect()
+    }
+    assert got == want and got, f"census != naive: {got} vs {want}"
