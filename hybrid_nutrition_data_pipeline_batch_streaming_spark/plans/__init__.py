@@ -66,13 +66,15 @@ from . import geo  # noqa: F401,E402
 # Round-9 instantiation: rule 2 seats text_ml_pipeline (oracle now derives
 # its stop-list SQL from ENGLISH_STOPWORDS — byte-identical string, but
 # re-verify the derivation) and dedup_ngram_jaccard (plan reworked onto the
-# packed-long posting-bag shape) and join_range_binned (quadratic
+# packed-long posting-bag shape), join_range_binned (quadratic
 # bin-equi-join replaced by the diff-array coverage census — 195.9 s →
-# 11.3 s at M=100); the age ladder after r8 is 22 queries whose only green
-# row is r1 and 34 whose newest is r2 — the remaining slots re-verify ALL
-# 22 r1-age rows and the first 20 r2-age rows (registry order), dropping
-# the maximum green-row age from r1 to r2 (window_running_sum and
-# window_ntile head the r10 backlog).
+# 11.3 s at M=100), dq_checks (three fact scans fused to one — 17.1 s →
+# 4.7 s) and retention_curve (three fact scans fused to one via a
+# sortless per-user window); the age ladder after r8 is 22 queries whose
+# only green row is r1 and 34 whose newest is r2 — the remaining slots
+# re-verify ALL 22 r1-age rows and the first 18 r2-age rows (registry
+# order), dropping the maximum green-row age from r1 to r2
+# (array_funcs, window_running_sum, window_ntile head the r10 backlog).
 PRIORITY: tuple[str, ...] = (
     # -- 5 core regressions (driver-green r1-r8) --
     "flagship_revenue",
@@ -85,6 +87,8 @@ PRIORITY: tuple[str, ...] = (
     "text_ml_pipeline",
     "dedup_ngram_jaccard",
     "join_range_binned",
+    "dq_checks",
+    "retention_curve",
     # -- rule 3: the 22 queries whose only green row is r1 --
     "filter_range",
     "filter_inlist",
@@ -108,7 +112,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_minmax_by",
     "window_first_last",
     "window_range_frame",
-    # -- rule 3 cont.: first 20 of the r2-age cohort (registry order) --
+    # -- rule 3 cont.: first 18 of the r2-age cohort (registry order;
+    # dq_checks moved up into the rule-2 block) --
     "sql_endpoint",
     "scan_project",
     "incremental_antijoin",
@@ -121,14 +126,12 @@ PRIORITY: tuple[str, ...] = (
     "agg_rollup_cube",
     "set_ops",
     "agg_collect_sorted",
-    "dq_checks",
     "filter_nonempty",
     "filter_corrupt",
     "cast_defaults",
     "str_funcs",
     "date_funcs",
     "math_funcs",
-    "array_funcs",
 )
 
 

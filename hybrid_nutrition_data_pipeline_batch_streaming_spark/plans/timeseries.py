@@ -1262,33 +1262,62 @@ def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The D1/D7/D14/D28 retention curve — the canonical product-health
     metric (``retention_cohorts`` slices by monthly cohort; this is the
     whole-population day-offset curve): a user counts as retained on day N
-    when active exactly N days after their OWN first day. One user-keyed
-    first-day aggregate, an equi-join back to events on the same key, a
-    distinct per (user, offset), and a four-row rollup; retention ships in
-    integer ppm. All shuffles key on user_id until the final
-    bounded-cardinality aggregate."""
+    when active exactly N days after their OWN first day.
+
+    Plan (reworked in the round-9 rescan audit — the r1-r8 shape scanned
+    events THREE times: the first-day aggregate built twice, for the
+    cohort count and for a user-keyed join back over the full fact table):
+    ONE scan → distinct (user, day) rows → a sortless per-user MIN window
+    attaches each user's first day (the window re-shuffles only the
+    user-day table, strictly smaller than the events join it replaces) →
+    one scalar aggregate computes all four retention marks plus the cohort
+    size (each user counted exactly once via a null-safe d == d0 match —
+    the distinct guarantees one first-day row per user) → the 1-row
+    summary reshapes to the 4-row curve, dropping empty marks exactly as
+    the oracle's GROUP BY does. Retention ships in integer ppm."""
     cat = Catalog(spark, sf_dir)
-    firsts = (
+    ud = (
         cat.events.select("user_id", F.to_date("ts").alias("d"))
-        .groupBy("user_id")
-        .agg(F.min("d").alias("d0"))
-    )
-    cohort = firsts.agg(F.count("*").alias("n_users"))
-    activity = (
-        cat.events.select("user_id", F.to_date("ts").alias("d"))
-        .join(firsts, "user_id")
-        .select("user_id", F.expr("datediff(d, d0)").alias("day_n"))
-        .where(F.col("day_n").isin(1, 7, 14, 28))
         .distinct()
     )
-    marks = activity.groupBy("day_n").agg(F.count("*").alias("retained"))
-    return marks.crossJoin(F.broadcast(cohort)).select(
-        F.col("day_n").cast("long").alias("day_n"),
-        "retained",
-        "n_users",
-        F.expr("CAST(retained * 1000000 DIV n_users AS BIGINT)").alias(
-            "retained_ppm"
+    w = Window.partitionBy("user_id")
+    ud2 = ud.select(
+        F.expr("datediff(d, min(d) OVER (PARTITION BY user_id))").alias(
+            "day_n"
         ),
+        F.col("d").eqNullSafe(F.min("d").over(w)).alias("is_first"),
+    )
+    summary = ud2.agg(
+        *[
+            F.sum(F.when(F.col("day_n") == n, 1).otherwise(0)).alias(f"r{n}")
+            for n in (1, 7, 14, 28)
+        ],
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_users"),
+    )
+    marks = summary.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).cast("long").alias("day_n"),
+                        F.col(f"r{n}").cast("long").alias("retained"),
+                    )
+                    for n in (1, 7, 14, 28)
+                ]
+            )
+        ).alias("m"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+    return (
+        marks.where(F.col("m.retained") > 0)
+        .select(
+            F.col("m.day_n").alias("day_n"),
+            F.col("m.retained").alias("retained"),
+            "n_users",
+            F.expr(
+                "CAST(m.retained * 1000000 DIV n_users AS BIGINT)"
+            ).alias("retained_ppm"),
+        )
     )
 
 
