@@ -72,9 +72,11 @@ from . import geo  # noqa: F401,E402
 # 4.7 s) and retention_curve (three fact scans fused to one via a
 # sortless per-user window); the age ladder after r8 is 22 queries whose
 # only green row is r1 and 34 whose newest is r2 — the remaining slots
-# re-verify ALL 22 r1-age rows and the first 18 r2-age rows (registry
-# order), dropping the maximum green-row age from r1 to r2
-# (array_funcs, window_running_sum, window_ntile head the r10 backlog).
+# re-verify ALL 22 r1-age rows and the first 17 r2-age rows (registry
+# order), dropping the maximum green-row age from r1 to r2 (math_funcs,
+# array_funcs, window_running_sum, window_ntile head the r10 backlog).
+# cohort_ltv (fact scans 3 → 1, grouping fused across grains) is the
+# fifth rule-2 seat.
 PRIORITY: tuple[str, ...] = (
     # -- 5 core regressions (driver-green r1-r8) --
     "flagship_revenue",
@@ -89,6 +91,7 @@ PRIORITY: tuple[str, ...] = (
     "join_range_binned",
     "dq_checks",
     "retention_curve",
+    "cohort_ltv",
     # -- rule 3: the 22 queries whose only green row is r1 --
     "filter_range",
     "filter_inlist",
@@ -112,7 +115,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_minmax_by",
     "window_first_last",
     "window_range_frame",
-    # -- rule 3 cont.: first 18 of the r2-age cohort (registry order;
+    # -- rule 3 cont.: first 17 of the r2-age cohort (registry order;
     # dq_checks moved up into the rule-2 block) --
     "sql_endpoint",
     "scan_project",
@@ -131,7 +134,6 @@ PRIORITY: tuple[str, ...] = (
     "cast_defaults",
     "str_funcs",
     "date_funcs",
-    "math_funcs",
 )
 
 

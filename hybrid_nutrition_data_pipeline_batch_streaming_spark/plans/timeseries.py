@@ -1366,43 +1366,67 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per cohort. Exact cents end-to-end; the per-user division is
     integer (floor) on both engines."""
     cat = Catalog(spark, sf_dir)
-    firsts = (
-        cat.events.select("user_id", F.to_date("ts").alias("d"))
-        .groupBy("user_id")
-        .agg(F.min("d").alias("d0"))
-    )
-    cohorts = firsts.select(
+    # Round-9 rescan-audit rework: the r1-r8 shape scanned events THREE
+    # times (the first-day aggregate built twice — sizes + join — plus the
+    # purchase leg joined back over the fact table on user). Now ONE scan:
+    # a per-user window attaches d0 and flags exactly one first row per
+    # user (row_number — ties on the first day broken arbitrarily, only
+    # the flag matters), then a single (cohort_week, age_weeks) aggregate
+    # carries BOTH grains — purchase cents for the revenue rows AND
+    # first-row user counts, which land in the user's age-0 group by
+    # construction (the rn==1 row's date IS d0) — and a tiny window over
+    # the aggregate recovers per-cohort sizes. Groups kept only when they
+    # contain a purchase row, matching the oracle's rev CTE.
+    uw = Window.partitionBy("user_id").orderBy("d", "event_id")
+    ev = cat.events.select(
+        "event_id",
         "user_id",
-        "d0",
-        F.expr(
-            "date_sub(d0, datediff(d0, DATE '2024-01-01') % 7)"
-        ).alias("cohort_week"),
+        F.to_date("ts").alias("d"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    ).select(
+        "d",
+        "is_purchase",
+        "cents",
+        F.min("d").over(Window.partitionBy("user_id")).alias("d0"),
+        (F.row_number().over(uw) == 1).alias("is_first"),
     )
-    sizes = cohorts.groupBy("cohort_week").agg(
-        F.count("*").alias("cohort_users")
-    )
-    rev = (
-        cat.events.where(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.to_date("ts").alias("d"),
-            F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
-                "cents"
+    g = (
+        ev.select(
+            F.expr(
+                "date_sub(d0, datediff(d0, DATE '2024-01-01') % 7)"
+            ).alias("cohort_week"),
+            F.expr("datediff(d, d0) DIV 7").alias("age_weeks"),
+            "is_purchase",
+            "cents",
+            "is_first",
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(
+            F.sum(F.when(F.col("is_purchase"), F.col("cents"))).cast(
+                "long"
+            ).alias("cents"),
+            F.sum(F.when(F.col("is_purchase"), 1).otherwise(0)).alias(
+                "n_purch"
+            ),
+            F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias(
+                "first_users"
             ),
         )
-        .join(cohorts, "user_id")
-        .groupBy(
-            "cohort_week", F.expr("datediff(d, d0) DIV 7").alias("age_weeks")
-        )
-        .agg(F.sum("cents").cast("long").alias("cents"))
     )
+    wc = Window.partitionBy("cohort_week")
     w = (
         Window.partitionBy("cohort_week")
         .orderBy("age_weeks")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        rev.join(F.broadcast(sizes), "cohort_week")
+        g.withColumn(
+            "cohort_users", F.sum("first_users").over(wc).cast("long")
+        )
+        .where(F.col("n_purch") > 0)
         .withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
         .select(
             "cohort_week",

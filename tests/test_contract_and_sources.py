@@ -55,7 +55,6 @@ def test_registry_priority_window():
         "regexp_funcs", "window_range_frame",
         # rule 3 sample: oldest r2-age rows
         "sql_endpoint", "scan_project", "str_funcs", "date_funcs",
-        "math_funcs",
     }
     assert rotated_in <= set(plans.PRIORITY)
 
