@@ -63,20 +63,19 @@ from . import geo  # noqa: F401,E402
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 #
-# Round-9 instantiation: rule 2 seats text_ml_pipeline (oracle now derives
-# its stop-list SQL from ENGLISH_STOPWORDS — byte-identical string, but
-# re-verify the derivation) and dedup_ngram_jaccard (plan reworked onto the
-# packed-long posting-bag shape), join_range_binned (quadratic
-# bin-equi-join replaced by the diff-array coverage census — 195.9 s →
-# 11.3 s at M=100), dq_checks (three fact scans fused to one — 17.1 s →
-# 4.7 s) and retention_curve (three fact scans fused to one via a
-# sortless per-user window); the age ladder after r8 is 22 queries whose
-# only green row is r1 and 34 whose newest is r2 — the remaining slots
-# re-verify ALL 22 r1-age rows and the first 17 r2-age rows (registry
-# order), dropping the maximum green-row age from r1 to r2 (math_funcs,
-# array_funcs, window_running_sum, window_ntile head the r10 backlog).
-# cohort_ltv (fact scans 3 → 1, grouping fused across grains) is the
-# fifth rule-2 seat.
+# Round-9 instantiation — SIX rule-2 seats (every plan/oracle changed
+# this round; details in NOTES.md round 9 / SCALE.md round-9 studies):
+#   text_ml_pipeline     oracle stop-list SQL now derived (byte-identical)
+#   dedup_ngram_jaccard  packed-long posting-bag rework
+#   join_range_binned    bin-equi-join → coverage census (195.9 → 11.3 s)
+#   dq_checks            3 fact scans → 1 (17.1 → 4.7 s)
+#   retention_curve      3 fact scans → 1 (sortless per-user window)
+#   cohort_ltv           3 fact scans → 1 (two-grain fused aggregate)
+# The age ladder after r8 is 22 queries whose only green row is r1 and 34
+# whose newest is r2 — the remaining slots re-verify ALL 22 r1-age rows
+# and the first 17 r2-age rows (registry order), dropping the maximum
+# green-row age from r1 to r2 (math_funcs, array_funcs,
+# window_running_sum, window_ntile head the r10 rule-3 backlog).
 PRIORITY: tuple[str, ...] = (
     # -- 5 core regressions (driver-green r1-r8) --
     "flagship_revenue",
@@ -84,8 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_last_write",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    # -- rule 2: oracle/plan changed in r9 (stop-list derivation; the
-    # packed-long posting-bag rework) --
+    # -- rule 2: plan/oracle changed in r9 --
     "text_ml_pipeline",
     "dedup_ngram_jaccard",
     "join_range_binned",
