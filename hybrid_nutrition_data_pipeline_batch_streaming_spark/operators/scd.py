@@ -3,17 +3,20 @@
 The reference's raw layer overwrites history (Cassandra LWW upsert,
 `consume_items.py:53,102-103`); an analytics engine also needs the
 history-preserving variant. With Delta/Iceberg this is ``MERGE INTO``; on
-plain columnar storage the same semantics compose from three joins over one
-shuffle key:
+plain columnar storage the same semantics come from ONE full-outer join of
+the history with the (LWW-pre-reduced) updates on the dimension key,
+followed by a single explode-of-structs pass that emits, per joined row:
 
-    changed   = updates ⋈ current        (tracked columns differ)
-    closed    = current ⋈ changed-keys   (stamp valid_to)
-    untouched = current ⟕̸ changed-keys  (anti-join)
-    result    = untouched ∪ closed ∪ new-versions ∪ brand-new-keys
+    closed history row            → itself, untouched
+    current row, no/equal update  → itself, untouched
+    current row, differing update → (close-out row, new open version)
+    update with no history at all → new open version
 
-All joins share the dimension key, so at scale this is one co-partitioned
-pass; rewrite atomicity comes from the staging-dir swap (sources/writers) or
-a table format in production.
+Earlier rounds built the same result from four join/anti-join legs over a
+shared ``current`` frame; that shape scans each base table twice (SCALE.md
+round-9 rescan audit). The fused form scans history and updates exactly
+once and keeps everything on one shuffle key; rewrite atomicity comes from
+the staging-dir swap (sources/writers) or a table format in production.
 """
 
 from __future__ import annotations
@@ -49,52 +52,77 @@ def scd2_apply(
     history with overlapping/duplicate rows (a Delta ``MERGE INTO`` would
     instead fail on multiple matches). Intermediate same-batch versions are
     intentionally not preserved, matching LWW upsert semantics.
+
+    Scale shape: history and updates are each scanned ONCE; the merge is a
+    single full-outer equi-join on the key plus key-partitioned windows that
+    reuse the join's hash partitioning, so the whole merge stays one
+    co-partitioned pass. A key whose versions are ALL closed (no open row)
+    treats an incoming update as a brand-new insert — the same behavior the
+    original anti-join formulation had — via the per-key ``has_current``
+    window flag.
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(key).orderBy(
+    lww = Window.partitionBy(key).orderBy(
         F.desc(update_ts_col), *[F.desc(t) for t in tracked]
     )
     updates = (
-        updates.withColumn("__rn", F.row_number().over(w))
+        updates.withColumn("__rn", F.row_number().over(lww))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    current = history.where(F.col(end_ts).isNull())
-    closed_history = history.where(F.col(end_ts).isNotNull())
+
+    c, u = history.alias("c"), updates.alias("u")
+    ckey, ukey = F.col(f"c.{key}"), F.col(f"u.{key}")
+    joined = c.join(u, ckey == ukey, "full").withColumn(
+        "__k", F.coalesce(ckey, ukey)
+    )
+
+    is_current = ckey.isNotNull() & F.col(f"c.{end_ts}").isNull()
+    # Per-key bookkeeping for the closed-only-key edge: the update must be
+    # inserted exactly once even though it joined several closed rows.
+    wk = Window.partitionBy("__k")
+    wo = Window.partitionBy("__k").orderBy(
+        F.col(f"c.{effective_ts}").asc_nulls_first()
+    )
+    joined = joined.withColumn(
+        "__has_cur", F.max(is_current.cast("int")).over(wk)
+    ).withColumn("__pick", F.row_number().over(wo))
 
     def differs() -> Column:
         parts = [
-            ~F.col(f"u.{c}").eqNullSafe(F.col(f"c.{c}")) for c in tracked
+            ~F.col(f"u.{c_}").eqNullSafe(F.col(f"c.{c_}")) for c_ in tracked
         ]
         return reduce(lambda a, b: a | b, parts)
 
-    u, c = updates.alias("u"), current.alias("c")
-    joined = u.join(c, F.col(f"u.{key}") == F.col(f"c.{key}"), "left")
+    def emit(key_side: str, ts_from: Column, ts_to: Column) -> Column:
+        return F.struct(
+            F.col(f"{key_side}.{key}").alias(key),
+            *[F.col(f"{key_side}.{t}").alias(t) for t in tracked],
+            ts_from.alias(effective_ts),
+            ts_to.alias(end_ts),
+        )
 
-    # New open versions: changed rows + brand-new keys.
-    new_versions = joined.where(F.col(f"c.{key}").isNull() | differs()).select(
-        F.col(f"u.{key}").alias(key),
-        *[F.col(f"u.{t}").alias(t) for t in tracked],
-        F.col(f"u.{update_ts_col}").alias(effective_ts),
-        F.lit(None).cast("timestamp_ntz").alias(end_ts),
-    )
-    changed_keys = new_versions.where(F.col(effective_ts).isNotNull()).select(
-        F.col(key), F.col(effective_ts).alias("__close_ts")
-    )
+    uts = F.col(f"u.{update_ts_col}")
+    c_asis = emit("c", F.col(f"c.{effective_ts}"), F.col(f"c.{end_ts}"))
+    c_closed = emit("c", F.col(f"c.{effective_ts}"), uts)
+    new_version = emit("u", uts, F.lit(None).cast("timestamp_ntz"))
 
-    # Close out the superseded current rows.
-    closed_now = (
-        current.join(changed_keys, key, "inner")
-        .withColumn(end_ts, F.col("__close_ts"))
-        .drop("__close_ts")
-    )
-    untouched = current.join(changed_keys.select(key), key, "left_anti")
+    # A NULL update_ts never closes the current row (it is outside the
+    # timeline) but the differing tracked values still open a new version —
+    # matching the pre-fusion changed-keys filter on effective_ts.
+    close_or_keep = F.when(uts.isNotNull(), c_closed).otherwise(c_asis)
 
-    cols = [key, *tracked, effective_ts, end_ts]
-    return (
-        closed_history.select(*cols)
-        .unionByName(untouched.select(*cols))
-        .unionByName(closed_now.select(*cols))
-        .unionByName(new_versions.select(*cols))
+    rows = (
+        F.when(ckey.isNull(), F.array(new_version))  # brand-new key
+        .when(
+            is_current & ukey.isNotNull() & differs(),
+            F.array(close_or_keep, new_version),
+        )
+        .when(  # key has an update but only closed versions: insert once
+            ukey.isNotNull() & (F.col("__has_cur") == 0) & (F.col("__pick") == 1),
+            F.array(c_asis, new_version),
+        )
+        .otherwise(F.array(c_asis))
     )
+    return joined.select(F.explode(rows).alias("__r")).select("__r.*")
