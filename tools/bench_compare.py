@@ -12,21 +12,28 @@ Inputs may be, in any combination:
     are recovered from the escaped tail string).
 
 Usage:
-  python tools/bench_compare.py OLD NEW [-n K_old] [-m K_new]
+  python tools/bench_compare.py OLD NEW [-n K_OLD] [-m K_NEW]
 
 Prints the common-query count, sums, the MEDIAN per-query ratio (the
-drift-robust signal), and the top movers in both directions.
+drift-robust signal), the calibration-normalized total when both readings
+carry a calibration probe, and the top movers in both directions. The
+round-9 calibration rules are encoded, not left to NOTES discipline:
+within a host class back-to-back, total/cal is stable; across hosts or
+hours, the CPU/shuffle probe can ANTI-correlate with per-query time — so
+when the cal-ratio and the median per-query ratio disagree by >10% the
+tool prints a loud warning and tells you to trust the median.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import re
 import statistics
-import sys
 
 
-def _load(path: str, nth_last: int = 1) -> dict[str, float]:
+def _load(path: str, nth_last: int = 1) -> tuple[dict[str, float], float | None]:
+    """Return (queries, calibration_s) from any supported artifact shape."""
     text = open(path).read()
     # Driver artifact: {"n": .., "tail": "...escaped json..."}
     try:
@@ -38,11 +45,15 @@ def _load(path: str, nth_last: int = 1) -> dict[str, float]:
             k: float(v)
             for k, v in re.findall(r'"([a-z_0-9]+)":\s*([0-9.]+)', obj["tail"])
         }
-        for meta in ("sf", "calibration_s", "value"):
+        cal = qs.pop("calibration_s", None)
+        for meta in ("sf", "value"):
             qs.pop(meta, None)
-        return qs
+        return qs, cal
     if isinstance(obj, dict) and "queries" in obj:
-        return {k: float(v) for k, v in obj["queries"].items()}
+        return (
+            {k: float(v) for k, v in obj["queries"].items()},
+            obj.get("calibration_s"),
+        )
     # JSONL: pick the K-th last parseable line with a queries dict.
     lines = [ln for ln in text.splitlines() if ln.strip()]
     hits = []
@@ -55,27 +66,54 @@ def _load(path: str, nth_last: int = 1) -> dict[str, float]:
             hits.append(d)
     if not hits or nth_last > len(hits):
         raise SystemExit(f"no bench line with queries found in {path}")
-    return {k: float(v) for k, v in hits[-nth_last]["queries"].items()}
+    d = hits[-nth_last]
+    return {k: float(v) for k, v in d["queries"].items()}, d.get("calibration_s")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    flags = sys.argv[1:]
-    n_old = int(flags[flags.index("-n") + 1]) if "-n" in flags else 1
-    n_new = int(flags[flags.index("-m") + 1]) if "-m" in flags else 1
-    if len(args) != 2:
-        raise SystemExit(__doc__)
-    old, new = _load(args[0], n_old), _load(args[1], n_new)
+    ap = argparse.ArgumentParser(
+        description="Per-query bench comparison (drift-robust median ratio)."
+    )
+    ap.add_argument("old", help="older reading (BENCHLOG.jsonl / bench JSON / BENCH_rN.json)")
+    ap.add_argument("new", help="newer reading")
+    ap.add_argument("-n", type=int, default=1, metavar="K_OLD",
+                    help="use the K-th last JSONL line for OLD (default 1)")
+    ap.add_argument("-m", type=int, default=1, metavar="K_NEW",
+                    help="use the K-th last JSONL line for NEW (default 1)")
+    ns = ap.parse_args()
+    (old, cal_old), (new, cal_new) = _load(ns.old, ns.n), _load(ns.new, ns.m)
     common = sorted(set(old) & set(new))
     if not common:
         raise SystemExit("no common queries between the two readings")
     ratios = {q: new[q] / old[q] for q in common if old[q] > 0}
     med = statistics.median(ratios.values())
+    sum_old = sum(old[q] for q in common)
+    sum_new = sum(new[q] for q in common)
     print(
-        f"{len(common)} common queries | sum old={sum(old[q] for q in common):.1f}s"
-        f" new={sum(new[q] for q in common):.1f}s | MEDIAN ratio={med:.3f}"
+        f"{len(common)} common queries | sum old={sum_old:.1f}s"
+        f" new={sum_new:.1f}s | MEDIAN ratio={med:.3f}"
         f" (board-wide drift estimate)"
     )
+    if cal_old and cal_new:
+        cal_ratio = cal_new / cal_old
+        print(
+            f"calibration {cal_old:.3f}s -> {cal_new:.3f}s (ratio {cal_ratio:.3f})"
+            f" | cal-normalized total ratio ="
+            f" {(sum_new / sum_old) / cal_ratio:.3f}"
+        )
+        # The r9 anti-correlation signature: the CPU/shuffle probe and the
+        # per-query medians disagree — I/O/session-side drift the probe
+        # cannot see, or a cross-host comparison. Median governs.
+        if med > 0 and abs(cal_ratio / med - 1.0) > 0.10:
+            print(
+                "WARNING: calibration ratio and median per-query ratio "
+                f"disagree by {abs(cal_ratio / med - 1.0):.0%} — the probe "
+                "is not tracking this drift (cross-host or long-horizon "
+                "reading). Trust the MEDIAN per-query ratio; do not "
+                "cal-normalize totals across these two readings."
+            )
+    else:
+        print("(no calibration probe on one/both readings — per-query medians only)")
     print("\nregressions (ratio desc, drift-normalized > 1.2x shown):")
     for q in sorted(ratios, key=lambda q: -ratios[q]):
         if ratios[q] / med <= 1.2:
