@@ -63,75 +63,82 @@ from . import geo  # noqa: F401,E402
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 #
-# Round-9 instantiation — SIX rule-2 seats (every plan/oracle changed
-# this round; details in NOTES.md round 9 / SCALE.md round-9 studies):
-#   text_ml_pipeline     oracle stop-list SQL now derived (byte-identical)
-#   dedup_ngram_jaccard  packed-long posting-bag rework
-#   join_range_binned    bin-equi-join → coverage census (195.9 → 11.3 s)
-#   dq_checks            3 fact scans → 1 (17.1 → 4.7 s)
-#   retention_curve      3 fact scans → 1 (sortless per-user window)
-#   cohort_ltv           3 fact scans → 1 (two-grain fused aggregate)
-# The age ladder after r8 is 22 queries whose only green row is r1 and 34
-# whose newest is r2 — the remaining slots re-verify ALL 22 r1-age rows
-# and the first 17 r2-age rows (registry order), dropping the maximum
-# green-row age from r1 to r2 (math_funcs, array_funcs,
-# window_running_sum, window_ntile head the r10 rule-3 backlog).
+# Round-10 instantiation — SEVEN rule-2 seats (every plan/oracle changed
+# this round; details in NOTES.md round 10):
+#   scd2_history         merge fused to ONE full-outer-join pass (operators/
+#                        scd.py) — customer/orders each scanned once
+#   join_temporal_scd2   inherits the fused merge (customer×3 → ×1)
+#   dq_checks            orphan LEFT join now fan-out-proof (DISTINCT
+#                        o_orderkey side — ADVICE r9)
+#   dedup_ngram_jaccard  packed-long guard enforces BOTH id-space bounds
+#                        (negative doc_id would corrupt silently — ADVICE r9)
+#   retention_curve      NULL-user events excluded on both engines (ADVICE r9)
+#   cohort_ltv           same NULL-user alignment (ADVICE r9)
+#   mm_decode_ppm        NEW — PPM decoder hash-pinned end-to-end through
+#                        the decode_image sniffer (VERDICT r9 item 5)
+# The age ladder after r9: 16 queries whose newest green row is r2 (the
+# corrected count — the r9 NOTES backlog omitted math_funcs and
+# array_funcs) and 41 r3-age. The remaining slots re-verify ALL 16 r2-age
+# rows and the first 22 r3-age rows in registry order (scd2_history, an
+# r3-age key, is seated under rule 2 instead), dropping the maximum
+# green-row age from r2 to r3 (contamination_check, corpus_split head the
+# r11 rule-3 backlog).
 PRIORITY: tuple[str, ...] = (
-    # -- 5 core regressions (driver-green r1-r8) --
+    # -- 5 core regressions (driver-green r1-r9) --
     "flagship_revenue",
     "join_inner",
     "dedup_last_write",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    # -- rule 2: plan/oracle changed in r9 --
-    "text_ml_pipeline",
-    "dedup_ngram_jaccard",
-    "join_range_binned",
+    # -- rule 2: plan/oracle changed in r10 --
+    "scd2_history",
+    "join_temporal_scd2",
     "dq_checks",
+    "dedup_ngram_jaccard",
     "retention_curve",
     "cohort_ltv",
-    # -- rule 3: the 22 queries whose only green row is r1 --
-    "filter_range",
-    "filter_inlist",
-    "join_semi",
-    "join_star_5way",
-    "agg_rollup",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "agg_cube",
-    "filter_scalar_subquery",
-    "set_union_all",
-    "agg_percentile",
-    "topk_per_group",
-    "agg_boolean",
-    "agg_pivot",
-    "unpivot_metrics",
-    "try_funcs",
-    "regexp_funcs",
-    "date_arith_funcs",
-    "agg_minmax_by",
-    "window_first_last",
-    "window_range_frame",
-    # -- rule 3 cont.: first 17 of the r2-age cohort (registry order;
-    # dq_checks moved up into the rule-2 block) --
-    "sql_endpoint",
-    "scan_project",
-    "incremental_antijoin",
-    "join_range",
-    "join_asof",
-    "topk_sodium",
-    "agg_distinct",
-    "sort_multikey",
-    "filter_predicates",
-    "agg_rollup_cube",
-    "set_ops",
-    "agg_collect_sorted",
-    "filter_nonempty",
-    "filter_corrupt",
-    "cast_defaults",
-    "str_funcs",
-    "date_funcs",
+    "mm_decode_ppm",
+    # -- rule 3: all 16 r2-age rows (registry order) --
+    "math_funcs",
+    "array_funcs",
+    "window_running_sum",
+    "window_ntile",
+    "wordcloud_tokens",
+    "text_stats",
+    "dedup_exact_text",
+    "dedup_simhash_multiprobe",
+    "dedup_ngram_prefix",
+    "similarity_topk",
+    "dedup_embedding",
+    "stream_stateful_totals",
+    "json_map",
+    "enrich_rest_stub",
+    "grouped_udaf_median",
+    "dedup_connected_components",
+    # -- rule 3 cont.: first 22 of the r3-age cohort (registry order;
+    # scd2_history moved up into the rule-2 block) --
+    "agg_macros",
+    "recursive_path_counts",
+    "agg_grouping_sets",
+    "null_semantics",
+    "json_flatten",
+    "sessionize_batch",
+    "doc_fingerprint",
+    "embed_feature_hash",
+    "dedup_minhash_banded",
+    "similarity_ann_ivf",
+    "similarity_topk_int8",
+    "dedup_semantic",
+    "cluster_centroids",
+    "kmeans_refine",
+    "pipeline_embed_topk",
+    "similarity_topk_pq",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "mm_frame_sample",
+    "mm_decode_stats",
+    "pii_redact",
+    "repetition_score",
 )
 
 

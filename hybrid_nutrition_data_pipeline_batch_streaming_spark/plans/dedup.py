@@ -585,11 +585,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assumption loudly, once per bag (sorted, so the max element covers
     # every pair it emits), and refuse posting lists whose C(L,2) fan-out
     # says the exact query is being pointed at df-cutoff-shaped data.
+    # Both halves of the id-space assumption are enforced: the sorted bag's
+    # last element bounds the top (overflow) and its FIRST element bounds
+    # the bottom — a negative doc_id would pass a max-only check yet
+    # silently corrupt pack/unpack (integer division floors toward -inf and
+    # pmod wraps, recovering the wrong pair).
     packable = F.assert_true(
-        F.element_at(F.col("ds"), -1) < F.lit(2**31),
+        (F.element_at(F.col("ds"), -1) < F.lit(2**31))
+        & (F.element_at(F.col("ds"), 1) >= F.lit(0)),
         F.lit(
-            "dedup_ngram_jaccard: doc_id >= 2^31 overflows the packed long"
-            " pair key; repack into DECIMAL(38,0) for this id space"
+            "dedup_ngram_jaccard: doc_id outside [0, 2^31) breaks the packed"
+            " long pair key; repack into DECIMAL(38,0) for this id space"
         ),
     )
     guard = F.assert_true(

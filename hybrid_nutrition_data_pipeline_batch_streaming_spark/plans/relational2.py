@@ -283,7 +283,14 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphans — same as the anti-join), and PK duplication is a cnt > 1
     flag. One scan, one PK-keyed exchange, one key join, one scalar fold;
     no crossJoins. No driver-side `.count()` actions: the whole suite is a
-    plan the optimizer schedules in one job."""
+    plan the optimizer schedules in one job.
+
+    The orders side is reduced to DISTINCT keys before the LEFT join: a
+    duplicate o_orderkey would otherwise fan out every group row and
+    silently inflate EVERY metric — a DQ suite must not presume the other
+    table's PK is clean (the anti-join/NOT-EXISTS it replaced was
+    fan-out-proof by construction). The dedup is a map-side partial
+    aggregate over a single bigint column — noise next to the fact scan."""
     cat = Catalog(spark, sf_dir)
     li, orders = cat.lineitem, cat.orders
     g = li.groupBy("l_orderkey", "l_linenumber").agg(
@@ -301,7 +308,7 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bad_dates"),
     )
     j = g.join(
-        orders.select("o_orderkey"),
+        orders.select("o_orderkey").dropDuplicates(),
         F.col("l_orderkey") == F.col("o_orderkey"),
         "left",
     )

@@ -1241,6 +1241,7 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH firsts AS (
         SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+        WHERE user_id IS NOT NULL
         GROUP BY user_id
     ), cohort AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM firsts
@@ -1274,10 +1275,17 @@ def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (each user counted exactly once via a null-safe d == d0 match —
     the distinct guarantees one first-day row per user) → the 1-row
     summary reshapes to the 4-row curve, dropping empty marks exactly as
-    the oracle's GROUP BY does. Retention ships in integer ppm."""
+    the oracle's GROUP BY does. Retention ships in integer ppm.
+
+    Anonymous (NULL user_id) events are excluded on BOTH engines up front:
+    the oracle's inner join would drop them from activity yet a bare
+    GROUP BY would count them as a cohort "user" — a divergence a nullable
+    fixture would expose even though the current generator never emits
+    null users (ADVICE r9)."""
     cat = Catalog(spark, sf_dir)
     ud = (
-        cat.events.select("user_id", F.to_date("ts").alias("d"))
+        cat.events.where(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
     )
     w = Window.partitionBy("user_id")
@@ -1326,6 +1334,7 @@ def retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH firsts AS (
         SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+        WHERE user_id IS NOT NULL
         GROUP BY user_id
     ), cohorts AS (
         SELECT d0 - CAST(datediff('day', DATE '2024-01-01', d0) % 7 AS INT)
@@ -1377,8 +1386,12 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (the rn==1 row's date IS d0) — and a tiny window over
     # the aggregate recovers per-cohort sizes. Groups kept only when they
     # contain a purchase row, matching the oracle's rev CTE.
+    # Anonymous (NULL user_id) events are excluded on BOTH engines up
+    # front — the window treats NULL as a real partition while the
+    # oracle's inner join drops it, a divergence a nullable fixture would
+    # expose (ADVICE r9).
     uw = Window.partitionBy("user_id").orderBy("d", "event_id")
-    ev = cat.events.select(
+    ev = cat.events.where(F.col("user_id").isNotNull()).select(
         "event_id",
         "user_id",
         F.to_date("ts").alias("d"),

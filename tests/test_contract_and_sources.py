@@ -37,24 +37,25 @@ def test_registry_priority_window():
     assert len(set(plans.PRIORITY)) == 50
     assert tuple(names[:50]) == plans.PRIORITY
     assert all(n in plans.ORACLE for n in names[:50])
-    # Round-9 freshness rotation (the standing policy documented above
+    # Round-10 freshness rotation (the standing policy documented above
     # PRIORITY): five core regressions stay pinned; rule 2 seats any query
     # whose plan/oracle changed this round; rule 3 spends the rest on the
-    # OLDEST green rows (all 22 r1-age + the first 22 r2-age).
+    # OLDEST green rows (all 16 r2-age + the first 22 r3-age).
     core_regressions = {
         "flagship_revenue", "join_inner", "dedup_last_write",
         "pipeline_nutrition_e2e", "stream_tumbling_live",
     }
     assert core_regressions <= set(plans.PRIORITY)
     rotated_in = {
-        # rule 2: oracle/plan changed in r9 (derived stop-list SQL; the
-        # packed-long posting-bag rework)
-        "text_ml_pipeline", "dedup_ngram_jaccard",
-        # rule 3 sample: r1-age rows
-        "filter_range", "join_star_5way", "agg_cube", "set_union",
-        "regexp_funcs", "window_range_frame",
-        # rule 3 sample: oldest r2-age rows
-        "sql_endpoint", "scan_project", "str_funcs", "date_funcs",
+        # rule 2: plan/oracle changed in r10 (fused SCD2 merge; the
+        # ADVICE-r9 hazard fixes; the new PPM decode pin)
+        "scd2_history", "join_temporal_scd2", "mm_decode_ppm",
+        # rule 3 sample: r2-age rows (incl. the two the r9 NOTES backlog
+        # omitted — VERDICT r9 What's-wrong #1)
+        "math_funcs", "array_funcs", "window_running_sum",
+        "similarity_topk", "grouped_udaf_median",
+        # rule 3 sample: oldest r3-age rows
+        "agg_macros", "json_flatten", "dedup_minhash_banded", "pii_redact",
     }
     assert rotated_in <= set(plans.PRIORITY)
 
@@ -118,8 +119,12 @@ def test_rotation_is_self_auditing():
     # every oracle-backed query is ever-green (the r8 endgame closed the
     # backlog at 304/304), rounds are freshness re-verification and the
     # cumulative count legitimately plateaus — it must still never shrink
-    # (it can't, being cumulative) and never stall EARLY.
-    full_coverage = set(plans.ORACLE) <= cumulative
+    # (it can't, being cumulative) and never stall EARLY. A query ADDED
+    # this round (in ORACLE, never green, but seated in the current
+    # window awaiting its first driver run — e.g. mm_decode_ppm in r10)
+    # does not demote the registry back to burn-down: coverage counts as
+    # complete when every oracle-backed query is ever-green OR seated.
+    full_coverage = set(plans.ORACLE) <= (cumulative | set(plans.PRIORITY))
     stalls = [i for i, (a, b) in enumerate(zip(counts, counts[1:])) if b <= a]
     if full_coverage:
         assert all(counts[i + 1] == counts[-1] for i in stalls), (
