@@ -787,3 +787,72 @@ def test_analyze_table_feeds_cbo_row_counts(spark, tmp_path):
         assert int(str(stats_after.get())) == df2.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS part_stats")
+
+
+def test_scd2_closed_only_key_treats_update_as_insert(spark):
+    """A key whose versions are ALL closed (no open row — e.g. after a
+    delete) must treat an incoming update as a brand-new insert, exactly
+    once, and pass the closed rows through untouched. This is the edge the
+    r10 one-pass fusion handles via the per-key has_current flag: the
+    update full-outer-joins BOTH closed rows, so without the flag it would
+    be inserted twice or not at all (the pre-fusion anti-join formulation
+    got it right structurally; the fused form must match)."""
+    import datetime
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.scd import (
+        scd2_apply,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    t2 = datetime.datetime(2024, 3, 1)
+    history = spark.createDataFrame(
+        [
+            (1, "BUILDING", t0, t1),    # closed
+            (1, "MACHINERY", t1, t2),   # closed — no open row for key 1
+            (2, "FURNITURE", t0, None), # unrelated current row
+        ],
+        "custkey bigint, segment string, valid_from timestamp_ntz, valid_to timestamp_ntz",
+    )
+    updates = spark.createDataFrame(
+        [(1, "AUTOMOBILE", t2)],
+        "custkey bigint, segment string, update_ts timestamp_ntz",
+    )
+    out = scd2_apply(history, updates, key="custkey", tracked=["segment"])
+    rows = {(r.custkey, r.segment, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, "BUILDING", t0, t1),      # closed history immutable
+        (1, "MACHINERY", t1, t2),     # closed history immutable
+        (1, "AUTOMOBILE", t2, None),  # inserted exactly once
+        (2, "FURNITURE", t0, None),   # untouched
+    }
+    assert out.count() == 4  # the insert must not duplicate per closed row
+
+
+def test_scd2_null_update_ts_opens_without_closing(spark):
+    """A differing update with NULL update_ts is outside the timeline: it
+    must NOT close the current row (a NULL valid_to close-out would make
+    the superseded row look open forever) but still opens the new version
+    with a NULL valid_from — the pre-fusion changed-keys filter on
+    effective_ts, preserved through the r10 fusion."""
+    import datetime
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators.scd import (
+        scd2_apply,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    history = spark.createDataFrame(
+        [(1, "BUILDING", t0, None)],
+        "custkey bigint, segment string, valid_from timestamp_ntz, valid_to timestamp_ntz",
+    )
+    updates = spark.createDataFrame(
+        [(1, "MACHINERY", None)],
+        "custkey bigint, segment string, update_ts timestamp_ntz",
+    )
+    out = scd2_apply(history, updates, key="custkey", tracked=["segment"])
+    rows = {(r.custkey, r.segment, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, "BUILDING", t0, None),   # NOT closed by a timeless update
+        (1, "MACHINERY", None, None),
+    }
