@@ -893,3 +893,21 @@ def test_ngram_prefix_is_the_boilerplate_knob(spark, tmp_path):
     # Prefix-restricted postings: only the planted pair's shared shingles
     # collide, so the candidate fan-out is the true-pair scale, not N².
     assert fanout(pref_post) <= 30
+
+
+def test_ngram_jaccard_id_space_guard_trips_loudly(spark, tmp_path):
+    """The packed-long pair key assumes doc_id ∈ [0, 2^31). ADVICE r9: a
+    max-only assert let NEGATIVE ids through to silent pack/unpack
+    corruption (DIV floors toward -inf, pmod wraps → wrong pair
+    recovered). Both bounds must now fail LOUDLY at execution."""
+    import pytest as _pytest
+
+    text = "alpha beta gamma delta epsilon"  # shared → one posting, len 2
+    for bad_id in (-5, 2**31 + 7):
+        sf = str(tmp_path / f"sf_{bad_id}")
+        spark.createDataFrame(
+            [(bad_id, "web", text), (1, "web", text)],
+            "doc_id long, source string, text string",
+        ).write.parquet(f"{sf}/documents.parquet")
+        with _pytest.raises(Exception, match="dedup_ngram_jaccard"):
+            plans.QUERIES["dedup_ngram_jaccard"](spark, sf).collect()
