@@ -134,6 +134,9 @@ HEADLINE = [
     "text_ml_pipeline",
     "similarity_ann_mllib_recall",
     "sample_bernoulli_bound",
+    # round-10 addition: the PPM leg of the real-codec decode family —
+    # completes the per-codec Arrow-boundary cost tracking (BMP/WAV above)
+    "mm_decode_ppm",
 ]
 
 
