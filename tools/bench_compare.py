@@ -32,8 +32,8 @@ import re
 import statistics
 
 
-def _load(path: str, nth_last: int = 1) -> tuple[dict[str, float], float | None]:
-    """Return (queries, calibration_s) from any supported artifact shape."""
+def _load(path: str, nth_last: int = 1) -> tuple[dict[str, float], float | None, float | None]:
+    """Return (queries, calibration_s, sf) from any supported artifact shape."""
     text = open(path).read()
     # Driver artifact: {"n": .., "tail": "...escaped json..."}
     try:
@@ -46,13 +46,14 @@ def _load(path: str, nth_last: int = 1) -> tuple[dict[str, float], float | None]
             for k, v in re.findall(r'"([a-z_0-9]+)":\s*([0-9.]+)', obj["tail"])
         }
         cal = qs.pop("calibration_s", None)
-        for meta in ("sf", "value"):
-            qs.pop(meta, None)
-        return qs, cal
+        sf = qs.pop("sf", None)
+        qs.pop("value", None)
+        return qs, cal, sf
     if isinstance(obj, dict) and "queries" in obj:
         return (
             {k: float(v) for k, v in obj["queries"].items()},
             obj.get("calibration_s"),
+            obj.get("sf"),
         )
     # JSONL: pick the K-th last parseable line with a queries dict.
     lines = [ln for ln in text.splitlines() if ln.strip()]
@@ -67,7 +68,11 @@ def _load(path: str, nth_last: int = 1) -> tuple[dict[str, float], float | None]
     if not hits or nth_last > len(hits):
         raise SystemExit(f"no bench line with queries found in {path}")
     d = hits[-nth_last]
-    return {k: float(v) for k, v in d["queries"].items()}, d.get("calibration_s")
+    return (
+        {k: float(v) for k, v in d["queries"].items()},
+        d.get("calibration_s"),
+        d.get("sf"),
+    )
 
 
 def main() -> None:
@@ -81,7 +86,18 @@ def main() -> None:
     ap.add_argument("-m", type=int, default=1, metavar="K_NEW",
                     help="use the K-th last JSONL line for NEW (default 1)")
     ns = ap.parse_args()
-    (old, cal_old), (new, cal_new) = _load(ns.old, ns.n), _load(ns.new, ns.m)
+    (old, cal_old, sf_old), (new, cal_new, sf_new) = (
+        _load(ns.old, ns.n),
+        _load(ns.new, ns.m),
+    )
+    if sf_old is not None and sf_new is not None and sf_old != sf_new:
+        # BENCHLOG interleaves sanity runs at small SFs with the real sf0.1
+        # readings — a cross-SF "comparison" is meaningless and the ratios
+        # look like a catastrophic regression. Refuse; -n/-m select lines.
+        raise SystemExit(
+            f"sf mismatch: OLD is sf{sf_old}, NEW is sf{sf_new} — pick "
+            "same-SF lines with -n/-m (BENCHLOG mixes sanity-run SFs)"
+        )
     common = sorted(set(old) & set(new))
     if not common:
         raise SystemExit("no common queries between the two readings")
