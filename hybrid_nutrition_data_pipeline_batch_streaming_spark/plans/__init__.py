@@ -76,13 +76,17 @@ from . import geo  # noqa: F401,E402
 #   cohort_ltv           same NULL-user alignment (ADVICE r9)
 #   mm_decode_ppm        NEW — PPM decoder hash-pinned end-to-end through
 #                        the decode_image sniffer (VERDICT r9 item 5)
+#   graph_jaccard_sim    packed-long guard now enforces BOTH id-space
+#                        bounds (same ADVICE-r9 hazard class as the dedup
+#                        twin site; takes the window's last rule-3 seat,
+#                        pushing repetition_score to the r11 backlog)
 # The age ladder after r9: 16 queries whose newest green row is r2 (the
 # corrected count — the r9 NOTES backlog omitted math_funcs and
 # array_funcs) and 41 r3-age. The remaining slots re-verify ALL 16 r2-age
-# rows and the first 22 r3-age rows in registry order (scd2_history, an
+# rows and the first 21 r3-age rows in registry order (scd2_history, an
 # r3-age key, is seated under rule 2 instead), dropping the maximum
-# green-row age from r2 to r3 (contamination_check, corpus_split head the
-# r11 rule-3 backlog).
+# green-row age from r2 to r3 (repetition_score, contamination_check,
+# corpus_split head the r11 rule-3 backlog).
 PRIORITY: tuple[str, ...] = (
     # -- 5 core regressions (driver-green r1-r9) --
     "flagship_revenue",
@@ -98,6 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "retention_curve",
     "cohort_ltv",
     "mm_decode_ppm",
+    "graph_jaccard_sim",
     # -- rule 3: all 16 r2-age rows (registry order) --
     "math_funcs",
     "array_funcs",
@@ -138,7 +143,6 @@ PRIORITY: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_decode_stats",
     "pii_redact",
-    "repetition_score",
 )
 
 

@@ -764,12 +764,17 @@ def graph_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADVICE r5: the pair key packs sa·2³² + sb into a SIGNED long, which
     # silently wraps once ids reach 2³¹ (ANSI off) and collides at 2³² —
     # enforce the documented assumption loudly, once per bag (the bag is
-    # sorted, so checking the max element covers every pair it emits).
+    # sorted, so its last element bounds the top and its FIRST element the
+    # bottom: ADVICE r9 found at the dedup twin site that a negative id
+    # passes a max-only check yet corrupts pack/unpack — DIV floors toward
+    # -inf and pmod wraps, recovering the wrong pair).
     packable = F.assert_true(
-        F.element_at(F.col("ss"), -1) < F.lit(2**31),
+        (F.element_at(F.col("ss"), -1) < F.lit(2**31))
+        & (F.element_at(F.col("ss"), 1) >= F.lit(0)),
         F.lit(
-            "graph_jaccard_sim: supplier id >= 2^31 overflows the packed"
-            " long pair key; repack into DECIMAL(38,0) for this id space"
+            "graph_jaccard_sim: supplier id outside [0, 2^31) breaks the"
+            " packed long pair key; repack into DECIMAL(38,0) for this id"
+            " space"
         ),
     )
     bags = checkpoint_truncate(
