@@ -65,3 +65,23 @@ def test_documents_text_whitespace_is_single_spaces(sf_dir: str) -> None:
         f"edge spaces — breaks the Tokenizer-vs-string_split parity of "
         f"the text_ml_pipeline oracle; first: {bad[0]}"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_user_id_is_never_null(sf_dir: str) -> None:
+    """ADVICE r9: several per-user plans compute over a user_id WINDOW
+    (which treats NULL as a real partition) while their oracles reach the
+    same rows through an INNER JOIN on user_id (which drops NULLs). The
+    two flagged queries (retention_curve, cohort_ltv) now filter NULL
+    users in the semantics on both engines, but the same idiom appears
+    across the sessionization/engagement/streaks family — pin the
+    generator's non-null contract here so a regenerated fixture that
+    starts emitting anonymous events fails with a clear message instead
+    of a scattered set of silent hash mismatches."""
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id"])
+    assert table["user_id"].null_count == 0, (
+        f"{table['user_id'].null_count} NULL user_id events in {sf_dir} "
+        "break the window-vs-inner-join equivalence the per-user oracles "
+        "rely on (see retention_curve/cohort_ltv docstrings)"
+    )
