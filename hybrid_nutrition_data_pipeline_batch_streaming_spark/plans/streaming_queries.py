@@ -79,19 +79,46 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS event_cnt
     FROM tagged
     GROUP BY user_id, session_id
+    HAVING MAX(ts) + INTERVAL 30 MINUTE
+           <= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+              - INTERVAL 2 HOUR
     """,
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user with a 30-minute inactivity gap (T6) —
-    variable-length event-time state, watermark-bounded.
+    variable-length event-time state, watermark-bounded, APPEND mode.
 
     Value-checked: session boundaries depend only on event time (never on
-    arrival order), so the drained complete-mode result equals batch
-    gaps-and-islands sessionization. Spark merges an event into a session
+    arrival order), so the drained result equals batch gaps-and-islands
+    sessionization RESTRICTED to watermark-finalized sessions — the
+    oracle's HAVING mirrors the emission rule exactly (a session emits
+    once the final watermark, max event time minus the 2 h allowance,
+    reaches its end; end == watermark EMITS — boundary pinned empirically
+    and in tests/test_streaming.py). Spark merges an event into a session
     while ``ts < window_end``, so a new session starts at gap >= 30 min
-    exactly; ``session_end`` is last event ts + gap."""
-    stream = read_events_stream(spark, sf_dir)
-    return run_to_memory(session_windows(stream), output_mode="complete")
+    exactly; ``session_end`` is last event ts + gap. Sessions still open
+    at the final watermark stay in state for the next drain, exactly as a
+    production incremental run wants.
+
+    Round-10 scale fix: this ran in COMPLETE mode through r9 (the only
+    way to emit every session on a one-batch fixture before the no-data
+    final batch was relied on) — which keeps a DATA-SCALE aggregate in
+    the state store forever and rewrites the whole result to the sink
+    every micro-batch: unbounded state by construction, found dead (Java
+    heap OOM at 8 g) by this round's first-ever M=100 streaming sweep.
+    Append mode alone still OOMed: without a trigger bound the file
+    source hands ALL part files to batch 1, the watermark never advances
+    mid-drain, and the whole corpus's session state builds at once. The
+    shipped plan therefore also bounds the trigger (4 files/batch — the
+    r8 stream_stream_join study recipe): multi-file scale layouts drain
+    in ~n_files/4 watermark-advancing batches with state bounded to the
+    open-session horizon, single-file driver fixtures are one batch as
+    before, and Spark's final no-data micro-batch flushes the closed
+    tail, so the emitted set is deterministic across layouts. The
+    late-row caveat is the same as stream_stream_join's: the reader
+    prefers the event-time-ordered layout where the generator wrote one."""
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=4)
+    return run_to_memory(session_windows(stream), output_mode="append")
 
 
 @query(

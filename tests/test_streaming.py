@@ -1120,3 +1120,40 @@ def test_events_stream_prefers_ordered_layout(spark, tmp_path):
     ]
     # Without the ordered layout the plain table resolves as before.
     assert _events_table_path(SF).endswith("events.parquet")
+
+
+def test_session_windows_append_drain_boundary(spark, tmp_path):
+    """stream_session_windows' r10 append-mode contract: after a full
+    AvailableNow drain the emitted set is exactly the sessions whose end
+    (last event + gap) is <= the final watermark (max event time - the
+    2 h allowance) — end == watermark EMITS (boundary pinned; the oracle's
+    HAVING uses <=), later-ending sessions stay in state. This is what
+    bounds the state that complete mode kept forever (the M=100 OOM find,
+    NOTES round 10)."""
+    import datetime
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.ingest import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.windows import (
+        session_windows,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    mx = t0 + datetime.timedelta(hours=2, minutes=30)  # watermark = t0+30m
+    rows = [
+        (1, 100, t0, "click", 1.0),            # end t0+30m == wm → emits
+        (2, 101, t0 + datetime.timedelta(seconds=1), "click", 1.0),
+        #                                      ^ end wm+1s → held in state
+        (3, 102, mx, "click", 1.0),            # the max-ts event → held
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, event_type string, value double",
+    ).write.parquet(f"{d}/events.parquet")
+    out = run_to_memory(
+        session_windows(read_events_stream(spark, d)), output_mode="append"
+    )
+    assert {r.user_id for r in out.collect()} == {1}
