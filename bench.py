@@ -137,6 +137,11 @@ HEADLINE = [
     # round-10 addition: the PPM leg of the real-codec decode family —
     # completes the per-codec Arrow-boundary cost tracking (BMP/WAV above)
     "mm_decode_ppm",
+    # round-10 risk-sweep reworks, kept visible per-round: the fused
+    # complete-recall simhash join (old plan dead at M=100) and the
+    # census form of recursive path counting
+    "dedup_simhash_multiprobe",
+    "path_counts_census",
 ]
 
 

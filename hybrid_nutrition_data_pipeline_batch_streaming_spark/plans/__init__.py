@@ -63,8 +63,9 @@ from . import geo  # noqa: F401,E402
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 #
-# Round-10 instantiation — SEVEN rule-2 seats (every plan/oracle changed
-# this round; details in NOTES.md round 10):
+# Round-10 instantiation — NINE rule-2 seats (every plan/oracle changed
+# this round; details in NOTES.md round 10 — dedup_simhash_multiprobe's
+# rule-2 obligation is satisfied by its pre-existing r2-age seat below):
 #   scd2_history         merge fused to ONE full-outer-join pass (operators/
 #                        scd.py) — customer/orders each scanned once
 #   join_temporal_scd2   inherits the fused merge (customer×3 → ×1)
@@ -80,13 +81,26 @@ from . import geo  # noqa: F401,E402
 #                        bounds (same ADVICE-r9 hazard class as the dedup
 #                        twin site; takes the window's last rule-3 seat,
 #                        pushing repetition_score to the r11 backlog)
+#   dedup_simhash_multiprobe  fused probe-join rework (already seated as
+#                        an r2-age rule-3 key — the seat now satisfies
+#                        rule 2): the candidate-materializing
+#                        union+distinct+re-join was found DEAD at M=100
+#                        by the r10 risk sweep; verification and
+#                        first-probe-wins dedup now run as residual
+#                        predicates inside each probe's equi-join
+#   path_counts_census   NEW — the scale form of recursive_path_counts
+#                        (whose UNION ALL recursion materializes 540 M
+#                        path rows at M=100 and trips Spark's recursion
+#                        guard); same oracle, per-level weighted-count
+#                        aggregation; takes the next rule-3 seat,
+#                        pushing pii_redact to the r11 backlog
 # The age ladder after r9: 16 queries whose newest green row is r2 (the
 # corrected count — the r9 NOTES backlog omitted math_funcs and
 # array_funcs) and 41 r3-age. The remaining slots re-verify ALL 16 r2-age
-# rows and the first 21 r3-age rows in registry order (scd2_history, an
+# rows and the first 20 r3-age rows in registry order (scd2_history, an
 # r3-age key, is seated under rule 2 instead), dropping the maximum
-# green-row age from r2 to r3 (repetition_score, contamination_check,
-# corpus_split head the r11 rule-3 backlog).
+# green-row age from r2 to r3 (repetition_score, pii_redact,
+# contamination_check head the r11 rule-3 backlog).
 PRIORITY: tuple[str, ...] = (
     # -- 5 core regressions (driver-green r1-r9) --
     "flagship_revenue",
@@ -103,6 +117,7 @@ PRIORITY: tuple[str, ...] = (
     "cohort_ltv",
     "mm_decode_ppm",
     "graph_jaccard_sim",
+    "path_counts_census",
     # -- rule 3: all 16 r2-age rows (registry order) --
     "math_funcs",
     "array_funcs",
@@ -120,8 +135,9 @@ PRIORITY: tuple[str, ...] = (
     "enrich_rest_stub",
     "grouped_udaf_median",
     "dedup_connected_components",
-    # -- rule 3 cont.: first 22 of the r3-age cohort (registry order;
-    # scd2_history moved up into the rule-2 block) --
+    # -- rule 3 cont.: first 20 of the r3-age cohort (registry order;
+    # scd2_history moved up into the rule-2 block; repetition_score and
+    # pii_redact displaced to r11 by the late rule-2 seats) --
     "agg_macros",
     "recursive_path_counts",
     "agg_grouping_sets",
@@ -142,7 +158,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_static_enrich",
     "mm_frame_sample",
     "mm_decode_stats",
-    "pii_redact",
 )
 
 

@@ -464,56 +464,69 @@ def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(n · block-occupancy), never O(n²)); candidates are deduped across
     probes before the single verification pass.
 
-    Scale note (round-9 density audit): each probe's key space is FIXED
-    (256 values per 8-bit block), so block occupancy — and with it the
-    candidate volume — grows linearly with the corpus and the pair count
-    quadratically, the same class as the round-9 join_range_binned /
-    ngram-posting finds (the single-probe sibling measured 43.0 s / 19 M
-    verified pairs at M=100 — output-bound at that density; this 8-probe
-    form pays ~8× the candidates before the dedup). Capping occupancy
-    would break the pigeonhole completeness this query exists to prove;
-    the production levers at 100 TB are WIDER probe blocks (16-bit →
-    65 536 keys, trading probe count for occupancy under the same
-    pigeonhole bound) or pre-partitioning by a content block key — both
-    change the recall contract and belong to a separate query if needed."""
+    Scale note (round-9 density audit, REWORKED round-10): each probe's
+    key space is FIXED (256 values per 8-bit block), so block occupancy —
+    and with it the candidate volume — grows linearly with the corpus and
+    the enumerated pair count quadratically, the same class as the
+    round-9 join_range_binned / ngram-posting finds. The r1-r9 plan
+    MATERIALIZED that volume: 8 probe joins emitted candidate pair ROWS
+    into a union + distinct, then re-joined the signatures twice to
+    verify — at M=100 that is ~3.9 G pair rows shuffled three times, and
+    the first-ever reading (this round's risk sweep) found the query GC-
+    thrashing past 17 minutes, effectively dead. The fused form never
+    materializes a candidate: each probe joins the signature table to
+    itself on the computed block key WITH the Hamming verification AND a
+    first-probe-wins predicate (pair emitted at probe k only if no probe
+    j < k collides — well-defined because both full signatures are on the
+    join row) as residual conditions, so the C(L,2) enumeration happens
+    streaming inside whole-stage codegen and only TRUE pairs ever leave
+    the join; cross-probe dedup is exact with NO distinct. M=100:
+    dead → 264.6 s for 43.15 M verified pairs (complete recall finds
+    2.3× the lossy single-probe's 19 M; ~6 µs per output pair with all
+    8 probes' enumeration included — output-bound, the same class as
+    the sibling's 43.0 s for 19 M).
+    Capping occupancy would break the pigeonhole completeness this query
+    exists to prove; the production levers at 100 TB remain wider blocks
+    (16-bit → 65 536 keys) or content pre-partitioning — both change the
+    recall contract and belong to a separate query if needed."""
     cat = Catalog(spark, sf_dir)
     sig = simhash_signatures(cat.documents.select("doc_id", "text"))
 
-    def block(word: str, k: int) -> Column:
-        # Byte k (0 = most significant) of a 32-bit word.
-        return F.shiftright(F.col(word), 24 - 8 * k).bitwiseAND(F.lit(255))
-
-    probes = [("w0", k) for k in range(4)] + [("w1", k) for k in range(4)]
-    cand = None
-    for word, k in probes:
-        a = sig.select(F.col("doc_id").alias("doc_a"), block(word, k).alias("blk"))
-        b = sig.select(F.col("doc_id").alias("doc_b"), block(word, k).alias("blk"))
-        pairs = (
-            a.alias("a")
-            .join(
-                b.alias("b"),
-                (F.col("a.blk") == F.col("b.blk"))
-                & (F.col("doc_a") < F.col("doc_b")),
-            )
-            .select("doc_a", "doc_b")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("w0").alias("a0"), F.col("w1").alias("a1")
     )
     sb = sig.select(
         F.col("doc_id").alias("doc_b"), F.col("w0").alias("b0"), F.col("w1").alias("b1")
     )
+
+    def block(word: str, k: int) -> Column:
+        # Byte k (0 = most significant) of a 32-bit word.
+        return F.shiftright(F.col(word), 24 - 8 * k).bitwiseAND(F.lit(255))
+
+    # Probe i joins on byte-block i equality (Catalyst extracts the
+    # expression equality as the equi key); earlier-block inequality and
+    # the Hamming bound ride along as residual filters, evaluated inside
+    # the join's codegen loop — no candidate row is ever materialized.
+    probes = [("a0", "b0", k) for k in range(4)] + [
+        ("a1", "b1", k) for k in range(4)
+    ]
     hamming = (
         F.bit_count(F.expr("a0 ^ b0")) + F.bit_count(F.expr("a1 ^ b1"))
     ).cast("int")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= HAMMING_MAX)
-    )
+    out = None
+    for i, (wa, wb, k) in enumerate(probes):
+        cond = (
+            (block(wa, k) == block(wb, k))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (hamming <= F.lit(HAMMING_MAX))
+        )
+        for wa2, wb2, k2 in probes[:i]:  # first-probe-wins dedup
+            cond = cond & (block(wa2, k2) != block(wb2, k2))
+        pairs = sa.join(sb, cond).select(
+            "doc_a", "doc_b", hamming.alias("hamming")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
 
 
 # ---------------------------------------------------------------------------

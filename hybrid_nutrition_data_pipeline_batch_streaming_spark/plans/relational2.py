@@ -392,11 +392,87 @@ def recursive_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     acyclic/bounded form). Path counts are exact integers, so the DuckDB
     oracle — the IDENTICAL statement — matches bit-for-bit. Each recursion
     level is one equi-join + the level filter; Catalyst unions the bounded
-    levels, all shuffles on the node id."""
+    levels, all shuffles on the node id.
+
+    Scale boundary (round-10 risk sweep): UNION ALL recursion MATERIALIZES
+    path multiplicity — one row per path — so the walk is 540 M rows at
+    M=100 (12 M hop-1 + 528 M hop-2, censused) and Spark's recursion row
+    guard ([RECURSION_ROW_LIMIT_EXCEEDED], default 1 M) refuses loudly.
+    That refusal is the right behavior: enumeration is the wrong tool for
+    COUNTING at scale. ``path_counts_census`` below computes the identical
+    result as two per-level weighted-count aggregates (the r9
+    census-over-enumeration lesson applied to recursion) and is the
+    production path; this query stays as the WITH RECURSIVE surface
+    coverage, exact at the fixture gate."""
     cat = Catalog(spark, sf_dir)
     cat.orders.createOrReplaceTempView("orders")
     cat.lineitem.createOrReplaceTempView("lineitem")
     return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+@query("path_counts_census", oracle=_RECURSIVE_WALK_SQL)
+def path_counts_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of ``recursive_path_counts`` — IDENTICAL output
+    (same oracle statement), different algebra: hop-h path counts are a
+    matrix-vector product, n_paths(v, h+1) = Σ_{u→v} n_paths(u, h), so
+    each level is one edge join + one per-node weighted-count aggregate
+    and NO path row is ever enumerated. The recursive CTE's 540 M-row
+    walk at M=100 (one row per path — see the sibling's docstring)
+    becomes two node-scale frames; M=100 runs in 80.4 s — dominated by
+    the 60 M-edge orders×lineitem distillation every graph-family query
+    pays (graph_degrees 46 s, graph_bfs_khop 58 s same base) — where the
+    enumerating form trips Spark's recursion row guard. The same
+    census-over-enumeration move as round-9's join_range_binned: when
+    the output is a COUNT, never materialize what you can aggregate.
+    The distilled edge set is a big multi-read base (the seed filter and
+    both level joins consume it) → checkpoint_truncate, per the storage
+    policy table in session.py (measured a modest 86.0 → 80.4 s —
+    ReuseExchange already deduplicated the identical subtrees within the
+    one plan; the checkpoint makes the sharing explicit and survives
+    plan shapes ReuseExchange misses)."""
+    from ..session import checkpoint_truncate
+
+    cat = Catalog(spark, sf_dir)
+    edges = checkpoint_truncate(
+        cat.orders.join(
+            cat.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        edges.where(
+            F.col("dst").startswith("s")
+            & (F.expr("CAST(substr(dst, 2, 10) AS BIGINT) % 5") == 0)
+        )
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .withColumn("n_paths", F.lit(1).cast("long"))
+    )
+
+    def step(level: DataFrame) -> DataFrame:
+        return (
+            level.join(und, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst"))
+            .agg(F.sum("n_paths").cast("long").alias("n_paths"))
+            .select(F.col("dst").alias("node"), "n_paths")
+        )
+
+    l1 = step(seeds).persist()  # node-scale; read by the output AND level 2
+    l2 = step(l1)
+    return l1.select(
+        F.col("node").alias("reached"), F.lit(1).alias("hops"), "n_paths"
+    ).unionByName(
+        l2.select(
+            F.col("node").alias("reached"), F.lit(2).alias("hops"), "n_paths"
+        )
+    )
 
 
 _GROUPING_SETS_SQL = """

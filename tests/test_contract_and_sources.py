@@ -48,14 +48,16 @@ def test_registry_priority_window():
     assert core_regressions <= set(plans.PRIORITY)
     rotated_in = {
         # rule 2: plan/oracle changed in r10 (fused SCD2 merge; the
-        # ADVICE-r9 hazard fixes; the new PPM decode pin)
+        # ADVICE-r9 hazard fixes; the new PPM decode pin; the risk-sweep
+        # finds — fused multiprobe and the path-count census)
         "scd2_history", "join_temporal_scd2", "mm_decode_ppm",
+        "dedup_simhash_multiprobe", "path_counts_census",
         # rule 3 sample: r2-age rows (incl. the two the r9 NOTES backlog
         # omitted — VERDICT r9 What's-wrong #1)
         "math_funcs", "array_funcs", "window_running_sum",
         "similarity_topk", "grouped_udaf_median",
         # rule 3 sample: oldest r3-age rows
-        "agg_macros", "json_flatten", "dedup_minhash_banded", "pii_redact",
+        "agg_macros", "json_flatten", "dedup_minhash_banded",
     }
     assert rotated_in <= set(plans.PRIORITY)
 
