@@ -911,3 +911,24 @@ def test_ngram_jaccard_id_space_guard_trips_loudly(spark, tmp_path):
         ).write.parquet(f"{sf}/documents.parquet")
         with _pytest.raises(Exception, match="dedup_ngram_jaccard"):
             plans.QUERIES["dedup_ngram_jaccard"](spark, sf).collect()
+
+
+def test_multiprobe_emits_identical_docs_exactly_once(spark, tmp_path):
+    """The r10 fused multiprobe replaces the cross-probe DISTINCT with a
+    first-probe-wins predicate. The sharpest case: IDENTICAL documents
+    have identical signatures and collide on ALL 8 probes — the pair must
+    appear exactly once (hamming 0), proving the predicate dedups where
+    the old plan needed the distinct. Unrelated docs must not pair."""
+    rows = [
+        (1, "web", "alpha beta gamma delta epsilon zeta"),
+        (2, "web", "alpha beta gamma delta epsilon zeta"),  # identical → all-probe collision
+        (3, "web", "alpha beta gamma delta epsilon zeta"),  # three-way
+        (4, "web", "totally different words about other topics entirely"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = plans.QUERIES["dedup_simhash_multiprobe"](spark, sf).collect()
+    pairs = sorted((r.doc_a, r.doc_b, r.hamming) for r in out)
+    assert pairs == [(1, 2, 0), (1, 3, 0), (2, 3, 0)]
