@@ -63,7 +63,7 @@ from . import geo  # noqa: F401,E402
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 #
-# Round-10 instantiation — NINE rule-2 seats (every plan/oracle changed
+# Round-10 instantiation — TEN rule-2 seats (every plan/oracle changed
 # this round; details in NOTES.md round 10 — dedup_simhash_multiprobe's
 # rule-2 obligation is satisfied by its pre-existing r2-age seat below):
 #   scd2_history         merge fused to ONE full-outer-join pass (operators/
@@ -88,6 +88,10 @@ from . import geo  # noqa: F401,E402
 #                        by the r10 risk sweep; verification and
 #                        first-probe-wins dedup now run as residual
 #                        predicates inside each probe's equi-join
+#   retention_cohorts    fused to ONE events scan (per-user MIN window
+#                        over distinct user-months — the retention_curve
+#                        recipe; the last untriaged rescan site; M=100
+#                        19.9 → 12.4 s); takes mm_decode_stats' seat
 #   path_counts_census   NEW — the scale form of recursive_path_counts
 #                        (whose UNION ALL recursion materializes 540 M
 #                        path rows at M=100 and trips Spark's recursion
@@ -97,10 +101,10 @@ from . import geo  # noqa: F401,E402
 # The age ladder after r9: 16 queries whose newest green row is r2 (the
 # corrected count — the r9 NOTES backlog omitted math_funcs and
 # array_funcs) and 41 r3-age. The remaining slots re-verify ALL 16 r2-age
-# rows and the first 20 r3-age rows in registry order (scd2_history, an
-# r3-age key, is seated under rule 2 instead), dropping the maximum
-# green-row age from r2 to r3 (repetition_score, pii_redact,
-# contamination_check head the r11 rule-3 backlog).
+# rows and the first 19 r3-age rows in registry order (scd2_history and
+# retention_cohorts, r3-age keys, are seated under rule 2 instead),
+# dropping the maximum green-row age from r2 to r3 (repetition_score,
+# pii_redact, mm_decode_stats head the r11 rule-3 backlog).
 PRIORITY: tuple[str, ...] = (
     # -- 5 core regressions (driver-green r1-r9) --
     "flagship_revenue",
@@ -118,6 +122,7 @@ PRIORITY: tuple[str, ...] = (
     "mm_decode_ppm",
     "graph_jaccard_sim",
     "path_counts_census",
+    "retention_cohorts",
     # -- rule 3: all 16 r2-age rows (registry order) --
     "math_funcs",
     "array_funcs",
@@ -135,9 +140,10 @@ PRIORITY: tuple[str, ...] = (
     "enrich_rest_stub",
     "grouped_udaf_median",
     "dedup_connected_components",
-    # -- rule 3 cont.: first 20 of the r3-age cohort (registry order;
-    # scd2_history moved up into the rule-2 block; repetition_score and
-    # pii_redact displaced to r11 by the late rule-2 seats) --
+    # -- rule 3 cont.: first 19 of the r3-age cohort (registry order;
+    # scd2_history and retention_cohorts moved up into the rule-2 block;
+    # repetition_score, pii_redact and mm_decode_stats displaced to r11
+    # by the late rule-2 seats) --
     "agg_macros",
     "recursive_path_counts",
     "agg_grouping_sets",
@@ -157,7 +163,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_session_windows",
     "stream_static_enrich",
     "mm_frame_sample",
-    "mm_decode_stats",
 )
 
 

@@ -118,12 +118,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                CAST(date_trunc('month', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
                    AS cohort_month
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ), activity AS (
         SELECT DISTINCT user_id,
                CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE)
                    AS active_month
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     )
     SELECT f.cohort_month,
            (year(a.active_month) - year(f.cohort_month)) * 12
@@ -136,28 +136,39 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen month, counted
-    in each subsequent activity month. Two per-user aggregates joined on
-    ``user_id`` (co-partitioned — one logical shuffle key), then a small
-    (cohort × month) matrix aggregation. ``months_since`` uses integer
+    in each subsequent activity month. ``months_since`` uses integer
     year/month arithmetic, not timestamp differencing, so both engines agree
-    exactly. The per-user firsts table is the only state carried — linear in
-    users, not events, which is what keeps this shape viable at 100 TB."""
+    exactly.
+
+    Fused in round 10 (the last untriaged rescan site — the same idiom
+    retention_curve's r9 fusion removed): the old shape scanned events
+    TWICE (a per-user firsts aggregate joined back to the distinct
+    activity table on user_id — a USER-scale shuffle join, not
+    broadcastable at 100 TB). Now ONE scan → distinct (user, month) rows
+    → a sortless per-user MIN window attaches each user's cohort month
+    (the window re-shuffles only the user-month table) → one
+    (cohort × months_since) aggregate. Within a user each active month
+    appears once after the distinct, and months_since is 1:1 with
+    active_month for a fixed cohort, so COUNT(*) equals the oracle's
+    COUNT(DISTINCT user_id) exactly. Anonymous (NULL user_id) events are
+    excluded on BOTH engines — the window-vs-inner-join NULL divergence
+    fixed across this family in r10 (ADVICE r9). M=100: 19.9 → 12.4 s,
+    events×2 → ×1."""
     cat = Catalog(spark, sf_dir)
-    ev = cat.events.select("user_id", F.col("ts").cast("timestamp"))
-    firsts = ev.groupBy("user_id").agg(
-        F.trunc(F.min("ts"), "month").alias("cohort_month")
+    um = (
+        cat.events.where(F.col("user_id").isNotNull())
+        .select("user_id", F.trunc(F.col("ts").cast("timestamp"), "month").alias("active_month"))
+        .distinct()
     )
-    activity = ev.select(
-        "user_id", F.trunc("ts", "month").alias("active_month")
-    ).distinct()
+    cohort = F.min("active_month").over(Window.partitionBy("user_id"))
     months_since = (
         (F.year("active_month") - F.year("cohort_month")) * 12
         + (F.month("active_month") - F.month("cohort_month"))
     ).alias("months_since")
     return (
-        activity.join(firsts, "user_id")
+        um.select("active_month", cohort.alias("cohort_month"))
         .groupBy("cohort_month", months_since)
-        .agg(F.count_distinct("user_id").alias("active_users"))
+        .agg(F.count("*").alias("active_users"))
     )
 
 

@@ -932,3 +932,50 @@ def test_multiprobe_emits_identical_docs_exactly_once(spark, tmp_path):
     out = plans.QUERIES["dedup_simhash_multiprobe"](spark, sf).collect()
     pairs = sorted((r.doc_a, r.doc_b, r.hamming) for r in out)
     assert pairs == [(1, 2, 0), (1, 3, 0), (2, 3, 0)]
+
+
+def test_retention_cohorts_fused_window_matches_join_form(spark, tmp_path):
+    """The r10 fusion of retention_cohorts (one scan + per-user MIN window,
+    COUNT(*) over distinct user-months) must equal the two-scan
+    firsts-join-back form on MULTI-month data — the shipped fixtures span
+    a single month, so the oracle gate alone never exercises a cohort
+    aging across months or a returning user counted once per month."""
+    import datetime
+
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 15)
+    # user 1: active Jan, Feb, Apr (gap month); user 2: Jan only;
+    # user 3: joins Feb, active Mar twice (distinct must collapse);
+    # user 4: NULL-user twin excluded by contract (non-null here).
+    plan = {1: [0, 1, 3], 2: [0], 3: [1, 2, 2]}
+    for u, months in plan.items():
+        for m in months:
+            eid += 1
+            rows.append((eid, u, base + datetime.timedelta(days=31 * m), "click", 1.0))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string, value double"
+    ).write.parquet(f"{sf}/events.parquet")
+
+    got = {
+        (str(r.cohort_month), r.months_since, r.active_users)
+        for r in plans.QUERIES["retention_cohorts"](spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", F.trunc(F.col("ts").cast("timestamp"), "month").alias("am")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("am").alias("cm"))
+    ref = {
+        (str(r.cm), r.ms, r.n)
+        for r in ev.distinct()
+        .join(firsts, "user_id")
+        .groupBy(
+            "cm",
+            ((F.year("am") - F.year("cm")) * 12 + (F.month("am") - F.month("cm"))).alias("ms"),
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == ref
+    # the shape the fixture can't show: a January cohort aging 3 months
+    assert ("2024-01-01", 3, 1) in got
