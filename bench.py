@@ -142,6 +142,11 @@ HEADLINE = [
     # census form of recursive path counting
     "dedup_simhash_multiprobe",
     "path_counts_census",
+    # round-11 additions: the production-contract variants of the two
+    # exactness-proof heavies (VERDICT r10 item 3) — the occupancy-collapse
+    # knobs a 100 TB user actually runs, timed next to their exact siblings
+    "dedup_simhash_multiprobe_wide",
+    "dedup_ngram_jaccard_dfcut",
 ]
 
 

@@ -63,106 +63,79 @@ from . import geo  # noqa: F401,E402
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 #
-# Round-10 instantiation — TEN rule-2 seats (every plan/oracle changed
-# this round; details in NOTES.md round 10 — dedup_simhash_multiprobe's
-# rule-2 obligation is satisfied by its pre-existing r2-age seat below):
-#   scd2_history         merge fused to ONE full-outer-join pass (operators/
-#                        scd.py) — customer/orders each scanned once
-#   join_temporal_scd2   inherits the fused merge (customer×3 → ×1)
-#   dq_checks            orphan LEFT join now fan-out-proof (DISTINCT
-#                        o_orderkey side — ADVICE r9)
-#   dedup_ngram_jaccard  packed-long guard enforces BOTH id-space bounds
-#                        (negative doc_id would corrupt silently — ADVICE r9)
-#   retention_curve      NULL-user events excluded on both engines (ADVICE r9)
-#   cohort_ltv           same NULL-user alignment (ADVICE r9)
-#   mm_decode_ppm        NEW — PPM decoder hash-pinned end-to-end through
-#                        the decode_image sniffer (VERDICT r9 item 5)
-#   graph_jaccard_sim    packed-long guard now enforces BOTH id-space
-#                        bounds (same ADVICE-r9 hazard class as the dedup
-#                        twin site; takes the window's last rule-3 seat,
-#                        pushing repetition_score to the r11 backlog)
-#   dedup_simhash_multiprobe  fused probe-join rework (already seated as
-#                        an r2-age rule-3 key — the seat now satisfies
-#                        rule 2): the candidate-materializing
-#                        union+distinct+re-join was found DEAD at M=100
-#                        by the r10 risk sweep; verification and
-#                        first-probe-wins dedup now run as residual
-#                        predicates inside each probe's equi-join
-#   retention_cohorts    fused to ONE events scan (per-user MIN window
-#                        over distinct user-months — the retention_curve
-#                        recipe; the last untriaged rescan site; M=100
-#                        19.9 → 12.4 s); takes mm_decode_stats' seat
-#   path_counts_census   NEW — the scale form of recursive_path_counts
-#                        (whose UNION ALL recursion materializes 540 M
-#                        path rows at M=100 and trips Spark's recursion
-#                        guard); same oracle, per-level weighted-count
-#                        aggregation; takes the next rule-3 seat,
-#                        pushing pii_redact to the r11 backlog
-# The age ladder after r9: 16 queries whose newest green row is r2 (the
-# corrected count — the r9 NOTES backlog omitted math_funcs and
-# array_funcs) and 41 r3-age. The remaining slots re-verify ALL 16 r2-age
-# rows and the first 19 r3-age rows in registry order (scd2_history and
-# retention_cohorts, r3-age keys, are seated under rule 2 instead),
-# dropping the maximum green-row age from r2 to r3 (repetition_score,
-# pii_redact, mm_decode_stats head the r11 rule-3 backlog).
+# Round-11 instantiation — FOUR rule-2 seats:
+#   dedup_simhash_multiprobe_wide  NEW (VERDICT r10 item 3a) — the 16-bit
+#                        block production contract of the multiprobe; the
+#                        oracle is the brute-force Hamming join restricted
+#                        to the wider-block recall contract
+#   dedup_ngram_jaccard_dfcut      NEW (VERDICT r10 item 3b) — the
+#                        df-cutoff production contract of the jaccard
+#                        dedup, cutoff mirrored in the oracle's HAVING
+#   recursive_path_counts          seed filter no longer truncates ids
+#                        past 10 digits (unbounded substr — ADVICE r10)
+#   path_counts_census             same fix, same shared oracle statement
+# The age ladder after r10 (recomputed over CORRECTNESS_r01-r10): 20
+# queries whose newest green row is r3, then 35 r4-age. The remaining
+# slots re-verify ALL 20 r3-age rows (including repetition_score,
+# pii_redact, mm_decode_stats — displaced from the r10 window by its late
+# rule-2 seats) and the first 21 r4-age rows in registry order, dropping
+# the maximum green-row age from r3 to r4 (the remaining 14 r4-age keys —
+# cusum_changepoint onward — head the r12 rule-3 backlog).
 PRIORITY: tuple[str, ...] = (
-    # -- 5 core regressions (driver-green r1-r9) --
+    # -- 5 core regressions (driver-green r1-r10) --
     "flagship_revenue",
     "join_inner",
     "dedup_last_write",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    # -- rule 2: plan/oracle changed in r10 --
-    "scd2_history",
-    "join_temporal_scd2",
-    "dq_checks",
-    "dedup_ngram_jaccard",
-    "retention_curve",
-    "cohort_ltv",
-    "mm_decode_ppm",
-    "graph_jaccard_sim",
-    "path_counts_census",
-    "retention_cohorts",
-    # -- rule 3: all 16 r2-age rows (registry order) --
-    "math_funcs",
-    "array_funcs",
-    "window_running_sum",
-    "window_ntile",
-    "wordcloud_tokens",
-    "text_stats",
-    "dedup_exact_text",
-    "dedup_simhash_multiprobe",
-    "dedup_ngram_prefix",
-    "similarity_topk",
-    "dedup_embedding",
-    "stream_stateful_totals",
-    "json_map",
-    "enrich_rest_stub",
-    "grouped_udaf_median",
-    "dedup_connected_components",
-    # -- rule 3 cont.: first 19 of the r3-age cohort (registry order;
-    # scd2_history and retention_cohorts moved up into the rule-2 block;
-    # repetition_score, pii_redact and mm_decode_stats displaced to r11
-    # by the late rule-2 seats) --
-    "agg_macros",
+    # -- rule 2: plan/oracle changed in r11 --
+    "dedup_simhash_multiprobe_wide",
+    "dedup_ngram_jaccard_dfcut",
     "recursive_path_counts",
-    "agg_grouping_sets",
-    "null_semantics",
-    "json_flatten",
-    "sessionize_batch",
-    "doc_fingerprint",
-    "embed_feature_hash",
-    "dedup_minhash_banded",
-    "similarity_ann_ivf",
-    "similarity_topk_int8",
-    "dedup_semantic",
-    "cluster_centroids",
-    "kmeans_refine",
-    "pipeline_embed_topk",
-    "similarity_topk_pq",
-    "stream_session_windows",
-    "stream_static_enrich",
-    "mm_frame_sample",
+    "path_counts_census",
+    # -- rule 3: all 20 r3-age rows (registry order) --
+    "mm_decode_stats",
+    "pii_redact",
+    "repetition_score",
+    "contamination_check",
+    "corpus_split",
+    "corpus_mix_sample",
+    "quality_classifier",
+    "dedup_keep_best",
+    "graph_pagerank",
+    "join_salted",
+    "agg_two_phase",
+    "rolling_7d_features",
+    "anomaly_mad",
+    "profile_columns",
+    "histogram_value",
+    "ngram_bigram_lm",
+    "agg_incremental_merge",
+    "pysource_items",
+    "fuzzy_match_names",
+    "higher_order_funcs",
+    # -- rule 3 cont.: first 21 of the r4-age cohort (registry order) --
+    "sql_pipe_syntax",
+    "sql_session_variables",
+    "variant_extract",
+    "lang_id",
+    "quality_score",
+    "collocation_pmi",
+    "bpe_top_pairs",
+    "dedup_simhash",
+    "ann_recall_eval",
+    "udtf_expand_items",
+    "graph_triangles",
+    "graph_bfs_khop",
+    "graph_shortest_path",
+    "agg_kmv_distinct",
+    "sketch_countmin",
+    "sketch_bloom",
+    "sketch_hll",
+    "ooo_audit",
+    "fk_audit",
+    "recon_order_totals",
+    "user_streaks",
 )
 
 

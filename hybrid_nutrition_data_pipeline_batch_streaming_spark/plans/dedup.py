@@ -529,6 +529,81 @@ def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_WIDE_BLOCK_BITS = 16
+_WIDE_MASK = 2**_WIDE_BLOCK_BITS - 1  # 65535
+
+
+@query(
+    "dedup_simhash_multiprobe_wide",
+    oracle=f"""
+    WITH {_SIG_CTES_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= {HAMMING_MAX}
+      AND ((a.w0 // {_WIDE_MASK + 1}) = (b.w0 // {_WIDE_MASK + 1})
+        OR (a.w0 % {_WIDE_MASK + 1}) = (b.w0 % {_WIDE_MASK + 1})
+        OR (a.w1 // {_WIDE_MASK + 1}) = (b.w1 // {_WIDE_MASK + 1})
+        OR (a.w1 % {_WIDE_MASK + 1}) = (b.w1 % {_WIDE_MASK + 1}))
+    """,
+)
+def dedup_simhash_multiprobe_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production contract of ``dedup_simhash_multiprobe``
+    (VERDICT r10 item 3a): FOUR 16-bit probe blocks instead of eight 8-bit
+    ones. Each probe's key space is 65 536 values — 256× the 8-bit form's —
+    so block occupancy (and with it per-probe candidate volume, the
+    quantity that grows quadratically on a fixed key space) collapses by
+    the same factor at any corpus size. The price is the recall contract:
+    with only 4 blocks, {HAMMING_MAX} differing bits CAN touch every block
+    (pigeonhole needs > {HAMMING_MAX} blocks for a completeness guarantee),
+    so a near-dup pair is found iff at least one 16-bit block matches
+    exactly. The oracle states exactly that contract — the brute-force
+    Hamming join restricted to pairs sharing a block — so the green hash
+    proves the plan implements its own documented recall, not full recall
+    (sf0.01: 61 of the 78 brute-force pairs; the miss rate is the knob's
+    cost, visible and measured, never silent).
+
+    Same fused shape as the sibling: each probe is one equi-join on the
+    computed block key with the Hamming bound and first-probe-wins
+    earlier-block-inequality as residual predicates inside the join's
+    codegen loop — no candidate row materializes, no DISTINCT, each
+    qualifying pair emitted by exactly one probe."""
+    cat = Catalog(spark, sf_dir)
+    sig = simhash_signatures(cat.documents.select("doc_id", "text"))
+
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("w0").alias("a0"), F.col("w1").alias("a1")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("w0").alias("b0"), F.col("w1").alias("b1")
+    )
+
+    def block(word: str, k: int) -> Column:
+        # 16-bit half k (0 = most significant) of a 32-bit word.
+        return F.shiftright(F.col(word), _WIDE_BLOCK_BITS - _WIDE_BLOCK_BITS * k).bitwiseAND(
+            F.lit(_WIDE_MASK)
+        )
+
+    probes = [("a0", "b0", 0), ("a0", "b0", 1), ("a1", "b1", 0), ("a1", "b1", 1)]
+    hamming = (
+        F.bit_count(F.expr("a0 ^ b0")) + F.bit_count(F.expr("a1 ^ b1"))
+    ).cast("int")
+    out = None
+    for i, (wa, wb, k) in enumerate(probes):
+        cond = (
+            (block(wa, k) == block(wb, k))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (hamming <= F.lit(HAMMING_MAX))
+        )
+        for wa2, wb2, k2 in probes[:i]:  # first-probe-wins dedup
+            cond = cond & (block(wa2, k2) != block(wb2, k2))
+        pairs = sa.join(sb, cond).select(
+            "doc_a", "doc_b", hamming.alias("hamming")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup (blocked)
 # ---------------------------------------------------------------------------
@@ -655,6 +730,126 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.4)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+#: Document-frequency cutoff for the production-contract jaccard variant.
+#: Production values are corpus-tuned (10²–10⁴); the fixture value 2 is the
+#: smallest that still generates pairs, chosen so the fixture EXERCISES the
+#: prune (fixture max shingle df is 3-4, so df-3/4 postings really drop).
+NGRAM_DF_CUTOFF = 2
+
+
+@query(
+    "dedup_ngram_jaccard_dfcut",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, {_SHINGLES_SQL} AS shingles FROM documents
+    ), ex AS (
+        SELECT doc_id, source, unnest(shingles) AS s FROM sh
+    ), rare AS (
+        SELECT source, s FROM ex GROUP BY source, s
+        HAVING COUNT(*) BETWEEN 2 AND {NGRAM_DF_CUTOFF}
+    ), cand AS (
+        SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
+        FROM ex ea JOIN rare r ON ea.source = r.source AND ea.s = r.s
+        JOIN ex eb ON eb.source = r.source AND eb.s = r.s
+                  AND ea.doc_id < eb.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4
+    """,
+)
+def dedup_ngram_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-cutoff production contract of ``dedup_ngram_jaccard``
+    (VERDICT r10 item 3b — the knob the base query's posting guard tells
+    skewed corpora to use, previously prose at the guard's docstring).
+    Candidate pairs are generated ONLY from postings whose document
+    frequency is ≤ {NGRAM_DF_CUTOFF}; candidates are then verified with the
+    EXACT full-shingle jaccard. The contract — a pair is reported iff it
+    shares at least one rare shingle AND its true jaccard ≥ 0.4 — is what
+    the oracle states, so the green hash proves the documented recall, not
+    full recall. What this buys at 100 TB: per-posting pair fan-out is
+    bounded by C(df_cutoff, 2) REGARDLESS of corpus skew — the boilerplate
+    shingle shared by 100 k docs that would emit 5e9 pairs from one group
+    (the base query's loud-guard scenario) emits zero, because boilerplate
+    is precisely what the cutoff drops. True near-dups share many shingles,
+    most of them rare, so the recall loss concentrates on pairs that agree
+    ONLY on boilerplate — the pairs a dedup pipeline wants to ignore anyway.
+
+    Same packed-long pair idiom as the base query (doc_a·2³² + doc_b with
+    both id-space bounds enforced loudly); the posting-size guard is
+    replaced by the cutoff itself — the filter IS the bound."""
+    cat = Catalog(spark, sf_dir)
+    sh = cat.documents.select(
+        "doc_id", "source", _shingles(F.col("text")).alias("shingles")
+    ).persist()  # read by the posting build AND the verification join
+    ex = sh.select("doc_id", "source", F.explode("shingles").alias("s"))
+    packable = F.assert_true(
+        (F.element_at(F.col("ds"), -1) < F.lit(2**31))
+        & (F.element_at(F.col("ds"), 1) >= F.lit(0)),
+        F.lit(
+            "dedup_ngram_jaccard_dfcut: doc_id outside [0, 2^31) breaks the"
+            " packed long pair key; repack into DECIMAL(38,0) for this id"
+            " space"
+        ),
+    )
+    posting = (
+        ex.groupBy("source", "s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        # The cutoff: df-1 postings emit no pairs, df > cutoff postings are
+        # boilerplate by contract. Fan-out per surviving posting is at most
+        # C(cutoff, 2) — constant, not corpus-dependent.
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= F.lit(NGRAM_DF_CUTOFF))
+        )
+        .filter(packable.isNull())
+    )
+    cand = (
+        posting.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ds, (x, i) -> transform("
+                        "slice(ds, i + 2, size(ds)),"
+                        " y -> x * 4294967296 + y))"
+                    )
+                )
+            ).alias("pk")
+        )
+        # One row per pair even when a pair shares several rare shingles —
+        # cross-shingle dedup on the 8-byte packed key (candidate-scale:
+        # at most C(cutoff,2) per posting, not corpus-quadratic).
+        .distinct()
+        .select(
+            F.expr("pk DIV 4294967296").cast("long").alias("doc_a"),
+            F.pmod("pk", F.lit(4294967296)).cast("long").alias("doc_b"),
+        )
+    )
+    # Exact verification over the FULL shingle sets (the candidate step only
+    # gates recall; reported jaccard is the true one, same as the oracle).
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.4)
     )
 
 

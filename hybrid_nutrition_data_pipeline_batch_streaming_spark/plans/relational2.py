@@ -368,7 +368,7 @@ _RECURSIVE_WALK_SQL = """
     ), walk(node, hops) AS (
         SELECT DISTINCT src AS node, 0 AS hops
         FROM und
-        WHERE src LIKE 's%' AND CAST(substr(src, 2, 10) AS BIGINT) % 5 = 0
+        WHERE src LIKE 's%' AND CAST(substr(src, 2) AS BIGINT) % 5 = 0
         UNION ALL
         SELECT u.dst AS node, w.hops + 1 AS hops
         FROM walk w JOIN und u ON u.src = w.node
@@ -449,7 +449,10 @@ def path_counts_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (
         edges.where(
             F.col("dst").startswith("s")
-            & (F.expr("CAST(substr(dst, 2, 10) AS BIGINT) % 5") == 0)
+            # Unbounded substr (ADVICE r10): a 10-char length cap silently
+            # truncated supplier ids past 10 digits — parity held only
+            # because the oracle shared the bug.
+            & (F.expr("CAST(substr(dst, 2) AS BIGINT) % 5") == 0)
         )
         .select(F.col("dst").alias("node"))
         .distinct()

@@ -11,9 +11,12 @@ Fidelity caveat (found r10 via dedup_simhash_multiprobe): the AQE
 executedPlan tree STRING elides repeated union children, so operator
 counts are LOWER BOUNDS for union-of-similar-branches plans (the fused
 8-probe multiprobe prints 1 BroadcastHashJoin where formatted explain
-shows all 8). The rescans column is unaffected (scans sit in leaf query
-stages that print fully); for exact operator counts on a union-heavy
-plan, use df.explain(mode="formatted").
+shows all 8). Since r11 (VERDICT r10 item 4) affected rows carry an
+explicit ``[union: N joins logical]`` flag in the joins column — computed
+from the OPTIMIZED LOGICAL plan, which prints every branch — so the table
+reads true without this footnote. The rescans column is unaffected (scans
+sit in leaf query stages that print fully); for exact operator counts on a
+union-heavy plan, use df.explain(mode="formatted").
 """
 
 from __future__ import annotations
@@ -60,6 +63,17 @@ def audit(spark, name: str) -> dict | None:
     except Exception as e:  # pragma: no cover
         return {"name": name, "error": str(e)[:80]}
     joins = {k: plan.count(k) for k in JOIN_KINDS if k in plan}
+    # Union-of-similar-branches fidelity flag (VERDICT r10 item 4): the AQE
+    # tree string elides repeated union children, so when the LOGICAL plan
+    # holds more Join nodes than the physical string printed, the physical
+    # join/shuffle counts are lower bounds — say so per-row instead of
+    # relying on the module docstring's footnote.
+    union_joins = 0
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    if "Union" in lp:
+        logical_joins = len(re.findall(r"^[\s:+\-]*Join\s", lp, re.M))
+        if logical_joins > sum(joins.values()):
+            union_joins = logical_joins
     # Scans per base table: the round-9 dq_checks find (three full fact
     # scans hiding behind a clean-looking plan) made this a first-class
     # audit column — at 100 TB the fact scans ARE the cost, so any table
@@ -99,6 +113,7 @@ def audit(spark, name: str) -> dict | None:
         "name": name,
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "joins": joins,
+        "union_joins": union_joins,
         "scans": scans,
         "pushdown": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
         "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", plan))),
@@ -144,6 +159,10 @@ def main() -> None:
             lines.append(f"| {r['name']} | ERROR: {r['error']} | | | | | |")
             continue
         joins = ", ".join(f"{k}×{v}" for k, v in r["joins"].items()) or "—"
+        if r.get("union_joins"):
+            # Physical counts are lower bounds here (AQE union elision):
+            # the logical plan holds this many join branches.
+            joins += f" [union: {r['union_joins']} joins logical]"
         # Only tables scanned MORE than once are listed — a single scan per
         # table is the expected shape; persisted fragments re-read via
         # InMemoryTableScan are deliberately not counted.
