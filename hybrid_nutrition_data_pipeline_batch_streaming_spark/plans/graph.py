@@ -214,27 +214,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round convergence actions, so all rounds compose into ONE
     lazy plan — per-round shuffles are equi-joins and groupBy-sums on the
     node id, exactly the Pregel schedule."""
-    cat = Catalog(spark, sf_dir)
-    # Checkpoint the edge list BEFORE fanning it out: und references edges
-    # twice (both directions) and deg/und_deg reference und again — without
-    # the cut, the orders⋈lineitem distinct would execute ~4× inside the
-    # und_deg materialization. Node ids are parity-encoded LONGS internally
-    # (customer→2k, supplier→2k+1, like graph_bfs_khop) — every per-round
-    # shuffle keys on the node id, and fixed 8-byte keys hash/compare/ship
-    # cheaper than 'c123'/'s45' strings; the string ids are reconstructed
-    # only in the final projection so the output (and oracle) are unchanged.
-    edges = (
-        cat.orders.join(
-            cat.lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    # r11: the orders⋈lineitem distillation comes from the family-level
+    # STAGED edge table (operators/staging.py) — one build per fixture,
+    # shared with graph_kcore and both path-count queries; the parquet
+    # leaf scan replaces both the per-query join+distinct and the
+    # checkpoint_truncate that used to cut its lineage. Node ids are
+    # parity-encoded LONGS internally (customer→2k, supplier→2k+1, like
+    # graph_bfs_khop) — every per-round shuffle keys on the node id, and
+    # fixed 8-byte keys hash/compare/ship cheaper than 'c123'/'s45'
+    # strings; the string ids are reconstructed only in the final
+    # projection so the output (and oracle) are unchanged.
+    from ..operators.staging import staged_edges
+
+    edges = staged_edges(spark, sf_dir, "cust_supp").select(
+        (F.col("custkey") * 2).alias("src"),
+        (F.col("suppkey") * 2 + 1).alias("dst"),
     )
-    edges = checkpoint_truncate(edges)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -497,36 +492,23 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC loop uses). Census rows are unions of single-row aggregates (no
     driver collects). Exact integer counts — identical in any engine at any
     partitioning.""".replace("{K}", str(KCORE_K))
-    cat = Catalog(spark, sf_dir)
     # Round-5: parity-encoded LONG node ids (the pagerank/BFS scheme) — the
     # output is a census, so ids never surface and every per-round semi-join
-    # ships 8-byte keys instead of strings; and ONE checkpoint of the single
-    # orientation, mirrored reader-side (half the write).
-    edges = (
-        cat.orders.join(
-            cat.lineitem.select("l_orderkey", "l_suppkey"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    # ships 8-byte keys instead of strings.
+    # r11: the initial distillation reads the family-level STAGED edge
+    # table (operators/staging.py). This supersedes the whole r5/r8
+    # checkpoint-primitive choice that used to sit here (reliable
+    # checkpoint vs serialized scratch_checkpoint — the deserialized
+    # fallback OOMed the 8 g heap at M=100): a staged parquet leaf IS a
+    # reliable on-disk materialization, read back page-cache-cheap with
+    # zero executor storage-pool footprint, and it is shared with
+    # graph_pagerank and both path-count queries instead of rebuilt here.
+    from ..operators.staging import staged_edges
+
+    edges = staged_edges(spark, sf_dir, "cust_supp").select(
+        (F.col("custkey") * 2).alias("src"),
+        (F.col("suppkey") * 2 + 1).alias("dst"),
     )
-    # Initial distillation: reliable checkpoint when a dir is configured
-    # (fastest measured M=100 config: 112.6 s — the disk write is page-
-    # cache-cheap to read back and keeps the heap clear of storage blocks).
-    # WITHOUT a dir, the old deserialized localCheckpoint fallback OOMs the
-    # 8 g heap at M=100 (r5 finding, reproduced r8); the serialized
-    # scratch_checkpoint completes at 124.7 s — so the no-dir fallback goes
-    # through it instead. dedup_keep_best's CC labels measured the OPPOSITE
-    # preference (61.2 s deserialized vs 80.6 s serialized — small slivers,
-    # serialize CPU dominates), which is why this is a site choice, not a
-    # checkpoint_truncate-wide change (SCALE.md round-8).
-    if spark.sparkContext.getCheckpointDir() is not None:
-        edges = checkpoint_truncate(edges)
-    else:
-        edges = scratch_checkpoint(edges)
 
     def _doubled(ed):
         return ed.union(
@@ -643,21 +625,21 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     reusable), the visited anti-join gains a bloom pre-filter, and hub skew
     lands on AQE's skew-join split."""
     li = Catalog(spark, sf_dir).lineitem
-    pk, sk = F.col("l_partkey") * 2, F.col("l_suppkey") * 2 + 1
-    # ONE distinct over the fact table; both orientations derive from it
-    # (distinct-then-mirror halves the heavy shuffle vs per-direction
-    # distincts).
-    pairs = li.select(pk.alias("s"), sk.alias("t")).distinct()
-    # Cut lineage at the edge list and each frontier: level h's plan
+    # r11: ONE distinct over the fact table, staged per fixture
+    # (operators/staging.py) and shared with graph_jaccard_sim; both
+    # orientations derive from the single stored orientation (the mirror
+    # is a reader-side column swap — the same halved-write discipline the
+    # r5 M=100 study established for the per-query checkpoint this scan
+    # replaces). Frontier/visited cuts below stay: level h's plan
     # otherwise EMBEDS levels 0..h-1 (frontier ⋈ edges, anti ⋈ visited) —
     # exponential plan growth and per-level re-analysis even under cache
     # (same measured pathology as the CC loop; see module docstring).
-    # Frontiers are node-scale, so the cut is cheap. Checkpoint ONE
-    # orientation and mirror it afterwards: the M=100 study showed the
-    # reliable-checkpoint write of the edge list is the dominant cost at
-    # scale, and storing both directions doubles it for a column swap the
-    # reader can do for free.
-    pairs_ck = checkpoint_truncate(pairs)
+    from ..operators.staging import staged_edges
+
+    pairs_ck = staged_edges(spark, sf_dir, "part_supp").select(
+        (F.col("partkey") * 2).alias("s"),
+        (F.col("suppkey") * 2 + 1).alias("t"),
+    )
     und = pairs_ck.union(
         pairs_ck.select(F.col("t").alias("s"), F.col("s").alias("t"))
     )
@@ -751,10 +733,14 @@ def graph_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle while contributing no similarity signal. The cap is ~4× the
     max part degree of every shipped fixture, so test results are
     bit-identical; on skewed production data it is THE knob."""
-    li = Catalog(spark, sf_dir).lineitem
-    adj0 = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # r11: the DISTINCT (supplier, part) adjacency is the same staged
+    # distillation graph_bfs_khop reads (operators/staging.py) — built
+    # once per fixture, leaf-scanned here.
+    from ..operators.staging import staged_edges
+
+    adj0 = staged_edges(spark, sf_dir, "part_supp").select(
+        F.col("suppkey").alias("s"), F.col("partkey").alias("p")
+    )
     # ONE part-keyed shuffle does cap + wedge generation: collect each
     # part's (distinct, sorted) supplier bag, drop hub bags, and emit the
     # C(d,2) ordered pairs map-side from the bag — no adjacency self-join

@@ -381,6 +381,36 @@ _RECURSIVE_WALK_SQL = """
 """
 
 
+# The Spark-side statement: identical recursion, but the edges CTE reads the
+# FAMILY-LEVEL STAGED distillation (operators/staging.py — r11, VERDICT r10
+# item 6) instead of re-running orders⋈lineitem+DISTINCT. The ORACLE stays
+# the self-contained _RECURSIVE_WALK_SQL above: DuckDB recomputes the edges
+# from the base tables, so the green hash also re-proves the staged table
+# equals the inline distillation.
+_RECURSIVE_WALK_STAGED_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT 'c' || custkey AS src, 's' || suppkey AS dst
+        FROM staged_cust_supp
+    ), und AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ), walk(node, hops) AS (
+        SELECT DISTINCT src AS node, 0 AS hops
+        FROM und
+        WHERE src LIKE 's%' AND CAST(substr(src, 2) AS BIGINT) % 5 = 0
+        UNION ALL
+        SELECT u.dst AS node, w.hops + 1 AS hops
+        FROM walk w JOIN und u ON u.src = w.node
+        WHERE w.hops < 2
+    )
+    SELECT node AS reached, hops, COUNT(*) AS n_paths
+    FROM walk
+    WHERE hops > 0
+    GROUP BY node, hops
+"""
+
+
 @query("recursive_path_counts", oracle=_RECURSIVE_WALK_SQL)
 def recursive_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (WITH RECURSIVE — the SQL-surface capability Spark 4
@@ -403,11 +433,16 @@ def recursive_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     result as two per-level weighted-count aggregates (the r9
     census-over-enumeration lesson applied to recursion) and is the
     production path; this query stays as the WITH RECURSIVE surface
-    coverage, exact at the fixture gate."""
-    cat = Catalog(spark, sf_dir)
-    cat.orders.createOrReplaceTempView("orders")
-    cat.lineitem.createOrReplaceTempView("lineitem")
-    return spark.sql(_RECURSIVE_WALK_SQL)
+    coverage, exact at the fixture gate. Since r11 the edges CTE reads the
+    family-level staged distillation (operators/staging.py); the oracle
+    still derives edges from the base tables, so the green hash also
+    re-proves staged == inline."""
+    from ..operators.staging import staged_edges
+
+    staged_edges(spark, sf_dir, "cust_supp").createOrReplaceTempView(
+        "staged_cust_supp"
+    )
+    return spark.sql(_RECURSIVE_WALK_STAGED_SQL)
 
 
 @query("path_counts_census", oracle=_RECURSIVE_WALK_SQL)
@@ -418,30 +453,25 @@ def path_counts_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     each level is one edge join + one per-node weighted-count aggregate
     and NO path row is ever enumerated. The recursive CTE's 540 M-row
     walk at M=100 (one row per path — see the sibling's docstring)
-    becomes two node-scale frames; M=100 runs in 80.4 s — dominated by
-    the 60 M-edge orders×lineitem distillation every graph-family query
-    pays (graph_degrees 46 s, graph_bfs_khop 58 s same base) — where the
+    becomes two node-scale frames; M=100 ran 80.4 s in r10 — dominated
+    by the 60 M-edge orders×lineitem distillation — where the
     enumerating form trips Spark's recursion row guard. The same
     census-over-enumeration move as round-9's join_range_binned: when
     the output is a COUNT, never materialize what you can aggregate.
-    The distilled edge set is a big multi-read base (the seed filter and
-    both level joins consume it) → checkpoint_truncate, per the storage
-    policy table in session.py (measured a modest 86.0 → 80.4 s —
-    ReuseExchange already deduplicated the identical subtrees within the
-    one plan; the checkpoint makes the sharing explicit and survives
-    plan shapes ReuseExchange misses)."""
-    from ..session import checkpoint_truncate
+    r11 (VERDICT r10 item 6): the distillation now comes from the
+    family-level STAGED edge table (operators/staging.py) — built once
+    per fixture, read as a leaf parquet scan by every consumer (this
+    query, graph_pagerank, graph_kcore, recursive_path_counts). The
+    scan replaces the per-query join+distinct AND the
+    checkpoint_truncate that used to cut its lineage (a parquet leaf
+    needs no cut, and its blocks live outside the executor storage
+    pool). The oracle still derives edges from the base tables, so the
+    green hash re-proves staged == inline every round."""
+    from ..operators.staging import staged_edges
 
-    cat = Catalog(spark, sf_dir)
-    edges = checkpoint_truncate(
-        cat.orders.join(
-            cat.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
-        )
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
+    edges = staged_edges(spark, sf_dir, "cust_supp").select(
+        F.concat(F.lit("c"), F.col("custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("suppkey")).alias("dst"),
     )
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

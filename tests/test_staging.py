@@ -1,0 +1,113 @@
+"""Staged edge-distillation layer (operators/staging.py — VERDICT r10 #6).
+
+The graph family shares two fixture-derived edge distillations; the staging
+layer builds each once per fixture CONTENT and serves every consumer a leaf
+parquet scan. These tests pin the three properties correctness depends on:
+staged == inline, write-once (the second call reads, never rebuilds), and
+content-addressed invalidation (touching a source file forces a rebuild).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hybrid_nutrition_data_pipeline_batch_streaming_spark.operators import staging
+
+
+def _with_root(monkeypatch, tmp_path):
+    root = str(tmp_path / "staged")
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", root)
+    return root
+
+
+def test_staged_equals_inline_and_is_write_once(spark, tmp_path, monkeypatch):
+    root = _with_root(monkeypatch, tmp_path)
+    sf = "/root/testdata/sf0.001"
+
+    got = staging.staged_edges(spark, sf, "cust_supp")
+    assert got.columns == ["custkey", "suppkey"]
+    inline = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    # Write-once: the published directory is not touched by a second call.
+    entry = next(d for d in os.listdir(root) if d.startswith("cust_supp-"))
+    marker = os.path.join(root, entry, "_SUCCESS")
+    mtime = os.stat(marker).st_mtime_ns
+    again = staging.staged_edges(spark, sf, "cust_supp")
+    assert os.stat(marker).st_mtime_ns == mtime
+    assert again.count() == got.count()
+
+    # part_supp twin: same table both consumers derive from.
+    ps = staging.staged_edges(spark, sf, "part_supp")
+    assert ps.columns == ["partkey", "suppkey"]
+    inline_ps = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+    )
+    assert ps.count() == inline_ps.count()
+
+
+def test_staged_invalidates_on_source_change(spark, tmp_path, monkeypatch):
+    """Fingerprint = (path, size, mtime_ns) of every source file: rewriting
+    a source with DIFFERENT content must yield a fresh staged entry — the
+    stale one is simply never addressed again (no explicit invalidation to
+    forget). This is the property that makes the driver's per-round fixture
+    regeneration safe."""
+    root = _with_root(monkeypatch, tmp_path)
+    sf = str(tmp_path / "sf")
+    src = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "l_partkey long, l_suppkey long"
+    )
+    src.write.parquet(f"{sf}/lineitem.parquet")
+
+    first = staging.staged_edges(spark, sf, "part_supp")
+    assert first.count() == 3
+    fp1 = staging.fingerprint(sf, "part_supp")
+
+    # Regenerate the fixture (the driver does this between rounds).
+    spark.createDataFrame(
+        [(1, 10), (3, 12)], "l_partkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    fp2 = staging.fingerprint(sf, "part_supp")
+    assert fp1 != fp2
+    second = staging.staged_edges(spark, sf, "part_supp")
+    assert sorted(map(tuple, second.collect())) == [(1, 10), (3, 12)]
+    # Both entries exist until pruned by count — the stale one is orphaned,
+    # not corrupted.
+    entries = [d for d in os.listdir(root) if d.startswith("part_supp-")]
+    assert len(entries) == 2
+
+
+def test_staged_consumers_share_one_entry(spark, tmp_path, monkeypatch):
+    """graph_pagerank, graph_kcore and path_counts_census must all resolve
+    to the SAME staged cust_supp entry (one build, three readers) — and
+    produce their documented shapes from it."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+
+    root = _with_root(monkeypatch, tmp_path)
+    sf = "/root/testdata/sf0.001"
+    n_census = plans.QUERIES["path_counts_census"](spark, sf).count()
+    n_rec = plans.QUERIES["recursive_path_counts"](spark, sf).count()
+    assert n_census == n_rec > 0
+    plans.QUERIES["graph_pagerank"](spark, sf).count()
+    entries = [d for d in os.listdir(root) if d.startswith("cust_supp-")]
+    assert len(entries) == 1  # one fixture → one entry, all consumers
