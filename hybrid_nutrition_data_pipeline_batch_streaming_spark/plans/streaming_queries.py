@@ -115,8 +115,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     open-session horizon, single-file driver fixtures are one batch as
     before, and Spark's final no-data micro-batch flushes the closed
     tail, so the emitted set is deterministic across layouts. The
-    late-row caveat is the same as stream_stream_join's: the reader
-    prefers the event-time-ordered layout where the generator wrote one."""
+    late-row caveat is ENFORCED since r11 (ADVICE r10): the reader
+    prefers the event-time-ordered layout where the generator wrote one
+    and REFUSES a bounded trigger over an unordered multi-file layout
+    (silent late-row drops are the one corruption mode of this plan);
+    tests/test_streaming.py drains an ordered multi-file layout against
+    an independent in-test oracle as the executable evidence."""
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=4)
     return run_to_memory(session_windows(stream), output_mode="append")
 

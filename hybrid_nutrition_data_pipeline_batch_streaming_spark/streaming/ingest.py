@@ -138,6 +138,29 @@ def read_events_stream(
     # see _events_table_path) stream THAT — watermarked multi-batch drains
     # need event-time-ordered file arrival.
     events_dir = _events_table_path(sf_dir)
+    # ADVICE r10: a bounded trigger over an UNORDERED multi-file layout
+    # advances the watermark in file-arrival (mtime) order, which SILENTLY
+    # drops late rows — the one silent-corruption mode of the r10 append
+    # rework. The precondition is now enforced, not just documented: a
+    # bounded trigger requires either the event-time-ordered layout
+    # (events_ordered.parquet) or a single-file layout (one micro-batch —
+    # ordering moot). Refusing loudly beats both a wrong answer and the
+    # heap OOM a forced single-batch drain would hit at the scales where
+    # multi-file layouts appear.
+    if (
+        max_files_per_trigger is not None
+        and os.path.basename(events_dir) == "events.parquet"
+        and os.path.isdir(events_dir)
+        and sum(f.endswith(".parquet") for f in os.listdir(events_dir)) > 1
+    ):
+        raise ValueError(
+            "read_events_stream: maxFilesPerTrigger over the unordered "
+            "multi-file events.parquet layout would advance the watermark "
+            "in file-mtime order and silently drop late rows; write an "
+            "event-time-ordered layout (events_ordered.parquet — "
+            "tools/make_scale_data.py gen_events_ordered) or drain in one "
+            "batch (max_files_per_trigger=None)"
+        )
     reader = spark.readStream.schema(schema)
     if not os.path.isdir(events_dir):
         glob_name = os.path.basename(events_dir)

