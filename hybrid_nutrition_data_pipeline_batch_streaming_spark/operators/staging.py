@@ -47,17 +47,31 @@ from pyspark.sql import functions as F
 
 _KEEP_NEWEST = 8
 
-#: kind -> (source tables, builder). Builders receive a Catalog and return
-#: the distilled frame; columns are the RAW key pairs — consumers apply
-#: their own node encodings ('c'||k strings, parity-encoded 2k/2k+1 longs)
-#: map-side, so one staged table serves every encoding.
+#: kind -> (source tables, builder version). The version participates in
+#: the fingerprint: when a builder's SEMANTICS change (minhash params, a
+#: different distinct), bumping it orphans every entry built by the old
+#: code — without it a staged table could silently serve stale semantics
+#: to a round that changed the plan. Columns are the RAW key pairs —
+#: consumers apply their own node encodings ('c'||k strings,
+#: parity-encoded 2k/2k+1 longs) map-side, so one staged table serves
+#: every encoding.
 _KINDS = {
-    "cust_supp": ("orders", "lineitem"),
-    "part_supp": ("lineitem",),
+    "cust_supp": (("orders", "lineitem"), "v1"),
+    "part_supp": (("lineitem",), "v1"),
+    # The verified banded-MinHash near-dup pair table (doc_a, doc_b,
+    # jaccard >= 0.5) — the edge base of the whole document-cluster family
+    # (connected components, triangles, degrees, modularity, keep-best,
+    # threshold sweep), each of which rebuilt shingles+signatures+joins
+    # per query before r11.
+    "doc_pairs": (("documents",), "v1"),
 }
 
 
 def _build(kind: str, cat) -> DataFrame:
+    if kind == "doc_pairs":
+        from ..plans.dedup import banded_minhash_pairs
+
+        return banded_minhash_pairs(cat.documents.select("doc_id", "text"))
     if kind == "cust_supp":
         return (
             cat.orders.select("o_orderkey", "o_custkey")
@@ -108,10 +122,11 @@ def _file_stats(path: str):
 
 
 def fingerprint(sf_dir: str, kind: str) -> str:
+    tables, version = _KINDS[kind]
     h = hashlib.sha256()
     h.update(os.path.realpath(sf_dir).encode())
-    h.update(kind.encode())
-    for table in _KINDS[kind]:
+    h.update(f"{kind}:{version}".encode())
+    for table in tables:
         src = os.path.join(sf_dir, f"{table}.parquet")
         for rel, size, mtime in _file_stats(src):
             h.update(f"{table}/{rel}:{size}:{mtime}".encode())

@@ -63,7 +63,7 @@ from . import geo  # noqa: F401,E402
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 #
-# Round-11 instantiation — SIX rule-2 seats:
+# Round-11 instantiation — TEN rule-2 seats:
 #   dedup_simhash_multiprobe_wide  NEW (VERDICT r10 item 3a) — the 16-bit
 #                        block production contract of the multiprobe; the
 #                        oracle is the brute-force Hamming join restricted
@@ -78,16 +78,22 @@ from . import geo  # noqa: F401,E402
 #   graph_kcore                    initial distillation → staged edge
 #                        table (operators/staging.py, VERDICT r10 item 6)
 #   graph_jaccard_sim              adjacency → the staged part_supp table
-# (graph_pagerank and graph_bfs_khop also moved to staged edges; their
-# rule-2 obligation is satisfied by their pre-existing rule-3 seats below.)
+#   dedup_connected_components     edge base → staged doc_pairs (the
+#                        banded-minhash pair table, built once per fixture)
+#   graph_degrees                  same staged doc_pairs conversion
+#   graph_modularity               same
+#   dedup_threshold_sweep          same
+# (graph_pagerank, graph_bfs_khop, graph_triangles and dedup_keep_best
+# also moved to staged edges; their rule-2 obligation is satisfied by
+# their pre-existing rule-3 seats below.)
 # The age ladder after r10 (recomputed over CORRECTNESS_r01-r10): 20
 # queries whose newest green row is r3, then 35 r4-age. The remaining
 # slots re-verify ALL 20 r3-age rows (including repetition_score,
 # pii_redact, mm_decode_stats — displaced from the r10 window by its late
-# rule-2 seats) and the first 19 r4-age rows in registry order, dropping
-# the maximum green-row age from r3 to r4 (the remaining 16 r4-age keys —
-# recon_order_totals, user_streaks, cusum_changepoint onward — head the
-# r12 rule-3 backlog).
+# rule-2 seats) and the first 15 r4-age rows in registry order, dropping
+# the maximum green-row age from r3 to r4 (the remaining 20 r4-age keys —
+# sketch_bloom, sketch_hll, ooo_audit, fk_audit, recon_order_totals,
+# user_streaks, cusum_changepoint onward — head the r12 rule-3 backlog).
 PRIORITY: tuple[str, ...] = (
     # -- 5 core regressions (driver-green r1-r10) --
     "flagship_revenue",
@@ -102,6 +108,10 @@ PRIORITY: tuple[str, ...] = (
     "path_counts_census",
     "graph_kcore",
     "graph_jaccard_sim",
+    "dedup_connected_components",
+    "graph_degrees",
+    "graph_modularity",
+    "dedup_threshold_sweep",
     # -- rule 3: all 20 r3-age rows (registry order) --
     "mm_decode_stats",
     "pii_redact",
@@ -123,7 +133,7 @@ PRIORITY: tuple[str, ...] = (
     "pysource_items",
     "fuzzy_match_names",
     "higher_order_funcs",
-    # -- rule 3 cont.: first 19 of the r4-age cohort (registry order) --
+    # -- rule 3 cont.: first 15 of the r4-age cohort (registry order) --
     "sql_pipe_syntax",
     "sql_session_variables",
     "variant_extract",
@@ -139,10 +149,6 @@ PRIORITY: tuple[str, ...] = (
     "graph_shortest_path",
     "agg_kmv_distinct",
     "sketch_countmin",
-    "sketch_bloom",
-    "sketch_hll",
-    "ooo_audit",
-    "fk_audit",
 )
 
 

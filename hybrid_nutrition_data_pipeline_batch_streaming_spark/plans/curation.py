@@ -693,11 +693,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned on doc_id, and the survivor window partitions by
     cluster_rep — no stage touches pair-count-squared data."""
     from ..catalog import Catalog as _Cat
-    from .dedup import dedup_minhash_banded
+    from ..operators.staging import staged_edges
     from .graph import connected_components
 
     cat = _Cat(spark, sf_dir)
-    edges = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    # r11: staged doc_pairs distillation (operators/staging.py) — one
+    # pair build per fixture, shared by the document-cluster family.
+    edges = staged_edges(spark, sf_dir, "doc_pairs").select("doc_a", "doc_b")
     labels = connected_components(cat.documents.select("doc_id"), edges).select(
         "doc_id", "cluster_rep"
     )

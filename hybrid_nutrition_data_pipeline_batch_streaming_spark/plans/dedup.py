@@ -1304,7 +1304,12 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     afternoon and a re-scan-per-candidate at corpus scale. The thresholds
     compare against the same double Jaccard both engines derive from
     identical integer set sizes, so the filter is bit-identical."""
-    pairs = dedup_minhash_banded(spark, sf_dir)
+    from ..operators.staging import staged_edges
+
+    # r11: the verified pair table is the staged doc_pairs distillation
+    # (operators/staging.py) — the "generated ONCE" the docstring promises
+    # now holds ACROSS queries, not just within this one.
+    pairs = staged_edges(spark, sf_dir, "doc_pairs")
     thr = pairs.sparkSession.createDataFrame(
         [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
     )

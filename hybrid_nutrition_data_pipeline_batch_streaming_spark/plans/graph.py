@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 from ..catalog import Catalog
 from ..session import checkpoint_truncate, scratch_checkpoint
 from .registry import ORACLE, query
-from .dedup import dedup_minhash_banded
 
 MAX_ROUNDS = 15  # >> near-dup cluster diameter; loop exits early on fixpoint
 
@@ -277,8 +276,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id. ``keep`` marks the one survivor per cluster — the actual
     keep/drop decision a dedup pipeline ships. Singletons (no near-dup) keep
     themselves, so this is a total map over the corpus."""
+    from ..operators.staging import staged_edges
+
     cat = Catalog(spark, sf_dir)
-    edges = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    # r11: the verified pair table comes from the staged doc_pairs
+    # distillation (operators/staging.py) — one shingle+minhash+verify
+    # build per fixture, shared by the whole document-cluster family; the
+    # oracle still derives pairs from the documents table, so the green
+    # hash re-proves staged == inline.
+    edges = staged_edges(spark, sf_dir, "doc_pairs").select("doc_a", "doc_b")
     labels = connected_components(cat.documents.select("doc_id"), edges)
     sizes = labels.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
     return (
@@ -328,7 +334,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse — wedge counts stay near-linear — and the canonical a<b ordering
     already implements the "orient by degree" trick's worst case; at 100 TB
     add the degree-ordering refinement to bound skew from hub nodes."""
-    edges = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b").persist()
+    from ..operators.staging import staged_edges
+
+    # r11: staged doc_pairs distillation (see dedup_connected_components).
+    edges = staged_edges(spark, sf_dir, "doc_pairs").select("doc_a", "doc_b").persist()
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     return (
         e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
@@ -375,7 +384,10 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     (expensive, unmaterialized) banded pair generation, and a union
     consumes that pipeline twice while the explode consumes it once
     (measured at M=100: 90.8 s → the pair-generation cost once)."""
-    edges = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    from ..operators.staging import staged_edges
+
+    # r11: staged doc_pairs distillation (see dedup_connected_components).
+    edges = staged_edges(spark, sf_dir, "doc_pairs").select("doc_a", "doc_b")
     und = edges.select(F.explode(F.array("doc_a", "doc_b")).alias("node"))
     deg = und.groupBy("node").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes"))
@@ -1011,7 +1023,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row edge total broadcasts into the closed form. At ~1e9 edges
     the 4m² term moves to DECIMAL(38,0)."""
     cat = Catalog(spark, sf_dir)
-    edges = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    from ..operators.staging import staged_edges
+
+    # r11: staged doc_pairs distillation (see dedup_connected_components).
+    edges = staged_edges(spark, sf_dir, "doc_pairs").select("doc_a", "doc_b")
     edges = checkpoint_truncate(edges)
     langs = cat.documents.select("doc_id", "lang")
     tot = edges.agg(F.count("*").cast("long").alias("m"))

@@ -111,3 +111,42 @@ def test_staged_consumers_share_one_entry(spark, tmp_path, monkeypatch):
     plans.QUERIES["graph_pagerank"](spark, sf).count()
     entries = [d for d in os.listdir(root) if d.startswith("cust_supp-")]
     assert len(entries) == 1  # one fixture → one entry, all consumers
+
+
+def test_doc_pairs_staged_equals_inline_and_is_shared(spark, tmp_path, monkeypatch):
+    """The doc_pairs kind stages the VERIFIED banded-minhash pair table;
+    it must equal the registered dedup_minhash_banded query bit-for-bit,
+    and the whole document-cluster family must resolve to the one entry."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+
+    root = _with_root(monkeypatch, tmp_path)
+    sf = "/root/testdata/sf0.001"
+    staged = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in staging.staged_edges(spark, sf, "doc_pairs").collect()
+    }
+    inline = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in plans.QUERIES["dedup_minhash_banded"](spark, sf).collect()
+    }
+    assert staged == inline and staged
+    plans.QUERIES["dedup_connected_components"](spark, sf).count()
+    plans.QUERIES["graph_degrees"](spark, sf).count()
+    plans.QUERIES["dedup_threshold_sweep"](spark, sf).count()
+    entries = [d for d in os.listdir(root) if d.startswith("doc_pairs-")]
+    assert len(entries) == 1
+
+
+def test_builder_version_participates_in_fingerprint(monkeypatch, tmp_path):
+    """Bumping a builder's version string must orphan old entries even when
+    the source data is byte-identical — the guard against a future round
+    changing pair SEMANTICS while stale staged tables survive on disk."""
+    sf = str(tmp_path / "sf")
+    os.makedirs(f"{sf}")
+    with open(f"{sf}/documents.parquet", "wb") as f:
+        f.write(b"stub")  # fingerprint only stats the file, never reads it
+    fp_v1 = staging.fingerprint(sf, "doc_pairs")
+    monkeypatch.setitem(
+        staging._KINDS, "doc_pairs", (("documents",), "v2-test")
+    )
+    assert staging.fingerprint(sf, "doc_pairs") != fp_v1
