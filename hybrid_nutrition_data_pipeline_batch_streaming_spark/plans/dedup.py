@@ -733,11 +733,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Document-frequency cutoff for the production-contract jaccard variant.
-#: Production values are corpus-tuned (10²–10⁴); the fixture value 2 is the
-#: smallest that still generates pairs, chosen so the fixture EXERCISES the
-#: prune (fixture max shingle df is 3-4, so df-3/4 postings really drop).
-NGRAM_DF_CUTOFF = 2
+#: Corpus-scaled document-frequency cutoff for the production-contract
+#: jaccard variant: cutoff = max(NGRAM_DF_CUTOFF_MIN,
+#: n_docs DIV NGRAM_DF_CUTOFF_DIV). An ABSOLUTE cutoff has no stable
+#: meaning across scales — the r11 M=100 study found that at 500 k
+#: word-salad docs the vocabulary saturates (median shingle df 43, max
+#: 81) and the absolute-2 draft pruned the planted near-dup signal to
+#: zero rows, while the 20 k-doc slice still matched the exact query.
+#: The divisor is tuned the way production knobs are, from the measured
+#: df distribution: at M=100 it yields cutoff 40, below which sit 99.8%
+#: of the exact query's pairs (1374/1377 planted near-dups share at
+#: least one sub-cutoff shingle) while the C(L,2) posting fan-out
+#: collapses 464 M -> 108 M (4.3x). At the driver fixtures (500 docs,
+#: max df 4) the floor of 2 applies and the prune is still exercised.
+NGRAM_DF_CUTOFF_MIN = 2
+NGRAM_DF_CUTOFF_DIV = 12_500
+
+#: Minimum FILTERED-representation size for a document to be judged at
+#: all. Without it, two docs sharing one rare shingle out of two-element
+#: filtered sets score jaccard 0.5 — a false positive class the fixture
+#: showed immediately (26 spurious pairs at sf0.01). Production dedup
+#: applies the same floor ("too little signal to judge"); mirrored in
+#: the oracle, so the floor is part of the verified contract.
+NGRAM_DFCUT_MIN_SIGNAL = 5
 
 
 @query(
@@ -749,45 +767,68 @@ NGRAM_DF_CUTOFF = 2
         SELECT doc_id, source, unnest(shingles) AS s FROM sh
     ), rare AS (
         SELECT source, s FROM ex GROUP BY source, s
-        HAVING COUNT(*) BETWEEN 2 AND {NGRAM_DF_CUTOFF}
-    ), cand AS (
-        SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
-        FROM ex ea JOIN rare r ON ea.source = r.source AND ea.s = r.s
-        JOIN ex eb ON eb.source = r.source AND eb.s = r.s
-                  AND ea.doc_id < eb.doc_id
+        HAVING COUNT(*) BETWEEN 2 AND GREATEST(
+            {NGRAM_DF_CUTOFF_MIN},
+            (SELECT COUNT(*) FROM documents) // {NGRAM_DF_CUTOFF_DIV})
+    ), rex AS (
+        SELECT ex.doc_id, ex.source, ex.s FROM ex JOIN rare USING (source, s)
+    ), nsz AS (
+        SELECT doc_id, COUNT(*) AS n FROM rex GROUP BY doc_id
+        HAVING COUNT(*) >= {NGRAM_DFCUT_MIN_SIGNAL}
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM rex a JOIN rex b
+          ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
     )
-    SELECT c.doc_a, c.doc_b,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-    FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+    FROM inter
+    JOIN nsz na ON na.doc_id = doc_a
+    JOIN nsz nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.4
     """,
 )
 def dedup_ngram_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The df-cutoff production contract of ``dedup_ngram_jaccard``
     (VERDICT r10 item 3b — the knob the base query's posting guard tells
     skewed corpora to use, previously prose at the guard's docstring).
-    Candidate pairs are generated ONLY from postings whose document
-    frequency is ≤ {NGRAM_DF_CUTOFF}; candidates are then verified with the
-    EXACT full-shingle jaccard. The contract — a pair is reported iff it
-    shares at least one rare shingle AND its true jaccard ≥ 0.4 — is what
-    the oracle states, so the green hash proves the documented recall, not
-    full recall. What this buys at 100 TB: per-posting pair fan-out is
-    bounded by C(df_cutoff, 2) REGARDLESS of corpus skew — the boilerplate
-    shingle shared by 100 k docs that would emit 5e9 pairs from one group
-    (the base query's loud-guard scenario) emits zero, because boilerplate
-    is precisely what the cutoff drops. True near-dups share many shingles,
-    most of them rare, so the recall loss concentrates on pairs that agree
-    ONLY on boilerplate — the pairs a dedup pipeline wants to ignore anyway.
+    Semantics are the C4/Gopher-style FILTERED REPRESENTATION: shingles
+    above the corpus-scaled df cutoff are dropped from every document's
+    set (boilerplate carries no identity, like stopwords in retrieval),
+    documents with fewer than {NGRAM_DFCUT_MIN_SIGNAL} surviving shingles
+    are excluded (too little signal to judge — the floor that kills the
+    tiny-set false-positive class), and jaccard is computed EXACTLY over
+    the filtered sets. The oracle states precisely this contract — same
+    GREATEST-over-COUNT(*) cutoff, same floor — so the green hash proves
+    the documented semantics at every scale.
 
-    Same packed-long pair idiom as the base query (doc_a·2³² + doc_b with
-    both id-space bounds enforced loudly); the posting-size guard is
-    replaced by the cutoff itself — the filter IS the bound."""
+    Why not generate candidates from rare postings and verify with the
+    FULL-set jaccard? That shape materializes a DISTINCT over ~10⁸
+    candidate pairs and then pays an array-intersect per candidate — the
+    same candidate-materialization class the r10 risk sweep found dead in
+    dedup_simhash_multiprobe (this round's first draft of THIS query hit
+    it at M=100). The filtered form keeps the base query's provably
+    scalable shape instead: ONE (source, shingle)-keyed posting shuffle,
+    map-side C(L,2) packed-long pair explode bounded by C(cutoff, 2) per
+    posting, one count aggregation, two size joins. No candidate row
+    materializes; no array ever crosses a shuffle.
+
+    Plan notes: the corpus count rides in as a broadcast 1-row aggregate
+    (never a driver collect); sub-floor docs are cheapest removed AFTER
+    pair counting (an eligible pair's intersection count is unaffected by
+    sub-floor docs, so the inner join with the floored size table drops
+    exactly the pairs touching them); packed-long id-space bounds
+    enforced loudly as in the base query."""
     cat = Catalog(spark, sf_dir)
     sh = cat.documents.select(
         "doc_id", "source", _shingles(F.col("text")).alias("shingles")
-    ).persist()  # read by the posting build AND the verification join
+    )
+    ndocs = cat.documents.agg(F.count("*").alias("n_docs"))
+    cutoff = F.greatest(
+        F.lit(NGRAM_DF_CUTOFF_MIN),
+        F.expr(f"n_docs DIV {NGRAM_DF_CUTOFF_DIV}"),
+    )
     ex = sh.select("doc_id", "source", F.explode("shingles").alias("s"))
     packable = F.assert_true(
         (F.element_at(F.col("ds"), -1) < F.lit(2**31))
@@ -801,55 +842,49 @@ def dedup_ngram_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = (
         ex.groupBy("source", "s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        # The cutoff: df-1 postings emit no pairs, df > cutoff postings are
-        # boilerplate by contract. Fan-out per surviving posting is at most
-        # C(cutoff, 2) — constant, not corpus-dependent.
-        .filter(
-            (F.size("ds") >= 2) & (F.size("ds") <= F.lit(NGRAM_DF_CUTOFF))
-        )
+        # The cutoff: df-1 postings emit no pairs, df > cutoff postings
+        # are boilerplate by contract. Fan-out per surviving posting is at
+        # most C(cutoff, 2), the cutoff a slow linear function of corpus
+        # size — never of per-shingle skew.
+        .crossJoin(F.broadcast(ndocs))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= cutoff))
         .filter(packable.isNull())
+        .persist()  # read by the pair explode AND the per-doc size rollup
     )
-    cand = (
-        posting.select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        "transform(ds, (x, i) -> transform("
-                        "slice(ds, i + 2, size(ds)),"
-                        " y -> x * 4294967296 + y))"
-                    )
+    # Per-doc filtered-representation sizes, with the signal floor.
+    nsz = (
+        posting.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= NGRAM_DFCUT_MIN_SIGNAL)
+    )
+    pairs = posting.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ds, (x, i) -> transform("
+                    "slice(ds, i + 2, size(ds)),"
+                    " y -> x * 4294967296 + y))"
                 )
-            ).alias("pk")
-        )
-        # One row per pair even when a pair shares several rare shingles —
-        # cross-shingle dedup on the 8-byte packed key (candidate-scale:
-        # at most C(cutoff,2) per posting, not corpus-quadratic).
-        .distinct()
-        .select(
-            F.expr("pk DIV 4294967296").cast("long").alias("doc_a"),
-            F.pmod("pk", F.lit(4294967296)).cast("long").alias("doc_b"),
-        )
+            )
+        ).alias("pk")
     )
-    # Exact verification over the FULL shingle sets (the candidate step only
-    # gates recall; reported jaccard is the true one, same as the oracle).
+    inter = pairs.groupBy("pk").agg(F.count("*").alias("i"))
+    inter = inter.select(
+        F.expr("pk DIV 4294967296").cast("long").alias("doc_a"),
+        F.pmod("pk", F.lit(4294967296)).cast("long").alias("doc_b"),
+        "i",
+    )
+    na = nsz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = nsz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(F.array_intersect("sa", "sb")).cast("double")
-                / F.size(F.array_union("sa", "sb"))
-            ).alias("jaccard"),
+        inter.join(na, "doc_a")  # inner joins apply the floor to both ends
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
         )
         .where(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -992,7 +992,8 @@ def test_dfcut_is_the_boilerplate_knob(spark, tmp_path):
     C(cutoff,2) — the skew-proof property prose promised in the base
     query's guard docstring."""
     from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.dedup import (
-        NGRAM_DF_CUTOFF,
+        NGRAM_DF_CUTOFF_DIV,
+        NGRAM_DF_CUTOFF_MIN,
     )
 
     boiler = "terms of service apply all rights reserved worldwide"
@@ -1021,11 +1022,16 @@ def test_dfcut_is_the_boilerplate_knob(spark, tmp_path):
         (r.doc_a, r.doc_b): r.jaccard
         for r in plans.QUERIES["dedup_ngram_jaccard_dfcut"](spark, sf).collect()
     }
-    # The exact query sees both planted pairs; the cutoff sees only the
-    # rare-shingle one — and with the identical true jaccard.
+    # The exact query sees both planted pairs. The filtered-representation
+    # contract drops every boilerplate shingle (df = 62 > cutoff), so docs
+    # 9000/9001 — boilerplate plus ONE unique word each — fall below the
+    # min-signal floor entirely and their pair vanishes; the rare-shingle
+    # pair survives with the FILTERED jaccard (1.0: every df-2 shingle of
+    # 9100 is shared with 9101; 9101's 'extra' shingles are df-1 and out
+    # of the representation on both engines).
     assert (9000, 9001) in exact and (9100, 9101) in exact
     assert set(cut) == {(9100, 9101)}
-    assert cut[(9100, 9101)] == exact[(9100, 9101)] >= 0.4
+    assert cut[(9100, 9101)] == 1.0
     # (3) structural: post-cutoff fan-out is constant per posting.
     def shingles(text):
         toks = text.split(" ")
@@ -1035,13 +1041,16 @@ def test_dfcut_is_the_boilerplate_knob(spark, tmp_path):
     for _i, _src, text in rows:
         for s in shingles(text):
             df_count[s] = df_count.get(s, 0) + 1
-    surviving = {s: c for s, c in df_count.items() if 2 <= c <= NGRAM_DF_CUTOFF}
+    # Corpus-scaled cutoff: at this corpus size the floor applies.
+    cutoff = max(NGRAM_DF_CUTOFF_MIN, len(rows) // NGRAM_DF_CUTOFF_DIV)
+    assert cutoff == NGRAM_DF_CUTOFF_MIN
+    surviving = {s: c for s, c in df_count.items() if 2 <= c <= cutoff}
     assert surviving  # the rare pair's shared shingles survive
     assert max(c * (c - 1) // 2 for c in surviving.values()) <= (
-        NGRAM_DF_CUTOFF * (NGRAM_DF_CUTOFF - 1) // 2
+        cutoff * (cutoff - 1) // 2
     )
     # boilerplate postings are all gone
-    assert all(c <= NGRAM_DF_CUTOFF or s not in surviving for s, c in df_count.items())
+    assert all(c <= cutoff or s not in surviving for s, c in df_count.items())
 
 
 def test_multiprobe_wide_recall_contract(spark):
