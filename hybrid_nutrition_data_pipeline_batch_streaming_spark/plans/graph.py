@@ -501,9 +501,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-executed every earlier round's semi-joins, ≈2× the optimal work —
     SCALE.md M=100 339 s; per-round truncation makes each round read the
     prior round's materialized edges exactly once, the same discipline the
-    CC loop uses). Census rows are unions of single-row aggregates (no
-    driver collects). Exact integer counts — identical in any engine at any
-    partitioning.""".replace("{K}", str(KCORE_K))
+    CC loop uses). Exact integer counts — identical in any engine at any
+    partitioning.
+
+    r11 fixpoint early-exit: peeling is MONOTONE (survivor sets only
+    shrink), so survivor-count == node-count is a sound set-equality
+    test — when a round drops nothing, the edge set is unchanged and
+    every remaining round's census row is identical by induction. The
+    loop detects that with per-round scalar counts (the CC-loop
+    precedent: iterative fixpoints need a driver-side loop condition;
+    the collects are bounded single numbers) and fills the remaining
+    rounds without recomputation. This is exactly the M=100 regime —
+    the generated graph is dense, NO node peels at k={K}, and the old
+    plan rewrote the full 60 M-edge survivor orientation three times
+    for three identical rows. Both terminal regimes hit the exit: dense
+    (nothing drops, round 1) and emptied (the sf0.001 cascade reaches
+    the all-zero row and stays there).""".replace("{K}", str(KCORE_K))
     # Round-5: parity-encoded LONG node ids (the pagerank/BFS scheme) — the
     # output is a census, so ids never surface and every per-round semi-join
     # ships 8-byte keys instead of strings.
@@ -527,13 +540,31 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
 
+    def _deg(e):
+        # Node-scale, read three times per round (count, survivor filter,
+        # next round's semi-joins build on its survivors) → deserialized
+        # multi-read cut, per the session.py storage-policy table.
+        return checkpoint_truncate(
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .withColumnRenamed("src", "node")
+        )
+
     e = _doubled(edges)
-    n = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
-        "src", "node"
-    )
-    census = []
+    n = _deg(e)
+    rows: list[tuple[int, int, int]] = []
+    prev_edge_cnt: int | None = None
     for i in range(1, KCORE_ROUNDS + 1):
+        node_cnt = n.count()
         s = n.where(F.col("deg") >= KCORE_K).select("node")
+        n_nodes = s.count()
+        if n_nodes == node_cnt:
+            # Fixpoint: no node dropped, so the edge set — and every
+            # subsequent round — is unchanged. Fill the remaining census
+            # rows without touching edge-scale data again.
+            n_edges = prev_edge_cnt if prev_edge_cnt is not None else e.count()
+            rows.extend((j, n_nodes, n_edges) for j in range(i, KCORE_ROUNDS + 1))
+            break
         # Checkpoint the SINGLE orientation per round and mirror it
         # reader-side (the same halved-write discipline as the initial
         # edge distillation): an undirected edge survives iff both its
@@ -543,35 +574,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         #
         # Round-7/8: the PER-ROUND cut is scratch_checkpoint — on local
         # masters a localCheckpoint (each round's survivor set is
-        # intra-query scratch consumed only by the next round, and a dense
-        # graph may not shrink at all; M=100: every node keeps deg >= K,
-        # so each round rewrites the full 60 M-edge orientation —
-        # executor-local blocks beat the filesystem round-trip
-        # 253 s -> 207 s same-host, parity green at both SFs), but on a
-        # DISTRIBUTED master with a reliable dir it falls back to a real
-        # checkpoint: localCheckpoint blocks are unrecoverable, so losing
-        # one executor mid-peel would fail the query instead of
-        # recomputing (ADVICE r7). The INITIAL distillation above stays on
-        # checkpoint_truncate: it is the large GC-sensitive write the
-        # reliable dir exists for (see session.py).
+        # intra-query scratch consumed only by the next round),
+        # but on a DISTRIBUTED master with a reliable dir it falls back
+        # to a real checkpoint: localCheckpoint blocks are unrecoverable,
+        # so losing one executor mid-peel would fail the query instead of
+        # recomputing (ADVICE r7).
         edges = scratch_checkpoint(
             edges.join(s.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(s.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
         )
         e = _doubled(edges)
-        n = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
-            "src", "node"
-        )
-        census.append(
-            s.agg(F.count("*").alias("n_nodes"))
-            .crossJoin(e.agg(F.count("*").alias("n_edges")))
-            .select(F.lit(i).alias("round"), "n_nodes", "n_edges")
-        )
-    out = census[0]
-    for c in census[1:]:
-        out = out.union(c)
-    return out
+        n = _deg(e)
+        n_edges = e.count()
+        prev_edge_cnt = n_edges
+        rows.append((i, n_nodes, n_edges))
+    return spark.createDataFrame(
+        rows, "round int, n_nodes bigint, n_edges bigint"
+    )
 
 # ---------------------------------------------------------------------------
 # k-hop BFS reachability from seed nodes (bounded frontier expansion)

@@ -1098,3 +1098,54 @@ def test_multiprobe_wide_recall_contract(spark):
         for r in plans.QUERIES["dedup_simhash_multiprobe"](spark, sf).collect()
     }
     assert set(want) < full
+
+
+def test_kcore_fixpoint_fill_matches_full_peel(spark, tmp_path):
+    """r11 kcore early-exit: when a peel round drops no node, the loop
+    fills the remaining census rows instead of rewriting the edge set
+    (survivor-count == node-count is a sound set-equality test under
+    monotone peeling). Pin both terminal regimes on graphs where the
+    fixpoint fires EARLY: a dense biclique (nothing ever peels — round-1
+    exit must still emit all KCORE_ROUNDS identical rows) and a sparse
+    star (cascades to empty, then stays all-zero)."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+
+    # Dense: complete bipartite K(15,15) — every degree 15 >= K=12.
+    rows = []
+    ok = 0
+    for c in range(1, 16):
+        for s in range(1, 16):
+            ok += 1
+            rows.append((ok, c, s))
+    sf = str(tmp_path / "dense")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, l_suppkey long"
+    ).selectExpr("o_orderkey", "o_custkey").write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        rows, "l_orderkey long, o_custkey long, l_suppkey long"
+    ).selectExpr("l_orderkey", "l_suppkey").write.parquet(f"{sf}/lineitem.parquet")
+    got = sorted(
+        (r["round"], r.n_nodes, r.n_edges)
+        for r in plans.QUERIES["graph_kcore"](spark, sf).collect()
+    )
+    assert KCORE_K <= 15  # the fixture premise: nothing peels
+    assert got == [(i, 30, 450) for i in range(1, KCORE_ROUNDS + 1)]
+
+    # Sparse: star — every leaf degree 1 < K, cascades to empty by round
+    # 1 and the all-zero fixpoint fills the rest.
+    star = [(i, 1, i) for i in range(1, 9)]
+    sf2 = str(tmp_path / "sparse")
+    spark.createDataFrame(
+        star, "o_orderkey long, o_custkey long, l_suppkey long"
+    ).selectExpr("o_orderkey", "o_custkey").write.parquet(f"{sf2}/orders.parquet")
+    spark.createDataFrame(
+        star, "l_orderkey long, o_custkey long, l_suppkey long"
+    ).selectExpr("l_orderkey", "l_suppkey").write.parquet(f"{sf2}/lineitem.parquet")
+    got2 = sorted(
+        (r["round"], r.n_nodes, r.n_edges)
+        for r in plans.QUERIES["graph_kcore"](spark, sf2).collect()
+    )
+    assert got2 == [(i, 0, 0) for i in range(1, KCORE_ROUNDS + 1)]
