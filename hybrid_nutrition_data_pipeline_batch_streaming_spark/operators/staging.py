@@ -135,11 +135,25 @@ def fingerprint(sf_dir: str, kind: str) -> str:
 
 def _prune(root: str) -> None:
     try:
-        entries = [
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if not d.startswith(".") and ".tmp-" not in d
-        ]
+        import time
+
+        entries = []
+        for d in os.listdir(root):
+            path = os.path.join(root, d)
+            if ".tmp-" in d:
+                # A build directory whose writer crashed (or lost the
+                # publish race before its cleanup ran). Live builds are
+                # written and renamed within one call, so anything older
+                # than a day is garbage — without this, crashed builders
+                # leak disk forever.
+                try:
+                    if time.time() - os.path.getmtime(path) > 86_400:
+                        shutil.rmtree(path, ignore_errors=True)
+                except OSError:
+                    pass
+                continue
+            if not d.startswith("."):
+                entries.append(path)
         entries.sort(key=os.path.getmtime, reverse=True)
         for stale in entries[_KEEP_NEWEST:]:
             shutil.rmtree(stale, ignore_errors=True)

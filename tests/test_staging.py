@@ -150,3 +150,22 @@ def test_builder_version_participates_in_fingerprint(monkeypatch, tmp_path):
         staging._KINDS, "doc_pairs", (("documents",), "v2-test")
     )
     assert staging.fingerprint(sf, "doc_pairs") != fp_v1
+
+
+def test_prune_reclaims_crashed_builder_tmp(tmp_path, monkeypatch):
+    """A builder that crashes between write and rename leaves a .tmp-<pid>
+    directory; _prune reclaims it once it is clearly dead (age > 1 day)
+    while leaving a FRESH tmp (a live concurrent build) untouched."""
+    import time
+
+    root = str(tmp_path / "staged")
+    os.makedirs(root)
+    dead = os.path.join(root, "cust_supp-deadbeef.tmp-999")
+    live = os.path.join(root, "cust_supp-cafef00d.tmp-1000")
+    os.makedirs(dead)
+    os.makedirs(live)
+    old = time.time() - 2 * 86_400
+    os.utime(dead, (old, old))
+    staging._prune(root)
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
