@@ -1100,7 +1100,7 @@ def test_multiprobe_wide_recall_contract(spark):
     assert set(want) < full
 
 
-def test_kcore_fixpoint_fill_matches_full_peel(spark, tmp_path):
+def test_kcore_fixpoint_fill_matches_full_peel(spark, tmp_path, monkeypatch):
     """r11 kcore early-exit: when a peel round drops no node, the loop
     fills the remaining census rows instead of rewriting the edge set
     (survivor-count == node-count is a sound set-equality test under
@@ -1108,6 +1108,9 @@ def test_kcore_fixpoint_fill_matches_full_peel(spark, tmp_path):
     fixpoint fires EARLY: a dense biclique (nothing ever peels — round-1
     exit must still emit all KCORE_ROUNDS identical rows) and a sparse
     star (cascades to empty, then stays all-zero)."""
+    # ADVICE r11: isolate this test's synthetic-fixture staged entries so
+    # they never land in (or prune) the repo's shared staging root.
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path / "staged"))
     from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.graph import (
         KCORE_K,
         KCORE_ROUNDS,
