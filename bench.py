@@ -205,22 +205,31 @@ def main() -> None:
     # the explicit clearCache below keeps that true even if the wrapper
     # convention changes. Queries that persist() intermediates therefore
     # rebuild them each repeat: timings measure the full cold plan, never a
-    # warm re-read of a previous run's cache. The minimum of 3 is the
-    # standard noise-floor estimator on shared hosts (each run still
-    # executes the full plan end-to-end; NOTES.md documents ±3 s host noise
-    # at sf0.1).
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = plans.QUERIES[name]
-        best = float("inf")
-        for _ in range(3):
+    # warm re-read of a previous run's cache.
+    #
+    # The three repeats run as three INTERLEAVED full passes over the list,
+    # not back-to-back per query (VERDICT r11 what's-wrong #1): the r11
+    # artifact shipped bm25_search at 3.98 s where two flanking same-code
+    # runs read 0.69-0.77 s — a host disturbance lasting a few seconds
+    # poisons all three CONSECUTIVE repeats of whichever query it lands on,
+    # but under pass-interleaving the same disturbance hits a DIFFERENT
+    # query on each pass, so the per-query minimum stays clean. Same total
+    # work, decorrelated noise. `repeat_dispersion_med` (median over
+    # queries of max/min across passes) is emitted so a disturbed run
+    # indicts itself.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            fn = plans.QUERIES[name]
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs[name].append(time.perf_counter() - t0)
     spark.catalog.clearCache()
+    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
+    dispersion = sorted(max(ts) / min(ts) for ts in runs.values())
+    dispersion_med = round(dispersion[len(dispersion) // 2], 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -239,6 +248,7 @@ def main() -> None:
             "sf": sf,
             "cache_convention": "cold",
             "calibration_s": calibration_s,
+            "repeat_dispersion_med": dispersion_med,
         }
     )
     print(line)

@@ -82,6 +82,24 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.2, f"ANN recall collapsed: {recall}"
 
 
+def test_ann_hyperplane_recall_and_determinism(spark):
+    """The seeded-hyperplane production tier (r12): recall ≥ 0.5 overall at
+    sf0.001 (measured 0.72 — floor leaves drift room), every per-query
+    recall ≥ the 0.2 contract floor, and two invocations are bit-identical
+    (the md5-derived planes carry no RNG state)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in plans.QUERIES["similarity_topk"](spark, SF).collect()
+    }
+    rows1 = plans.QUERIES["similarity_ann_hyperplane"](spark, SF).collect()
+    rows2 = plans.QUERIES["similarity_ann_hyperplane"](spark, SF).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    approx = {(r.query_id, r.neighbor_id) for r in rows1}
+    assert len(exact & approx) / len(exact) >= 0.5
+    contract = plans.QUERIES["similarity_ann_hyperplane_recall"](spark, SF).collect()
+    assert contract and all(r.recall_ok for r in contract)
+
+
 def test_ann_mllib_recall_vs_exact(spark):
     """The BRP-LSH library path must recover ≥0.8 of the exact top-5 with
     its tuned (bucketLength=0.5, numHashTables=4) configuration — measured
