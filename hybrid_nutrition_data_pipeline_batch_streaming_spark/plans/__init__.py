@@ -63,92 +63,96 @@ from . import geo  # noqa: F401,E402
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 #
-# Round-11 instantiation — TEN rule-2 seats:
-#   dedup_simhash_multiprobe_wide  NEW (VERDICT r10 item 3a) — the 16-bit
-#                        block production contract of the multiprobe; the
-#                        oracle is the brute-force Hamming join restricted
-#                        to the wider-block recall contract
-#   dedup_ngram_jaccard_dfcut      NEW (VERDICT r10 item 3b) — the
-#                        df-cutoff production contract of the jaccard
-#                        dedup, cutoff mirrored in the oracle's HAVING
-#   recursive_path_counts          seed filter no longer truncates ids
-#                        past 10 digits (unbounded substr — ADVICE r10);
-#                        edges CTE reads the staged distillation
-#   path_counts_census             same fix + staged edges
-#   graph_kcore                    initial distillation → staged edge
-#                        table (operators/staging.py, VERDICT r10 item 6)
-#   graph_jaccard_sim              adjacency → the staged part_supp table
-#   dedup_connected_components     edge base → staged doc_pairs (the
-#                        banded-minhash pair table, built once per fixture)
-#   graph_degrees                  same staged doc_pairs conversion
-#   graph_modularity               same
-#   dedup_threshold_sweep          same
-# (graph_pagerank, graph_bfs_khop, graph_triangles and dedup_keep_best
-# also moved to staged edges; their rule-2 obligation is satisfied by
-# their pre-existing rule-3 seats below.)
-# The age ladder after r10 (recomputed over CORRECTNESS_r01-r10): 20
-# queries whose newest green row is r3, then 35 r4-age. The remaining
-# slots re-verify ALL 20 r3-age rows (including repetition_score,
-# pii_redact, mm_decode_stats — displaced from the r10 window by its late
-# rule-2 seats) and the first 15 r4-age rows in registry order, dropping
-# the maximum green-row age from r3 to r4 (the remaining 20 r4-age keys —
-# sketch_bloom, sketch_hll, ooo_audit, fk_audit, recon_order_totals,
-# user_streaks, cusum_changepoint onward — head the r12 rule-3 backlog).
+# Round-12 instantiation — FOUR rule-2 seats + TWO standing rows-only
+# seats:
+#   pipeline_corpus_build          near-dup pair stage → staged
+#                        corpus_pairs distillation (operators/staging.py,
+#                        VERDICT r11 item 1; M=100 43.6 → 19.7 s)
+#   pipeline_drop_reasons          same staged conversion (46.0 → 15.9 s)
+#   graph_kcore                    peel-loop rework: degrees from one
+#                        map-side explode of the single orientation,
+#                        census edge counts as Σdeg over the node table
+#                        (no per-round edge-set count), one bounded
+#                        3-scalar collect per round (49.2 → 36.6 s)
+#   similarity_ann_hyperplane_recall  NEW (VERDICT r11 item 7) — the
+#                        measured-recall contract of the seeded
+#                        random-hyperplane production LSH tier
+#   stream_dedup_state, mm_decode_features  (VERDICT r11 item 8) — the
+#                        two never-window rows-only keys: both have green
+#                        oracle companions, but a rows>0 driver row each
+#                        round surfaces runtime breakage a driver-only
+#                        run could miss. Explicitly exempt from the
+#                        oracle-required check below.
+# The age ladder after r11 (recomputed over CORRECTNESS_r01-r11): 20
+# queries whose newest green row is r4, then 35 r5-age. The remaining
+# slots re-verify ALL 20 r4-age rows and the first 19 r5-age rows in
+# registry order, dropping the maximum green-row age from r4 to r5 (the
+# remaining 16 r5-age keys — mm_audio_energy, mm_caption_align,
+# mm_decode_bmp, mm_decode_wav, corpus_quota_split, dsir_resample
+# onward — head the r13 rule-3 backlog).
 PRIORITY: tuple[str, ...] = (
-    # -- 5 core regressions (driver-green r1-r10) --
+    # -- 5 core regressions (driver-green r1-r11) --
     "flagship_revenue",
     "join_inner",
     "dedup_last_write",
     "pipeline_nutrition_e2e",
     "stream_tumbling_live",
-    # -- rule 2: plan/oracle changed in r11 --
-    "dedup_simhash_multiprobe_wide",
-    "dedup_ngram_jaccard_dfcut",
-    "recursive_path_counts",
-    "path_counts_census",
+    # -- rule 2: plan/oracle changed in r12 --
+    "pipeline_corpus_build",
+    "pipeline_drop_reasons",
     "graph_kcore",
-    "graph_jaccard_sim",
-    "dedup_connected_components",
-    "graph_degrees",
-    "graph_modularity",
-    "dedup_threshold_sweep",
-    # -- rule 3: all 20 r3-age rows (registry order) --
-    "mm_decode_stats",
-    "pii_redact",
-    "repetition_score",
-    "contamination_check",
-    "corpus_split",
-    "corpus_mix_sample",
-    "quality_classifier",
-    "dedup_keep_best",
-    "graph_pagerank",
-    "join_salted",
-    "agg_two_phase",
-    "rolling_7d_features",
-    "anomaly_mad",
-    "profile_columns",
-    "histogram_value",
-    "ngram_bigram_lm",
-    "agg_incremental_merge",
-    "pysource_items",
-    "fuzzy_match_names",
-    "higher_order_funcs",
-    # -- rule 3 cont.: first 15 of the r4-age cohort (registry order) --
-    "sql_pipe_syntax",
-    "sql_session_variables",
-    "variant_extract",
-    "lang_id",
-    "quality_score",
-    "collocation_pmi",
-    "bpe_top_pairs",
-    "dedup_simhash",
-    "ann_recall_eval",
-    "udtf_expand_items",
-    "graph_triangles",
-    "graph_bfs_khop",
-    "graph_shortest_path",
-    "agg_kmv_distinct",
-    "sketch_countmin",
+    "similarity_ann_hyperplane_recall",
+    # -- standing rows-only driver rows (no oracle by design) --
+    "stream_dedup_state",
+    "mm_decode_features",
+    # -- rule 3: all 20 r4-age rows (registry order) --
+    "sketch_bloom",
+    "sketch_hll",
+    "ooo_audit",
+    "fk_audit",
+    "recon_order_totals",
+    "user_streaks",
+    "cusum_changepoint",
+    "activity_bitmap",
+    "ctr_wilson",
+    "cep_pattern_match",
+    "ab_srm_check",
+    "rfm_segments",
+    "ab_cuped",
+    "eval_auc_rank",
+    "eval_pr_thresholds",
+    "eval_calibration_bins",
+    "eval_label_kappa",
+    "eval_gains_lift",
+    "geo_hub_assign",
+    "geo_grid_hotspots",
+    # -- rule 3 cont.: first 19 of the r5-age cohort (registry order) --
+    "join_asof_nearest",
+    "pareto_frontier",
+    "top_supplier_revenue",
+    "topk_with_ties",
+    "grouped_median_exact",
+    "filter_exists_correlated",
+    "xml_roundtrip_flatten",
+    "window_cume_dist",
+    "span_dedup",
+    "dedup_incremental",
+    "dedup_lines",
+    "stream_sliding_live",
+    "stream_topk_live",
+    "stream_cusum_live",
+    "stream_percentile_live",
+    "mm_metadata",
+    "mm_resize",
+    "mm_frame_dedup",
+    "mm_scene_segments",
+)
+
+#: Window seats that intentionally carry NO oracle (genuinely
+#: non-SQL-expressible: arrival-order streaming dedup, external-codec
+#: decode) — the driver applies its rows-only check to these.
+ROWS_ONLY_SEATS: frozenset[str] = frozenset(
+    {"stream_dedup_state", "mm_decode_features"}
 )
 
 
@@ -156,7 +160,9 @@ def _reorder() -> None:
     missing = [n for n in PRIORITY if n not in QUERIES]
     if missing:
         raise RuntimeError(f"PRIORITY names not registered: {missing}")
-    no_oracle = [n for n in PRIORITY if n not in ORACLE]
+    no_oracle = [
+        n for n in PRIORITY if n not in ORACLE and n not in ROWS_ONLY_SEATS
+    ]
     ordered = {n: QUERIES[n] for n in PRIORITY}
     ordered.update((n, fn) for n, fn in QUERIES.items() if n not in ordered)
     QUERIES.clear()

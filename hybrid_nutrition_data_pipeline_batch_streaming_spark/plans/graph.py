@@ -530,41 +530,55 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph_pagerank and both path-count queries instead of rebuilt here.
     from ..operators.staging import staged_edges
 
+    # r12 peel-loop rework (VERDICT r11 item 6): the census needs only the
+    # NODE-DEGREE table per round, so (a) degrees come from ONE map-side
+    # explode of the single orientation (the old union-with-self doubling
+    # scanned the edge set twice per round for identical shuffle volume);
+    # (b) the doubled-edge census count is Σdeg over the materialized
+    # degree table (every doubled edge is counted exactly once by its src),
+    # so the per-round edge-set count — a full extra edge scan, and in the
+    # dense fixpoint regime the SECOND full pass of the query — is a
+    # node-scale aggregate instead; (c) node-count / survivor-count / Σdeg
+    # collapse into one bounded 3-scalar collect per degree table. M=100
+    # study in SCALE.md; edge-scale work per round is now exactly the
+    # semi-join filter + checkpoint write + one degree shuffle, which is
+    # the synchronous-peel minimum.
     edges = staged_edges(spark, sf_dir, "cust_supp").select(
         (F.col("custkey") * 2).alias("src"),
         (F.col("suppkey") * 2 + 1).alias("dst"),
     )
 
-    def _doubled(ed):
-        return ed.union(
-            ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-
-    def _deg(e):
-        # Node-scale, read three times per round (count, survivor filter,
-        # next round's semi-joins build on its survivors) → deserialized
-        # multi-read cut, per the session.py storage-policy table.
+    def _deg(ed):
+        # Node-scale, read twice (stats collect + next round's semi-joins)
+        # → deserialized multi-read cut, per the session.py storage-policy
+        # table. The explode doubles rows map-side before the one shuffle.
         return checkpoint_truncate(
-            e.groupBy("src")
+            ed.select(F.explode(F.array("src", "dst")).alias("node"))
+            .groupBy("node")
             .agg(F.count("*").alias("deg"))
-            .withColumnRenamed("src", "node")
         )
 
-    e = _doubled(edges)
-    n = _deg(e)
+    def _stats(nd) -> tuple[int, int, int]:
+        """(node_cnt, survivor_cnt, doubled_edge_cnt) in one collect."""
+        r = nd.agg(
+            F.count("*").alias("nodes"),
+            F.sum(F.when(F.col("deg") >= KCORE_K, 1).otherwise(0)).alias("surv"),
+            F.sum("deg").alias("tot_deg"),
+        ).first()
+        return (r.nodes or 0, int(r.surv or 0), int(r.tot_deg or 0))
+
+    n = _deg(edges)
+    node_cnt, surv_cnt, tot_deg = _stats(n)
     rows: list[tuple[int, int, int]] = []
-    prev_edge_cnt: int | None = None
     for i in range(1, KCORE_ROUNDS + 1):
-        node_cnt = n.count()
-        s = n.where(F.col("deg") >= KCORE_K).select("node")
-        n_nodes = s.count()
-        if n_nodes == node_cnt:
+        if surv_cnt == node_cnt:
             # Fixpoint: no node dropped, so the edge set — and every
             # subsequent round — is unchanged. Fill the remaining census
-            # rows without touching edge-scale data again.
-            n_edges = prev_edge_cnt if prev_edge_cnt is not None else e.count()
-            rows.extend((j, n_nodes, n_edges) for j in range(i, KCORE_ROUNDS + 1))
+            # rows without touching edge-scale data again (tot_deg IS the
+            # doubled-edge count of the unchanged set).
+            rows.extend((j, surv_cnt, tot_deg) for j in range(i, KCORE_ROUNDS + 1))
             break
+        s = n.where(F.col("deg") >= KCORE_K).select("node")
         # Checkpoint the SINGLE orientation per round and mirror it
         # reader-side (the same halved-write discipline as the initial
         # edge distillation): an undirected edge survives iff both its
@@ -584,11 +598,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(s.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
         )
-        e = _doubled(edges)
-        n = _deg(e)
-        n_edges = e.count()
-        prev_edge_cnt = n_edges
-        rows.append((i, n_nodes, n_edges))
+        n = _deg(edges)
+        prev_surv = surv_cnt
+        node_cnt, surv_cnt, tot_deg = _stats(n)
+        rows.append((i, prev_surv, tot_deg))
     return spark.createDataFrame(
         rows, "round int, n_nodes bigint, n_edges bigint"
     )
