@@ -147,6 +147,12 @@ HEADLINE = [
     # knobs a 100 TB user actually runs, timed next to their exact siblings
     "dedup_simhash_multiprobe_wide",
     "dedup_ngram_jaccard_dfcut",
+    # round-12 additions: the seeded-hyperplane production ANN tier
+    # (VERDICT r11 item 7) and the corpus provenance audit — the second
+    # consumer of the staged corpus_pairs distillation, timed next to
+    # pipeline_corpus_build so the shared-stage amortization stays visible
+    "similarity_ann_hyperplane",
+    "pipeline_drop_reasons",
 ]
 
 
