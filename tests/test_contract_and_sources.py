@@ -29,18 +29,23 @@ def test_driver_contract_shape(spark):
 def test_registry_priority_window():
     """The driver value-checks only the first 50 registered queries: that
     window must be exactly PRIORITY — 50 unique names, every one with an
-    oracle, covering all north-star operators."""
+    oracle EXCEPT the declared ROWS_ONLY_SEATS (r12: two standing rows-only
+    driver rows for the genuinely non-SQL-expressible keys), covering all
+    north-star operators."""
     from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
 
     names = list(plans.QUERIES)
     assert len(plans.PRIORITY) == 50
     assert len(set(plans.PRIORITY)) == 50
     assert tuple(names[:50]) == plans.PRIORITY
-    assert all(n in plans.ORACLE for n in names[:50])
-    # Round-11 freshness rotation (the standing policy documented above
+    assert all(
+        n in plans.ORACLE or n in plans.ROWS_ONLY_SEATS for n in names[:50]
+    )
+    assert plans.ROWS_ONLY_SEATS <= set(plans.PRIORITY)
+    # Round-12 freshness rotation (the standing policy documented above
     # PRIORITY): five core regressions stay pinned; rule 2 seats any query
     # whose plan/oracle changed this round; rule 3 spends the rest on the
-    # OLDEST green rows (all 20 r3-age keys, then the first r4-age keys in
+    # OLDEST green rows (all 20 r4-age keys, then the first r5-age keys in
     # registry order until the window fills).
     core_regressions = {
         "flagship_revenue", "join_inner", "dedup_last_write",
@@ -48,13 +53,13 @@ def test_registry_priority_window():
     }
     assert core_regressions <= set(plans.PRIORITY)
     rotated_in = {
-        # rule 2 sample: plan/oracle changed in r11 (the production-contract
-        # dedup variants; the id-truncation fix in both path-count plans)
-        "dedup_simhash_multiprobe_wide", "dedup_ngram_jaccard_dfcut",
-        "recursive_path_counts", "path_counts_census",
-        # rule 3 sample: r3-age rows, incl. the three displaced from r10
-        "repetition_score", "pii_redact", "mm_decode_stats",
-        "graph_pagerank", "higher_order_funcs", "pysource_items",
+        # rule 2 sample: plan/oracle changed in r12 (staged corpus_pairs
+        # consumers; the kcore peel rework; the new hyperplane contract)
+        "pipeline_corpus_build", "pipeline_drop_reasons",
+        "graph_kcore", "similarity_ann_hyperplane_recall",
+        # rule 3 sample: r4-age rows + the head of the r5-age cohort
+        "sketch_bloom", "fk_audit", "geo_grid_hotspots",
+        "join_asof_nearest", "mm_scene_segments", "span_dedup",
     }
     assert rotated_in <= set(plans.PRIORITY)
 
@@ -70,7 +75,7 @@ def test_rotation_is_self_auditing():
 
     from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
 
-    assert set(plans.PRIORITY) <= set(plans.ORACLE)
+    assert set(plans.PRIORITY) - plans.ROWS_ONLY_SEATS <= set(plans.ORACLE)
     verified: set[str] = set()
     for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
         for key, row in _json.load(open(path)).items():
@@ -92,6 +97,7 @@ def test_rotation_is_self_auditing():
         for k in verified
         if k not in plans.ORACLE
         and k not in {"stream_stateful_totals"}  # rows-only by nature (T7)
+        and k not in plans.ROWS_ONLY_SEATS  # standing rows-only seats (r12)
     }
     assert not lost_oracle, f"driver-verified queries lost oracles: {lost_oracle}"
     # VERDICT r4 item 7: cumulative driver-verified coverage must be
