@@ -86,6 +86,12 @@ _KINDS = {
     # in corpus_gate_survivors change — the builder code is shared, but
     # published entries carry the old gate's survivors until orphaned.
     "corpus_pairs": (("documents",), "v1"),
+    # The seeded-hyperplane ANN index (vec_id, band buckets, norm — codes
+    # only, never raw vectors; plans/similarity.py::hp_index_frame). The
+    # md5-derived planes make it a pure function of the embeddings
+    # fixture. BUMP THIS VERSION whenever HP_BANDS/BAND_BITS or the plane
+    # derivation change.
+    "hp_index": (("embeddings",), "v1"),
 }
 
 
@@ -101,6 +107,10 @@ def _build(kind: str, cat) -> DataFrame:
         return banded_minhash_pairs(
             corpus_gate_survivors(cat).select("doc_id", "text")
         )
+    if kind == "hp_index":
+        from ..plans.similarity import hp_index_frame
+
+        return hp_index_frame(cat.embeddings)
     if kind == "cust_supp":
         return (
             cat.orders.select("o_orderkey", "o_custkey")

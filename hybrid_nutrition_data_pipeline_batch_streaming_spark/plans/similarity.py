@@ -384,6 +384,21 @@ HP_BANDS = 8   # more OR-amplification than the 4-band axis tier: full-dim
                # element, so the production tier spends its budget on
                # recall — 1−(1−p⁴)⁸ ≈ 0.78 at p ≈ 0.65 vs 0.55 for 4 bands
 
+# NEGATIVE RESULT, recorded (r12 M=100 study, SCALE.md): a probe-side
+# bucket-occupancy cap (the PAIR_BUCKET_CAP / FAISS probe-list move) was
+# tried at 4096 (22× the ≤188 fixture occupancy, so fixtures bit-identical)
+# and REVERTED — at M=100 it collapsed recall 0.68 → 0.06, because on
+# clustered data the dense buckets are exactly where the true neighbors
+# live (a 4-bit band has only 16 sign patterns; the majority pattern holds
+# 33% of a 200 k corpus by construction, probes included). The correct
+# scale knob for multiband sign-LSH is re-tuning (BAND_BITS, HP_BANDS)
+# with corpus size — bits ∝ log n to hold occupancy, bands ∝ p^-bits to
+# hold recall — the same re-tuning the IVF tier does via K ∝ √n cells.
+# Also measured: at a BOUNDED probe count the exact broadcast scan is
+# already cheaper than any probe pass (5.8 s vs 16-24 s at M=100 for 20
+# probes); the LSH tiers earn their keep at many-probe / all-pairs
+# workloads, where candidate volume per probe is what (bits, bands) tune.
+
 
 def _hp_plane(band: int, bit: int) -> Column:
     """The ±1 hyperplane for (band, bit) as a literal double array."""
@@ -415,42 +430,59 @@ def _hp_bucket(e: Column, band: int) -> Column:
     return bucket.cast("int")
 
 
+def hp_index_frame(emb: DataFrame) -> DataFrame:
+    """The persisted FORM of the hyperplane index: (vec_id, hb0..hbN, n) —
+    band buckets + norm only, never the raw vectors. This is the FAISS
+    convention (persist codes, not payloads): the staged index stays tiny
+    (ints + one double per vector), band candidate joins ship 8-byte ids
+    instead of 64-double arrays, and the rescore joins the embeddings
+    table back by vec_id for the exact vectors. Consumed by the
+    ``hp_index`` staged distillation builder (operators/staging.py) and —
+    through it — ``similarity_ann_hyperplane``."""
+    e = _to_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        *[_hp_bucket(e, b).alias(f"hb{b}") for b in range(HP_BANDS)],
+        _norm(e).alias("n"),
+    )
+
+
 @query("similarity_ann_hyperplane")
 def similarity_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via seeded random-hyperplane sign-LSH — the
     production variant of ``similarity_ann_lsh`` (same OR-amplified band
-    equi-joins, same exact rescore; only the hash family differs). Work is
-    O(n · occupancy · bands): the 16 projection folds are a map-side
-    expression inside the one index build, the candidate joins are per-band
-    equi-joins on int buckets, and the rescore touches candidates only.
-    Correctness is carried by the oracle-backed recall contract
-    ``similarity_ann_hyperplane_recall``."""
+    equi-joins, same exact rescore; only the hash family differs).
+
+    r12: the index (buckets + norms, ``hp_index_frame``) is a WRITE-ONCE
+    staged distillation — the seeded planes make it a pure function of the
+    embeddings fixture, so per-query work is probes only: bounded query cut
+    + per-band int-bucket equi-joins against the staged index + exact
+    rescore against the embeddings table joined back by vec_id. This is
+    the build-once/probe-many ANN contract (a FAISS index on object
+    storage); at 100 TB the index is ~1% of the vector payload and the
+    band joins never touch the arrays. Correctness is carried by the
+    oracle-backed recall contract ``similarity_ann_hyperplane_recall``
+    (whose floor was measured against the inline build — the staged==
+    inline pin in tests/test_staging.py keeps that transfer valid)."""
+    from ..operators.staging import staged_edges
+
     cat = Catalog(spark, sf_dir)
-    e = _to_double(F.col("embedding"))
-    # base IS the index (vectors + hyperplane buckets + norms), persisted
-    # once and probed by every band join + the re-rank — the
-    # build-once/probe-many split, same as the axis-plane tier.
-    base = (
-        cat.embeddings.select(
-            "vec_id",
-            e.alias("e"),
-            *[_hp_bucket(e, b).alias(f"hb{b}") for b in range(HP_BANDS)],
-        )
-        .withColumn("n", _norm(F.col("e")))
-        .persist()
+    index = staged_edges(spark, sf_dir, "hp_index")
+    vecs = cat.embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
     )
-    q = base.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("n").alias("qn"),
-        *[F.col(f"hb{b}").alias(f"qhb{b}") for b in range(HP_BANDS)],
-    )
+    # Probe cut touches ONLY the staged index (ints): the band joins must
+    # not re-derive an embeddings join per band — the query-side vectors
+    # enter exactly once, in the broadcast rescore payload below.
+    qb = index.where(F.col("vec_id") < N_QUERIES)
     cand = None
     for b in range(HP_BANDS):
         piece = (
-            F.broadcast(q.select("query_id", f"qhb{b}"))
+            F.broadcast(
+                qb.select(F.col("vec_id").alias("query_id"), F.col(f"hb{b}").alias(f"qhb{b}"))
+            )
             .join(
-                base.select(F.col("vec_id").alias("neighbor_id"), f"hb{b}"),
+                index.select(F.col("vec_id").alias("neighbor_id"), f"hb{b}"),
                 (F.col(f"qhb{b}") == F.col(f"hb{b}"))
                 & (F.col("query_id") != F.col("neighbor_id")),
             )
@@ -458,16 +490,26 @@ def similarity_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cand = piece if cand is None else cand.union(piece)
     cand = cand.distinct()
-    scored = (
-        cand.join(F.broadcast(q.select("query_id", "qe", "qn")), "query_id")
+    # Rescore: query vectors+norms as one bounded broadcast; corpus
+    # vectors+norms as ONE payload join (vecs ⋈ index on vec_id — the
+    # id-keyed payload lookup), so the candidate set crosses exactly one
+    # shuffle join instead of two.
+    q_pay = (
+        qb.select(F.col("vec_id").alias("query_id"), F.col("n").alias("qn"))
         .join(
-            base.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("e").alias("ce"),
-                F.col("n").alias("cn"),
-            ),
-            "neighbor_id",
+            vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")),
+            "query_id",
         )
+    )
+    payload = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    ).join(
+        index.select(F.col("vec_id").alias("neighbor_id"), F.col("n").alias("cn")),
+        "neighbor_id",
+    )
+    scored = (
+        cand.join(F.broadcast(q_pay), "query_id")
+        .join(payload, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

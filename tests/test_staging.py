@@ -173,6 +173,36 @@ def test_corpus_pairs_staged_equals_inline_and_is_shared(
     assert len(entries) == 1
 
 
+def test_hp_index_staged_equals_inline_and_probe_reads_it(
+    spark, tmp_path, monkeypatch
+):
+    """The hp_index kind stages the seeded-hyperplane ANN index (buckets +
+    norms, codes-only): it must equal the inline hp_index_frame projection
+    bit-for-bit, and both consumers (the ANN query and its recall
+    contract) must resolve to the one entry."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.catalog import Catalog
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.similarity import (
+        hp_index_frame,
+    )
+
+    root = _with_root(monkeypatch, tmp_path)
+    sf = "/root/testdata/sf0.001"
+    staged = sorted(
+        map(tuple, staging.staged_edges(spark, sf, "hp_index").collect())
+    )
+    inline = sorted(
+        map(tuple, hp_index_frame(Catalog(spark, sf).embeddings).collect())
+    )
+    assert staged == inline and staged
+    rows = plans.QUERIES["similarity_ann_hyperplane"](spark, sf).collect()
+    assert rows
+    contract = plans.QUERIES["similarity_ann_hyperplane_recall"](spark, sf).collect()
+    assert contract and all(r.recall_ok for r in contract)
+    entries = [d for d in os.listdir(root) if d.startswith("hp_index-")]
+    assert len(entries) == 1
+
+
 def test_builder_version_participates_in_fingerprint(monkeypatch, tmp_path):
     """Bumping a builder's version string must orphan old entries even when
     the source data is byte-identical — the guard against a future round
