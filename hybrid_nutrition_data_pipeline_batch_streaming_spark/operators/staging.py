@@ -92,6 +92,12 @@ _KINDS = {
     # fixture. BUMP THIS VERSION whenever HP_BANDS/BAND_BITS or the plane
     # derivation change.
     "hp_index": (("embeddings",), "v1"),
+    # The per-document term-frequency index (doc_id, dl, tfs run-length
+    # bags; plans/search.py::doc_tf_frame) — the shared retrieval index
+    # five queries (bm25/tfidf/text_search_rank/search_prf/maxsim)
+    # rebuilt map-side per query before r12. BUMP THIS VERSION whenever
+    # the tokenization or RLE form changes.
+    "doc_tf": (("documents",), "v1"),
 }
 
 
@@ -111,6 +117,10 @@ def _build(kind: str, cat) -> DataFrame:
         from ..plans.similarity import hp_index_frame
 
         return hp_index_frame(cat.embeddings)
+    if kind == "doc_tf":
+        from ..plans.search import doc_tf_frame
+
+        return doc_tf_frame(cat.documents)
     if kind == "cust_supp":
         return (
             cat.orders.select("o_orderkey", "o_custkey")

@@ -63,7 +63,7 @@ from . import geo  # noqa: F401,E402
 # the local differential harness (tests/test_oracle_parity.py) at
 # sf0.001 + sf0.01.
 #
-# Round-12 instantiation — FOUR rule-2 seats + TWO standing rows-only
+# Round-12 instantiation — NINE rule-2 seats + TWO standing rows-only
 # seats:
 #   pipeline_corpus_build          near-dup pair stage → staged
 #                        corpus_pairs distillation (operators/staging.py,
@@ -76,7 +76,12 @@ from . import geo  # noqa: F401,E402
 #                        3-scalar collect per round (49.2 → 36.6 s)
 #   similarity_ann_hyperplane_recall  NEW (VERDICT r11 item 7) — the
 #                        measured-recall contract of the seeded
-#                        random-hyperplane production LSH tier
+#                        random-hyperplane production LSH tier (whose
+#                        index is the staged hp_index distillation)
+#   bm25_search, text_search_rank, search_prf_expand, tfidf_terms,
+#   similarity_maxsim    the retrieval family's shared per-doc tf index
+#                        is now the staged doc_tf distillation (read +
+#                        persist instead of compute + persist)
 #   stream_dedup_state, mm_decode_features  (VERDICT r11 item 8) — the
 #                        two never-window rows-only keys: both have green
 #                        oracle companions, but a rows>0 driver row each
@@ -85,9 +90,11 @@ from . import geo  # noqa: F401,E402
 #                        oracle-required check below.
 # The age ladder after r11 (recomputed over CORRECTNESS_r01-r11): 20
 # queries whose newest green row is r4, then 35 r5-age. The remaining
-# slots re-verify ALL 20 r4-age rows and the first 19 r5-age rows in
+# slots re-verify ALL 20 r4-age rows and the first 14 r5-age rows in
 # registry order, dropping the maximum green-row age from r4 to r5 (the
-# remaining 16 r5-age keys — mm_audio_energy, mm_caption_align,
+# remaining 21 r5-age keys — stream_percentile_live, mm_metadata,
+# mm_resize, mm_frame_dedup, mm_scene_segments displaced by the late
+# doc_tf rule-2 seats, then mm_audio_energy, mm_caption_align,
 # mm_decode_bmp, mm_decode_wav, corpus_quota_split, dsir_resample
 # onward — head the r13 rule-3 backlog).
 PRIORITY: tuple[str, ...] = (
@@ -102,6 +109,11 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_drop_reasons",
     "graph_kcore",
     "similarity_ann_hyperplane_recall",
+    "bm25_search",
+    "text_search_rank",
+    "search_prf_expand",
+    "tfidf_terms",
+    "similarity_maxsim",
     # -- standing rows-only driver rows (no oracle by design) --
     "stream_dedup_state",
     "mm_decode_features",
@@ -141,11 +153,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_sliding_live",
     "stream_topk_live",
     "stream_cusum_live",
-    "stream_percentile_live",
-    "mm_metadata",
-    "mm_resize",
-    "mm_frame_dedup",
-    "mm_scene_segments",
 )
 
 #: Window seats that intentionally carry NO oracle (genuinely

@@ -35,9 +35,9 @@ N_QUERY_TERMS = 3
 TOP_DOCS = 20
 
 
-def _doc_tf(cat: Catalog):
+def doc_tf_frame(documents: DataFrame) -> DataFrame:
     """Per-document term frequencies computed MAP-SIDE — the shared
-    retrieval index builder for ``text_search_rank`` / ``bm25_search``.
+    retrieval index form for ``text_search_rank`` / ``bm25_search``.
 
     Every document is ONE input row, so tf(doc, tok) never needs a
     corpus-wide shuffle: sort the token array, run-length encode it with
@@ -48,17 +48,12 @@ def _doc_tf(cat: Catalog):
     doc_id join to re-attach dl) with zero shuffles — the difference
     between shuffling the whole 100 TB token stream and shuffling nothing.
 
-    Returns a PERSISTED DataFrame (doc_id, dl, tfs:array<struct<tok,tf>>).
-    The persist is load-bearing twice over: (a) the index feeds both the
-    term-statistics aggregate and the scoring probe, and (b) it is an
-    optimizer barrier — explode() directly over these nested-lambda
-    projections sends Catalyst into a runaway optimization loop (measured:
-    .explain() alone pegs a core for minutes on Spark 4.1; the cache
-    boundary makes the generator input a plain attribute and planning is
-    instant). Do not inline this into the consumers.
+    Emits (doc_id, dl, tfs:array<struct<tok,tf>>). Consumed by the
+    ``doc_tf`` staged-distillation builder (operators/staging.py); query
+    code reads the staged table via ``_doc_tf`` below.
     """
     return (
-        cat.documents.where(F.col("text") != "")
+        documents.where(F.col("text") != "")
         .select("doc_id", F.array_sort(F.split(F.col("text"), " ")).alias("s"))
         .select(
             "doc_id",
@@ -77,8 +72,30 @@ def _doc_tf(cat: Catalog):
                 " (IF(j + 1 < size(b), b[j + 1], size(s) + 1) - b[j]) AS tf))"
             ).alias("tfs"),
         )
-        .persist()
     )
+
+
+def _doc_tf(cat: Catalog):
+    """The shared per-doc tf index as a staged read (r12): the run-length
+    encode is a pure function of ``documents``, and five registered
+    queries paid it per query — it is now the ``doc_tf`` staged
+    distillation, built once per fixture content and read here as a leaf
+    parquet scan (M=100: the 5.9 s map-side build becomes a ~1.5 s
+    columnar read). The leaf also REPLACES the old load-bearing persist:
+    it is a stronger optimizer barrier (explode() directly over the
+    nested-lambda projections sends Catalyst into a runaway optimization
+    loop — measured on Spark 4.1: .explain() alone pegs a core for
+    minutes; a parquet leaf makes the generator input a plain attribute),
+    and the persist below now caches a READ instead of a compute. The
+    persist stays because the heavy consumers (search_prf_expand,
+    similarity_maxsim, bm25's stats leg) reference the index two-plus
+    times and nested-column assembly is the expensive part of the scan
+    (measured M=100: ~3 s per cold nested read vs 5.9 s for the old
+    compute+persist). Do not inline ``doc_tf_frame`` into the
+    consumers."""
+    from ..operators.staging import staged_edges
+
+    return staged_edges(cat.spark, cat.sf_dir, "doc_tf").persist()
 
 
 @query(

@@ -53,13 +53,14 @@ def test_registry_priority_window():
     }
     assert core_regressions <= set(plans.PRIORITY)
     rotated_in = {
-        # rule 2 sample: plan/oracle changed in r12 (staged corpus_pairs
-        # consumers; the kcore peel rework; the new hyperplane contract)
+        # rule 2 sample: plan/oracle changed in r12 (staged corpus_pairs /
+        # doc_tf consumers; the kcore peel rework; the hyperplane contract)
         "pipeline_corpus_build", "pipeline_drop_reasons",
         "graph_kcore", "similarity_ann_hyperplane_recall",
+        "bm25_search", "tfidf_terms",
         # rule 3 sample: r4-age rows + the head of the r5-age cohort
         "sketch_bloom", "fk_audit", "geo_grid_hotspots",
-        "join_asof_nearest", "mm_scene_segments", "span_dedup",
+        "join_asof_nearest", "span_dedup",
     }
     assert rotated_in <= set(plans.PRIORITY)
 

@@ -462,10 +462,13 @@ def test_query_invocation_releases_previous_caches(spark):
     )
 
     cm = spark._jsparkSession.sharedState().cacheManager()
-    plans.QUERIES["bm25_search"](spark, SF).count()  # persists _doc_tf
-    assert not cm.isEmpty(), "expected bm25_search to leave cached frames"
+    # similarity_ann_lsh persists its band-bucket index frame (r12: the
+    # former exemplar bm25_search reads the staged doc_tf leaf and no
+    # longer persists anything).
+    plans.QUERIES["similarity_ann_lsh"](spark, SF).count()
+    assert not cm.isEmpty(), "expected similarity_ann_lsh to leave cached frames"
     # graph_triangles nests dedup_minhash_banded AND persists its own edge
-    # list: outer entry clears the bm25 leftovers, the nested call leaves
+    # list: outer entry clears the lsh leftovers, the nested call leaves
     # the outer's persisted edges alone.
     df = plans.QUERIES["graph_triangles"](spark, SF)
     assert not cm.isEmpty(), "nested invocation must not clear outer caches"

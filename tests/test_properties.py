@@ -274,23 +274,21 @@ def test_bpe_merge_regex_matches_python_greedy(spark, words, n_merges):
     ),
 )
 def test_doc_tf_matches_counter(spark, texts):
-    """The map-side run-length tf encoder (plans/search._doc_tf) must agree
+    """The map-side run-length tf encoder (plans/search.doc_tf_frame — the
+    doc_tf staged-distillation builder) must agree
     with collections.Counter over ANY text — including empty tokens from
     repeated/trailing spaces and non-ASCII — and dl must equal the token
     count. Guards the r7 HOF rework against sort/boundary off-by-ones."""
     from collections import Counter
 
     from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.search import (
-        _doc_tf,
+        doc_tf_frame,
     )
 
     rows = [(i, t) for i, t in enumerate(texts)]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
 
-    class _Cat:  # _doc_tf only touches .documents
-        documents = docs
-
-    out = _doc_tf(_Cat()).collect()
+    out = doc_tf_frame(docs).collect()
     expected = {
         i: Counter(t.split(" ")) for i, t in rows if t != ""
     }

@@ -203,6 +203,35 @@ def test_hp_index_staged_equals_inline_and_probe_reads_it(
     assert len(entries) == 1
 
 
+def test_doc_tf_staged_equals_inline_and_is_shared(spark, tmp_path, monkeypatch):
+    """The doc_tf kind stages the per-document RLE tf index: it must equal
+    the inline doc_tf_frame projection exactly (tf bags compared as sets —
+    struct order within a doc is the deterministic sort, but compare
+    robustly), and the retrieval family must resolve to the one entry."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.catalog import Catalog
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans.search import (
+        doc_tf_frame,
+    )
+
+    root = _with_root(monkeypatch, tmp_path)
+    sf = "/root/testdata/sf0.001"
+    staged = {
+        r.doc_id: (r.dl, sorted((e.tok, e.tf) for e in r.tfs))
+        for r in staging.staged_edges(spark, sf, "doc_tf").collect()
+    }
+    inline = {
+        r.doc_id: (r.dl, sorted((e.tok, e.tf) for e in r.tfs))
+        for r in doc_tf_frame(Catalog(spark, sf).documents).collect()
+    }
+    assert staged == inline and staged
+    assert plans.QUERIES["bm25_search"](spark, sf).count() > 0
+    assert plans.QUERIES["text_search_rank"](spark, sf).count() > 0
+    assert plans.QUERIES["tfidf_terms"](spark, sf).count() > 0
+    entries = [d for d in os.listdir(root) if d.startswith("doc_tf-")]
+    assert len(entries) == 1
+
+
 def test_builder_version_participates_in_fingerprint(monkeypatch, tmp_path):
     """Bumping a builder's version string must orphan old entries even when
     the source data is byte-identical — the guard against a future round
