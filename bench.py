@@ -148,9 +148,9 @@ HEADLINE = [
     "dedup_simhash_multiprobe_wide",
     "dedup_ngram_jaccard_dfcut",
     # round-12 additions: the seeded-hyperplane production ANN tier
-    # (VERDICT r11 item 7) and the corpus provenance audit — the second
-    # consumer of the staged corpus_pairs distillation, timed next to
-    # pipeline_corpus_build so the shared-stage amortization stays visible
+    # (VERDICT r11 item 7) and the corpus provenance audit — timed next to
+    # pipeline_corpus_build (both build the gated near-dup pair table
+    # inside their own plan; see plans/corpus.py::_corpus_pair_edges)
     "similarity_ann_hyperplane",
     "pipeline_drop_reasons",
 ]

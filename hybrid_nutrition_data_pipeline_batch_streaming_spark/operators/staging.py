@@ -30,11 +30,20 @@ Design points:
   standard materialized-view move, and the fingerprint scheme carries over
   unchanged (object stores expose size + mtime).
 
-The staging root is ``$SPARK_GRAFT_STAGING_DIR`` when set, else
-``<repo>/spark-warehouse/staged_edges`` when the package lives in a
-writable checkout, else a tmpdir. At most ``_KEEP_NEWEST`` entries are
-retained (best-effort prune of the oldest — regenerated fixtures orphan
-their predecessors' entries).
+Staging is OPT-IN (r12 optimization round): the staged path runs ONLY when
+``$SPARK_GRAFT_STAGING_DIR`` names the deployment's staging zone. With no
+staging zone configured — the default, and the driver/bench contract — the
+distillation is built INLINE inside the calling query's own plan, straight
+from the base parquet tables, and nothing is persisted anywhere: every
+bench or oracle invocation computes from the fixture inputs. (The r11
+default of a repo-local ``spark-warehouse/staged_edges`` zone meant the
+first benchmark run primed a cache that every later run — including a
+different process, or the same bench re-run at a different core count —
+silently read instead of computing; that is cross-run result caching by
+the measurement rules, so it is no longer a default.) At most
+``_KEEP_NEWEST`` entries per kind are retained in a configured zone
+(best-effort prune of the oldest — regenerated fixtures orphan their
+predecessors' entries).
 """
 
 from __future__ import annotations
@@ -42,7 +51,6 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -144,16 +152,10 @@ def _build(kind: str, cat) -> DataFrame:
     raise ValueError(f"unknown staged distillation kind: {kind}")
 
 
-def _staging_root() -> str:
-    env = os.environ.get("SPARK_GRAFT_STAGING_DIR")
-    if env:
-        return env
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    if os.access(repo, os.W_OK):
-        return os.path.join(repo, "spark-warehouse", "staged_edges")
-    return os.path.join(tempfile.gettempdir(), "hybrid_nutrition_staged_edges")
+def _staging_root() -> str | None:
+    """The configured staging zone, or None (the default: no staging —
+    distillations are built inline and never persisted across runs)."""
+    return os.environ.get("SPARK_GRAFT_STAGING_DIR") or None
 
 
 def _tail_token(path: str, n: int = 64) -> bytes:
@@ -232,16 +234,31 @@ def _prune(root: str) -> None:
         pass
 
 
-def staged_edges(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
-    """The distilled edge table for ``kind``, built at most once per fixture.
+def staged_edges(
+    spark: SparkSession, sf_dir: str, kind: str, cut=None
+) -> DataFrame:
+    """The distilled edge table for ``kind``.
 
-    Returns a plain parquet-backed DataFrame; the first caller per
-    (fixture content, kind) pays the distillation + write, every later
-    caller — in this process or any other — pays a leaf scan.
+    Default (no staging zone configured): the distillation is returned as
+    an INLINE plan over the base parquet tables — computed fresh inside
+    each calling query, persisted nowhere. ``cut`` (optional callable,
+    e.g. ``checkpoint_truncate`` / ``scratch_checkpoint`` / a persist) is
+    applied to the inline frame for consumers that reference the
+    distillation more than once or iterate over it; the materialization it
+    forces happens inside the caller's own (timed) plan execution.
+
+    With ``$SPARK_GRAFT_STAGING_DIR`` set (a real deployment's staging
+    zone): built at most once per (fixture content, kind) and returned as
+    a leaf parquet scan — the leaf itself is the materialization and
+    lineage cut, so ``cut`` is skipped. The first caller pays the
+    distillation + write; every later caller pays a leaf scan.
     """
     from ..catalog import Catalog
 
     root = _staging_root()
+    if root is None:
+        df = _build(kind, Catalog(spark, sf_dir))
+        return cut(df) if cut is not None else df
     path = os.path.join(root, f"{kind}-{fingerprint(sf_dir, kind)}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):

@@ -46,6 +46,34 @@ from .text import (
 from .curation import _PACK_CTE_SQL, _PACK_SHARD_SQL, pack_next_fit
 
 
+def _corpus_pair_edges(
+    spark: SparkSession, sf_dir: str, survivors: DataFrame
+) -> DataFrame:
+    """The verified near-dup pair table (doc_a, doc_b) over the gated
+    corpus. Default: banded-minhash pairs built INLINE over the caller's
+    already-lineage-cut survivor frame — the same set
+    ``corpus_gate_survivors`` defines, computed fresh inside each
+    pipeline's own plan (nothing persisted across runs). With a staging
+    zone configured (``SPARK_GRAFT_STAGING_DIR``), the write-once
+    ``corpus_pairs`` staged distillation is read instead — built once per
+    fixture content over ``corpus_gate_survivors`` and shared by both
+    pipelines (measured M=100: 43.6 → 19.7 s and 46.0 → 15.9 s on a warm
+    zone)."""
+    import os
+
+    from ..operators.staging import staged_edges
+
+    if os.environ.get("SPARK_GRAFT_STAGING_DIR"):
+        return staged_edges(spark, sf_dir, "corpus_pairs").select(
+            "doc_a", "doc_b"
+        )
+    from .dedup import banded_minhash_pairs
+
+    return banded_minhash_pairs(survivors.select("doc_id", "text")).select(
+        "doc_a", "doc_b"
+    )
+
+
 def corpus_gate_survivors(cat: Catalog) -> DataFrame:
     """Stages 1-3 of the corpus build — quality gate, language gate, exact
     dedup — as one deterministic map + one window shuffle over ``documents``:
@@ -176,8 +204,6 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All six curation stages in one pass (see module docstring): emits the
     dataloader-ready map (doc_id, source, n_tok, seq_id, seq_offset, split)
     for every surviving canonical document."""
-    from ..operators.staging import staged_edges
-
     cat = Catalog(spark, sf_dir)
 
     # Stages 1-3 (map-only gates + one exact-dedup window shuffle) — the
@@ -190,16 +216,14 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plans/graph.py for the same note).
     k = checkpoint_truncate(corpus_gate_survivors(cat))
 
-    # Stage 4: near-dup clusters over survivors; keep each cluster's min id.
-    # r12: the verified pair table over the gated corpus is a pure function
-    # of the fixture (the gates are deterministic), so it is the staged
-    # `corpus_pairs` distillation (operators/staging.py) — built once per
-    # fixture content and read as a leaf parquet scan here and in
-    # pipeline_drop_reasons, instead of rebuilding shingles + signatures +
-    # band joins per query (43.6 s of the pipeline's 43.6+ s at M=100). The
-    # oracle still derives pairs from base tables, so every green hash
-    # re-proves staged == inline.
-    edges = staged_edges(spark, sf_dir, "corpus_pairs").select("doc_a", "doc_b")
+    # Stage 4: near-dup clusters over survivors; keep each cluster's min
+    # id. Pairs come from _corpus_pair_edges: by default the banded
+    # minhash build runs inline over k (this pipeline's own lineage-cut
+    # survivor set — shingles + signatures + band joins inside this
+    # query's timed plan); a configured staging zone serves the shared
+    # write-once table instead. The oracle always derives pairs from base
+    # tables, so every green hash re-proves staged == inline.
+    edges = _corpus_pair_edges(spark, sf_dir, k)
     labels = connected_components(k.select("doc_id"), edges)
     canon = (
         labels.where(F.col("doc_id") == F.col("cluster_rep"))
@@ -402,8 +426,6 @@ def pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     full input via two LEFT broadcast-able joins on doc_id; precedence is
     a single CASE, so a doc failing several gates reports the earliest —
     deterministic in both engines."""
-    from ..operators.staging import staged_edges
-
     cat = Catalog(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -441,12 +463,16 @@ def pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", "text", "rn")
     )
-    survivors = checkpoint_truncate(ranked.where(F.col("rn") == 1).select("doc_id"))
+    survivors = checkpoint_truncate(
+        ranked.where(F.col("rn") == 1).select("doc_id", "text")
+    )
 
-    # r12: staged corpus_pairs distillation — same survivor set by
-    # construction (corpus_gate_survivors is the shared gate), same
-    # staged-vs-inline proof via the unchanged base-table oracle.
-    edges = staged_edges(spark, sf_dir, "corpus_pairs").select("doc_a", "doc_b")
+    # Same survivor set as corpus_gate_survivors by construction (the
+    # shared gate); _corpus_pair_edges builds the pair table inline over
+    # it by default, or reads the staged corpus_pairs table when a
+    # staging zone is configured — the unchanged base-table oracle proves
+    # staged == inline either way.
+    edges = _corpus_pair_edges(spark, sf_dir, survivors)
     labels = connected_components(survivors, edges)
 
     reason = (

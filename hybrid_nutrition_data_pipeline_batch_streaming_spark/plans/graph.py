@@ -213,19 +213,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round convergence actions, so all rounds compose into ONE
     lazy plan — per-round shuffles are equi-joins and groupBy-sums on the
     node id, exactly the Pregel schedule."""
-    # r11: the orders⋈lineitem distillation comes from the family-level
-    # STAGED edge table (operators/staging.py) — one build per fixture,
-    # shared with graph_kcore and both path-count queries; the parquet
-    # leaf scan replaces both the per-query join+distinct and the
-    # checkpoint_truncate that used to cut its lineage. Node ids are
-    # parity-encoded LONGS internally (customer→2k, supplier→2k+1, like
-    # graph_bfs_khop) — every per-round shuffle keys on the node id, and
-    # fixed 8-byte keys hash/compare/ship cheaper than 'c123'/'s45'
-    # strings; the string ids are reconstructed only in the final
-    # projection so the output (and oracle) are unchanged.
+    # The orders⋈lineitem distillation (operators/staging.py): built
+    # inline and lineage-cut here by default — computed from the base
+    # parquet inside this query's own plan (the cut stops the union below
+    # evaluating the join+distinct twice); a configured staging zone
+    # serves the shared family-level table as a leaf scan instead.
+    # Node ids are parity-encoded LONGS internally (customer→2k,
+    # supplier→2k+1, like graph_bfs_khop) — every per-round shuffle keys
+    # on the node id, and fixed 8-byte keys hash/compare/ship cheaper
+    # than 'c123'/'s45' strings; the string ids are reconstructed only in
+    # the final projection so the output (and oracle) are unchanged.
     from ..operators.staging import staged_edges
 
-    edges = staged_edges(spark, sf_dir, "cust_supp").select(
+    edges = staged_edges(spark, sf_dir, "cust_supp", cut=checkpoint_truncate).select(
         (F.col("custkey") * 2).alias("src"),
         (F.col("suppkey") * 2 + 1).alias("dst"),
     )
@@ -520,14 +520,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-5: parity-encoded LONG node ids (the pagerank/BFS scheme) — the
     # output is a census, so ids never surface and every per-round semi-join
     # ships 8-byte keys instead of strings.
-    # r11: the initial distillation reads the family-level STAGED edge
-    # table (operators/staging.py). This supersedes the whole r5/r8
-    # checkpoint-primitive choice that used to sit here (reliable
-    # checkpoint vs serialized scratch_checkpoint — the deserialized
-    # fallback OOMed the 8 g heap at M=100): a staged parquet leaf IS a
-    # reliable on-disk materialization, read back page-cache-cheap with
-    # zero executor storage-pool footprint, and it is shared with
-    # graph_pagerank and both path-count queries instead of rebuilt here.
+    # The initial distillation (operators/staging.py): built inline by
+    # default and cut with scratch_checkpoint — SERIALIZED blocks, the
+    # primitive the r5/r8 M=100 study picked for this frame class (the
+    # deserialized fallback OOMed the 8 g heap; the edge set is read by
+    # the round-0 degree pass and the round-1 semi-joins). A configured
+    # staging zone serves the shared family-level table as a parquet leaf
+    # instead — a reliable on-disk materialization with zero executor
+    # storage-pool footprint, shared with graph_pagerank and both
+    # path-count queries.
     from ..operators.staging import staged_edges
 
     # r12 peel-loop rework (VERDICT r11 item 6): the census needs only the
@@ -543,7 +544,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # study in SCALE.md; edge-scale work per round is now exactly the
     # semi-join filter + checkpoint write + one degree shuffle, which is
     # the synchronous-peel minimum.
-    edges = staged_edges(spark, sf_dir, "cust_supp").select(
+    edges = staged_edges(spark, sf_dir, "cust_supp", cut=scratch_checkpoint).select(
         (F.col("custkey") * 2).alias("src"),
         (F.col("suppkey") * 2 + 1).alias("dst"),
     )
@@ -670,18 +671,20 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     reusable), the visited anti-join gains a bloom pre-filter, and hub skew
     lands on AQE's skew-join split."""
     li = Catalog(spark, sf_dir).lineitem
-    # r11: ONE distinct over the fact table, staged per fixture
-    # (operators/staging.py) and shared with graph_jaccard_sim; both
-    # orientations derive from the single stored orientation (the mirror
-    # is a reader-side column swap — the same halved-write discipline the
-    # r5 M=100 study established for the per-query checkpoint this scan
-    # replaces). Frontier/visited cuts below stay: level h's plan
+    # ONE distinct over the fact table (operators/staging.py): built
+    # inline and lineage-cut here by default (the cut keeps the union's
+    # two orientations from evaluating the distinct twice — the same
+    # halved-write discipline the r5 M=100 study established); a
+    # configured staging zone serves the table shared with
+    # graph_jaccard_sim as a leaf scan. Both orientations derive from the
+    # single stored orientation (the mirror is a reader-side column
+    # swap). Frontier/visited cuts below stay: level h's plan
     # otherwise EMBEDS levels 0..h-1 (frontier ⋈ edges, anti ⋈ visited) —
     # exponential plan growth and per-level re-analysis even under cache
     # (same measured pathology as the CC loop; see module docstring).
     from ..operators.staging import staged_edges
 
-    pairs_ck = staged_edges(spark, sf_dir, "part_supp").select(
+    pairs_ck = staged_edges(spark, sf_dir, "part_supp", cut=checkpoint_truncate).select(
         (F.col("partkey") * 2).alias("s"),
         (F.col("suppkey") * 2 + 1).alias("t"),
     )

@@ -10,6 +10,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import Catalog
 from ..functions.parity import MONEY, dsum
+from ..session import checkpoint_truncate
 from .registry import query
 
 
@@ -439,9 +440,13 @@ def recursive_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-proves staged == inline."""
     from ..operators.staging import staged_edges
 
-    staged_edges(spark, sf_dir, "cust_supp").createOrReplaceTempView(
-        "staged_cust_supp"
-    )
+    # cut=checkpoint_truncate: the recursive CTE re-reads the view per
+    # level — inline, each read would otherwise recompute the
+    # join+distinct (a configured staging zone makes it a leaf scan and
+    # the cut is skipped).
+    staged_edges(
+        spark, sf_dir, "cust_supp", cut=checkpoint_truncate
+    ).createOrReplaceTempView("staged_cust_supp")
     return spark.sql(_RECURSIVE_WALK_STAGED_SQL)
 
 
@@ -458,18 +463,17 @@ def path_counts_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerating form trips Spark's recursion row guard. The same
     census-over-enumeration move as round-9's join_range_binned: when
     the output is a COUNT, never materialize what you can aggregate.
-    r11 (VERDICT r10 item 6): the distillation now comes from the
-    family-level STAGED edge table (operators/staging.py) — built once
-    per fixture, read as a leaf parquet scan by every consumer (this
-    query, graph_pagerank, graph_kcore, recursive_path_counts). The
-    scan replaces the per-query join+distinct AND the
-    checkpoint_truncate that used to cut its lineage (a parquet leaf
-    needs no cut, and its blocks live outside the executor storage
-    pool). The oracle still derives edges from the base tables, so the
-    green hash re-proves staged == inline every round."""
+    The distillation (operators/staging.py) is built inline and
+    lineage-cut by default — the und mirror and the seed filter would
+    otherwise evaluate the join+distinct three times; a configured
+    staging zone serves the family-level table (shared with
+    graph_pagerank, graph_kcore, recursive_path_counts) as a leaf
+    parquet scan and the cut is skipped. The oracle always derives edges
+    from the base tables, so the green hash re-proves staged == inline
+    every round."""
     from ..operators.staging import staged_edges
 
-    edges = staged_edges(spark, sf_dir, "cust_supp").select(
+    edges = staged_edges(spark, sf_dir, "cust_supp", cut=checkpoint_truncate).select(
         F.concat(F.lit("c"), F.col("custkey")).alias("src"),
         F.concat(F.lit("s"), F.col("suppkey")).alias("dst"),
     )

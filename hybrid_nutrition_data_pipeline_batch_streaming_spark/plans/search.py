@@ -76,23 +76,23 @@ def doc_tf_frame(documents: DataFrame) -> DataFrame:
 
 
 def _doc_tf(cat: Catalog):
-    """The shared per-doc tf index as a staged read (r12): the run-length
-    encode is a pure function of ``documents``, and five registered
-    queries paid it per query — it is now the ``doc_tf`` staged
-    distillation, built once per fixture content and read here as a leaf
-    parquet scan (M=100: the 5.9 s map-side build becomes a ~1.5 s
-    columnar read). The leaf also REPLACES the old load-bearing persist:
-    it is a stronger optimizer barrier (explode() directly over the
-    nested-lambda projections sends Catalyst into a runaway optimization
-    loop — measured on Spark 4.1: .explain() alone pegs a core for
-    minutes; a parquet leaf makes the generator input a plain attribute),
-    and the persist below now caches a READ instead of a compute. The
-    persist stays because the heavy consumers (search_prf_expand,
+    """The shared per-doc tf index (r12): by default ``doc_tf_frame``
+    computed inline + persisted — the map-side RLE build runs inside each
+    consumer's own timed plan, computed fresh from the documents parquet
+    every invocation (no cross-run persistence). With a staging zone
+    configured (``SPARK_GRAFT_STAGING_DIR``), the ``doc_tf`` staged
+    distillation is read instead — built once per fixture content, a ~2×
+    win for the five-query family on a warm zone (measured M=100: ~3 s
+    per cold nested read vs 5.9 s per compute).
+
+    The ``.persist()`` is LOAD-BEARING either way: (a) it is the optimizer
+    barrier — explode() directly over the un-persisted nested-lambda
+    projections sends Catalyst into a runaway optimization loop (measured
+    on Spark 4.1: .explain() alone pegs a core for minutes; the
+    InMemoryRelation substitution makes the generator input a plain
+    attribute); (b) the heavy consumers (search_prf_expand,
     similarity_maxsim, bm25's stats leg) reference the index two-plus
-    times and nested-column assembly is the expensive part of the scan
-    (measured M=100: ~3 s per cold nested read vs 5.9 s for the old
-    compute+persist). Do not inline ``doc_tf_frame`` into the
-    consumers."""
+    times. Do not inline ``doc_tf_frame`` into the consumers."""
     from ..operators.staging import staged_edges
 
     return staged_edges(cat.spark, cat.sf_dir, "doc_tf").persist()

@@ -453,21 +453,24 @@ def similarity_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     production variant of ``similarity_ann_lsh`` (same OR-amplified band
     equi-joins, same exact rescore; only the hash family differs).
 
-    r12: the index (buckets + norms, ``hp_index_frame``) is a WRITE-ONCE
-    staged distillation — the seeded planes make it a pure function of the
-    embeddings fixture, so per-query work is probes only: bounded query cut
-    + per-band int-bucket equi-joins against the staged index + exact
-    rescore against the embeddings table joined back by vec_id. This is
-    the build-once/probe-many ANN contract (a FAISS index on object
-    storage); at 100 TB the index is ~1% of the vector payload and the
-    band joins never touch the arrays. Correctness is carried by the
-    oracle-backed recall contract ``similarity_ann_hyperplane_recall``
-    (whose floor was measured against the inline build — the staged==
-    inline pin in tests/test_staging.py keeps that transfer valid)."""
+    The index form (buckets + norms, ``hp_index_frame``) is the FAISS
+    convention — codes only, never raw vectors: the band joins ship 8-byte
+    ids + ints, and the exact rescore joins the embeddings table back by
+    vec_id. By default the index is computed INLINE from the embeddings
+    parquet inside this query's own plan and persisted for the one plan's
+    9 references (qb + 8 band joins + the rescore norms); with a staging
+    zone configured (``SPARK_GRAFT_STAGING_DIR``) it is the write-once
+    ``hp_index`` staged distillation instead — built once per fixture,
+    ~1% of the vector payload, the build-once/probe-many ANN contract.
+    Correctness is carried by the oracle-backed recall contract
+    ``similarity_ann_hyperplane_recall`` (the staged==inline pin in
+    tests/test_staging.py keeps that transfer valid either way)."""
     from ..operators.staging import staged_edges
 
     cat = Catalog(spark, sf_dir)
-    index = staged_edges(spark, sf_dir, "hp_index")
+    index = staged_edges(
+        spark, sf_dir, "hp_index", cut=lambda df: df.persist()
+    )
     vecs = cat.embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("e")
     )
