@@ -100,6 +100,34 @@ def test_ann_hyperplane_recall_and_determinism(spark):
     assert contract and all(r.recall_ok for r in contract)
 
 
+def test_hp_index_fused_fold_matches_reference_buckets(spark):
+    """r12 optimization: hp_index_frame computes the 32 (band, bit) sign
+    projections with ONE fused fold carrying a 32-sum accumulator array.
+    Pin it bit-identical to the reference per-bit `_hp_bucket` folds —
+    same sequential d-order, same `acc + e[d] * (±1.0)` step — so a future
+    rewrite that reorders the floating-point additions (and can flip a
+    near-zero sign) fails loudly here instead of as a recall drift."""
+    from pyspark.sql import functions as F
+
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.catalog import (
+        Catalog,
+    )
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans import (
+        similarity as S,
+    )
+
+    emb = Catalog(spark, SF).embeddings
+    e = S._to_double(F.col("embedding"))
+    reference = emb.select(
+        "vec_id",
+        *[S._hp_bucket(e, b).alias(f"hb{b}") for b in range(S.HP_BANDS)],
+        S._norm(e).alias("n"),
+    )
+    got = sorted(map(tuple, S.hp_index_frame(emb).collect()))
+    want = sorted(map(tuple, reference.collect()))
+    assert got == want and got
+
+
 def test_ann_mllib_recall_vs_exact(spark):
     """The BRP-LSH library path must recover ≥0.8 of the exact top-5 with
     its tuned (bucketLength=0.5, numHashTables=4) configuration — measured
