@@ -37,6 +37,8 @@ bit-identical and safe to hash-compare.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -434,37 +436,6 @@ def _hp_bucket(e: Column, band: int) -> Column:
     return bucket.cast("int")
 
 
-#: The full plane matrix as ONE literal node: W[d] holds the 32 band-major
-#: (band*BAND_BITS + bit) ±1 weights for dimension d. Passed to F.lit as a
-#: nested Python list so the logical plan carries a SINGLE Literal — not a
-#: 2048-node CreateArray tree. That size matters structurally, not just for
-#: ConstantFolding: the fused ``sums`` expression below is referenced once
-#: per (band, bit) output column, and the consuming query references the
-#: index frame ~10 more times, so any bulk in this subtree is multiplied
-#: ~320× in the analyzed plan. The first cut used nested F.array(F.lit...)
-#: and drove similarity_ann_hyperplane from ~5 s to 23 s at sf0.1 — all
-#: driver-side plan analysis/optimization over ~70 k duplicated nodes; the
-#: single-Literal form restores millisecond planning.
-def _hp_plane_matrix() -> Column:
-    import hashlib as _hl
-
-    def w(band: int, bit: int, d: int) -> float:
-        return (
-            1.0
-            if int(_hl.md5(f"hp:{band}:{bit}:{d}".encode()).hexdigest()[0], 16)
-            % 2
-            == 0
-            else -1.0
-        )
-
-    return F.lit(
-        [
-            [w(b, j, d) for b in range(HP_BANDS) for j in range(BAND_BITS)]
-            for d in range(HP_DIMS)
-        ]
-    )
-
-
 def hp_index_frame(emb: DataFrame) -> DataFrame:
     """The persisted FORM of the hyperplane index: (vec_id, hb0..hbN, n) —
     band buckets + norm only, never the raw vectors. This is the FAISS
@@ -475,43 +446,77 @@ def hp_index_frame(emb: DataFrame) -> DataFrame:
     persist) by ``similarity_ann_hyperplane`` and by the ``hp_index``
     staged distillation builder (operators/staging.py).
 
-    r12 optimization (guide §2.3/§4 spirit — do the per-row work once):
-    the 32 per-(band,bit) projections are ONE fused fold over the 64
-    dimensions carrying a 32-sum accumulator array, instead of 32
-    independent ``aggregate(zip_with(...))`` folds each re-traversing the
-    row (measured at sf0.1: 2.7 → 1.9 s for the index build, min-of-3).
-    Bit-identical to the reference ``_hp_bucket`` form by construction:
-    per (band, bit) the additions visit d = 0..63 in the same sequential
-    order with the same ``acc + e[d] * (±1.0)`` step (IEEE ±1.0 products
-    are exact), verified element-identical at sf0.01."""
-    e = _to_double(F.col("embedding"))
-    zero = F.lit([0.0] * (HP_BANDS * BAND_BITS))
-    sums = F.aggregate(
-        F.zip_with(
-            e, _hp_plane_matrix(), lambda x, ws: F.transform(ws, lambda wv: x * wv)
-        ),
-        zero,
-        lambda acc, terms: F.zip_with(acc, terms, lambda s, t: s + t),
+    r12 optimization (guide §4.2 — hand whole Arrow batches to vectorized
+    native code): the 32 per-(band,bit) projections and the norm are ONE
+    Arrow-batched pandas UDF running a 64-step NumPy accumulation. Two
+    JVM expression forms were built and measured first, and both lost to
+    driver-side ANALYSIS, not execution — PySpark re-analyzes the plan at
+    every DataFrame transformation, and a higher-order-function tree big
+    enough to express 32 projections is re-resolved each time:
+
+    - 32 independent ``aggregate(zip_with(e, plane))`` folds: ~2.7 s of
+      construction+execution for the index alone at sf0.1;
+    - ONE fused fold carrying a 32-sum accumulator array (nested lambdas
+      + a 2048-double Literal): execution got faster, but constructing
+      the consuming query still cost 2.6-15 s of pure analysis per bench
+      pass (measured by timing construct and execute separately), putting
+      similarity_ann_hyperplane at 18.3 s in the committed r12 bench run.
+
+    The pandas UDF is a SINGLE small plan node: construction is
+    milliseconds, and 2 000 rows × 64 dims × 32 planes is ~4 M flops of
+    NumPy per batch. Bit-identical to the reference ``_hp_bucket`` form by
+    construction: the accumulation visits d = 0..63 in the same sequential
+    order with the same ``acc + e[d] * (±1.0)`` step starting from 0.0
+    (IEEE ±1.0 products are exact, NumPy float64 ops are the same IEEE
+    ops), and ``sqrt`` is correctly rounded in both runtimes — verified
+    element-identical (buckets AND norms) against the per-bit fold spec in
+    tests/test_operators.py. Assumes non-null embeddings (the catalog
+    fixture's contract; the equivalence test runs on the real fixture)."""
+    import hashlib as _hl
+
+    n_codes = HP_BANDS * BAND_BITS
+    # W[d, band*BAND_BITS + bit]: the same md5-derived ±1 planes as
+    # _hp_plane, band-major — shipped to workers once in the UDF closure.
+    W = np.asarray(
+        [
+            [
+                1.0
+                if int(_hl.md5(f"hp:{b}:{j}:{d}".encode()).hexdigest()[0], 16) % 2
+                == 0
+                else -1.0
+                for b in range(HP_BANDS)
+                for j in range(BAND_BITS)
+            ]
+            for d in range(HP_DIMS)
+        ]
     )
-    # TWO projections, not one: the fold above carries four nested lambda
-    # functions, and referencing it directly from all 32 bucket terms put
-    # 32 copies of it in the plan — PySpark's eager per-transformation
-    # ANALYSIS then re-resolved every lambda at each downstream op
-    # (measured: 15.5 s of pure DataFrame construction for the consuming
-    # query). Aliasing the fold once and deriving buckets from the plain
-    # `s32` attribute keeps exactly one copy in the tree; CollapseProject
-    # does not inline it back (non-cheap expression referenced 32×).
-    base = emb.select("vec_id", sums.alias("s32"), _norm(e).alias("n"))
-    cols = []
-    for b in range(HP_BANDS):
-        bucket = F.lit(0)
-        for j in range(BAND_BITS):
-            bucket = bucket + F.when(
-                F.element_at(F.col("s32"), b * BAND_BITS + j + 1) > 0,
-                F.lit(2**j),
-            ).otherwise(F.lit(0))
-        cols.append(bucket.cast("int").alias(f"hb{b}"))
-    return base.select("vec_id", *cols, "n")
+    pow2 = np.asarray([float(2**j) for j in range(BAND_BITS)])
+
+    @F.pandas_udf("array<double>")
+    def hp_codes(embs: pd.Series) -> pd.Series:
+        E = np.asarray(embs.to_list(), dtype=np.float64)
+        if E.shape[0] == 0:
+            return pd.Series([], dtype=object)
+        sums = np.zeros((E.shape[0], n_codes))
+        sq = np.zeros(E.shape[0])
+        for d in range(HP_DIMS):  # sequential d-order == the fold's order
+            x = E[:, d]
+            sums = sums + x[:, None] * W[d]
+            sq = sq + x * x
+        bits = (sums > 0.0).reshape(-1, HP_BANDS, BAND_BITS)
+        buckets = (bits * pow2).sum(axis=2)  # exact small ints in double
+        out = np.concatenate([buckets, np.sqrt(sq)[:, None]], axis=1)
+        return pd.Series(list(out))
+
+    coded = emb.select("vec_id", hp_codes(F.col("embedding")).alias("c"))
+    return coded.select(
+        "vec_id",
+        *[
+            F.element_at(F.col("c"), b + 1).cast("int").alias(f"hb{b}")
+            for b in range(HP_BANDS)
+        ],
+        F.element_at(F.col("c"), HP_BANDS + 1).alias("n"),
+    )
 
 
 @query("similarity_ann_hyperplane")
@@ -524,8 +529,12 @@ def similarity_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention — codes only, never raw vectors: the band joins ship 8-byte
     ids + ints, and the exact rescore joins the embeddings table back by
     vec_id. By default the index is computed INLINE from the embeddings
-    parquet inside this query's own plan and persisted for the one plan's
-    9 references (qb + 8 band joins + the rescore norms); with a staging
+    parquet inside this query's own plan and eagerly localCheckpointed
+    for the one plan's 9 references (qb + 8 band joins + the rescore
+    norms) — eager, not a lazy persist, because the 8 band joins' broadcast
+    stages materialize CONCURRENTLY and a lazy cache lets several of them
+    race to compute the index before any block is published (measured at
+    sf0.1: exec 1.2-3.8 s lazy vs a steady 0.9 s eager); with a staging
     zone configured (``SPARK_GRAFT_STAGING_DIR``) it is the write-once
     ``hp_index`` staged distillation instead — built once per fixture,
     ~1% of the vector payload, the build-once/probe-many ANN contract.
@@ -533,10 +542,11 @@ def similarity_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``similarity_ann_hyperplane_recall`` (the staged==inline pin in
     tests/test_staging.py keeps that transfer valid either way)."""
     from ..operators.staging import staged_edges
+    from ..session import checkpoint_truncate
 
     cat = Catalog(spark, sf_dir)
     index = staged_edges(
-        spark, sf_dir, "hp_index", cut=lambda df: df.persist()
+        spark, sf_dir, "hp_index", cut=checkpoint_truncate
     )
     vecs = cat.embeddings.select(
         "vec_id", _to_double(F.col("embedding")).alias("e")

@@ -100,10 +100,12 @@ def test_ann_hyperplane_recall_and_determinism(spark):
     assert contract and all(r.recall_ok for r in contract)
 
 
-def test_hp_index_fused_fold_matches_reference_buckets(spark):
+def test_hp_index_codes_match_reference_buckets(spark):
     """r12 optimization: hp_index_frame computes the 32 (band, bit) sign
-    projections with ONE fused fold carrying a 32-sum accumulator array.
-    Pin it bit-identical to the reference per-bit `_hp_bucket` folds —
+    projections and the norm in ONE Arrow-batched NumPy accumulation
+    (driver-side analysis of the JVM higher-order-function forms dominated
+    the query — see hp_index_frame's docstring). Pin it bit-identical
+    (buckets AND norms) to the reference per-bit `_hp_bucket` folds —
     same sequential d-order, same `acc + e[d] * (±1.0)` step — so a future
     rewrite that reorders the floating-point additions (and can flip a
     near-zero sign) fails loudly here instead of as a recall drift."""
