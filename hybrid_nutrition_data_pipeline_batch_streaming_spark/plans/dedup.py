@@ -310,32 +310,14 @@ HAMMING_MAX = 6
 _BLOCK_DIV = 2 ** 24  # block on the top 8 bits of w0
 
 
-def _digest_words(tok_md5: Column) -> list[Column]:
-    """The first 16 hex chars of a token digest decoded to two 32-bit words.
-
-    Two conv() calls per row instead of sixteen per-nibble decodes; bit j of
-    the signature is then a shiftright/AND on an integer word inside the
-    aggregate — no string ops, no division. Profiled 1.4× faster than the
-    per-nibble form (and 3× faster than inlining the decode into all 64
-    aggregates) at sf0.1, bit-identical signatures."""
-    return [
-        F.conv(F.substring(tok_md5, 1, 8), 16, 10).cast("bigint").alias("wa"),
-        F.conv(F.substring(tok_md5, 9, 8), 16, 10).cast("bigint").alias("wb"),
-    ]
-
-
-def _word(prefix: str, lo: int) -> Column:
-    """Assemble one 32-bit signature word from the per-bit vote columns."""
-    return (
-        sum(
-            (
-                F.when(F.col(f"{prefix}{lo + j}") > 0, F.lit(2**j)).otherwise(0)
-                for j in range(_WORD_BITS)
-            ),
-            F.lit(0),
-        )
-        .cast("bigint")
+def _word_sql(prefix: str, lo: int) -> str:
+    """One 32-bit signature word from the per-bit vote columns, as a SQL
+    expression string (see simhash_signatures for why strings)."""
+    terms = " + ".join(
+        f"(CASE WHEN {prefix}{lo + j} > 0 THEN {2**j}L ELSE 0L END)"
+        for j in range(_WORD_BITS)
     )
+    return f"CAST({terms} AS BIGINT)"
 
 
 _EXPANDED_SQL = """
@@ -367,30 +349,65 @@ _SIG_CTES_SQL = f"""tok AS (
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """Persisted (doc_id, w0, w1) 64-bit simhash signature table over any
+    """Materialized (doc_id, w0, w1) 64-bit simhash signature table over any
     (doc_id, text, ...) DataFrame — shared by the single-block and
-    multi-probe pair generators."""
+    multi-probe pair generators.
+
+    Decode each digest once to two 32-bit words, then sum the ±1 votes per
+    bit in ONE aggregation pass (64 sums of 2·bit-1 over shiftright/AND of
+    the words, map-side partials — no per-bit explode on the Spark side).
+    Hex char 1 is the word's most significant nibble, and within a nibble
+    bit j%4==0 is the 8s bit, so signature bit j sits at word bit 31-(j%32).
+    (The conv-to-two-words decode was profiled in r9: 1.4× faster than
+    per-nibble decodes, 3× faster than inlining the decode into all 64
+    aggregates, bit-identical signatures.)
+
+    r12 optimization, two structural changes (measured at sf0.1, board
+    harness, min-of-3 construct+execute):
+
+    - The 64 vote aggregates and the two word assemblies are built as SQL
+      STRINGS (``F.expr`` / ``selectExpr``), not as Column-method chains:
+      one py4j round trip each instead of ~6 per expression × 96
+      expressions. Identical expression tree after parsing (collect()
+      equality checked against the Column form at sf0.1); construction
+      drops 1.18 → 0.29 s.
+    - The result is an EAGER lineage cut (``checkpoint_truncate``), not a
+      lazy ``.persist()``: the consumers self-join it (two scan legs per
+      probe join, 8 probe joins in the multiprobe), and those legs
+      materialize CONCURRENTLY under AQE — with a lazy cache several legs
+      race to compute the uncached signature table, and each downstream
+      reference also re-pays Catalyst analysis of the whole signature
+      subtree. Cold per-query totals: dedup_simhash 1.77 → 0.98 s,
+      dedup_simhash_multiprobe 4.84 → 1.88 s,
+      dedup_simhash_multiprobe_wide 2.95 → 1.18 s.
+    """
+    from ..session import checkpoint_truncate
+
     tok = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
         .where(F.col("token") != "")
         .select("doc_id", F.md5(F.col("token")).alias("h"))
     )
-    # Decode each digest once to two 32-bit words, then sum the ±1 votes per
-    # bit in ONE aggregation pass (64 sums of 2·bit-1 over shiftright/AND of
-    # the words, map-side partials — no per-bit explode on the Spark side).
-    # Hex char 1 is the word's most significant nibble, and within a nibble
-    # bit j%4==0 is the 8s bit, so signature bit j sits at word bit 31-(j%32).
-    words = tok.select("doc_id", *_digest_words(F.col("h")))
-    bit_votes = []
-    for j in range(SIMHASH_BITS):
-        src = F.col("wa") if j < _WORD_BITS else F.col("wb")
-        bit = F.shiftright(src, 31 - (j % _WORD_BITS)).bitwiseAND(F.lit(1))
-        bit_votes.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
-    return (
+    words = tok.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) AS wa",
+        "CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT) AS wb",
+    )
+    votes = [
+        F.expr(
+            f"SUM((shiftright({'wa' if j < _WORD_BITS else 'wb'},"
+            f" {31 - (j % _WORD_BITS)}) & 1) * 2 - 1) AS s{j}"
+        )
+        for j in range(SIMHASH_BITS)
+    ]
+    return checkpoint_truncate(
         words.groupBy("doc_id")
-        .agg(*bit_votes)
-        .select("doc_id", _word("s", 0).alias("w0"), _word("s", 32).alias("w1"))
-        .persist()  # every self-join probe reads the materialized signatures
+        .agg(*votes)
+        .selectExpr(
+            "doc_id",
+            _word_sql("s", 0) + " AS w0",
+            _word_sql("s", 32) + " AS w1",
+        )
     )
 
 
