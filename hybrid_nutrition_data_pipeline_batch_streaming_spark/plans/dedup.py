@@ -167,8 +167,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute shingling+hashing on BOTH sides (and Catalyst re-inlines the
     # shared md5 transform when the projection feeds an exchange). At
     # production scale this is "write the LSH signature table, then
-    # self-join it" — persist is the single-job analog.
-    sig = sig.persist()
+    # self-join it". EAGER cut, not a lazy persist (r12): the self-join's
+    # two scan legs materialize concurrently under AQE and raced to compute
+    # the uncached table; eager also stops each downstream reference
+    # re-paying Catalyst analysis of the shingling subtree.
+    from ..session import checkpoint_truncate
+
+    sig = checkpoint_truncate(sig)
     a = sig.alias("a")
     b = sig.alias("b")
     band_eq = [F.col(f"a.mh{k}") == F.col(f"b.mh{k}") for k in range(N_MINHASHES)]
@@ -253,7 +258,17 @@ def banded_minhash_pairs(docs: DataFrame) -> DataFrame:
     """Verified near-dup pairs (Jaccard ≥ 0.5) from b=2×r=2 banded minhash
     over any (doc_id, text, ...) DataFrame — the reusable core of
     ``dedup_minhash_banded``, also consumed by the corpus-build pipeline."""
-    sig = (
+    # Eager lineage cut (r12, was a lazy .persist()): the two band joins
+    # plus the two rescore legs below all reference this frame, and their
+    # scan legs materialize CONCURRENTLY — a lazy cache let them race to
+    # compute the uncached signatures, and every reference re-paid Catalyst
+    # analysis of the shingling subtree. Measured at sf0.1 (cold
+    # construct+execute): the pair build 2.01 → 1.42 s, and its six
+    # headline consumers each dropped 0.1-0.8 s (dedup_connected_components
+    # 3.43 → 2.61 s, pipeline_corpus_build 4.15 → 3.24 s).
+    from ..session import checkpoint_truncate
+
+    sig = checkpoint_truncate(
         docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
         .withColumn("digests", F.transform(F.col("shingles"), F.md5))
         .select(
@@ -264,7 +279,6 @@ def banded_minhash_pairs(docs: DataFrame) -> DataFrame:
                 for k in range(N_MINHASHES)
             ],
         )
-        .persist()
     )
     cand = None
     for cols in _MINHASH_BANDS:
