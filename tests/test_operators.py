@@ -497,10 +497,13 @@ def test_query_invocation_releases_previous_caches(spark):
     # longer persists anything).
     plans.QUERIES["similarity_ann_lsh"](spark, SF).count()
     assert not cm.isEmpty(), "expected similarity_ann_lsh to leave cached frames"
-    # graph_triangles nests dedup_minhash_banded AND persists its own edge
-    # list: outer entry clears the lsh leftovers, the nested call leaves
-    # the outer's persisted edges alone.
-    df = plans.QUERIES["graph_triangles"](spark, SF)
+    # er_golden_records persists its canonical-id frame FIRST, then nests
+    # the registered fuzzy_match_names: outer entry clears the lsh
+    # leftovers, and the nested call must leave the outer's persisted frame
+    # alone (r12: the former exemplar graph_triangles switched its edge
+    # persist to an eager localCheckpoint, which never registers in the
+    # CacheManager).
+    df = plans.QUERIES["er_golden_records"](spark, SF)
     assert not cm.isEmpty(), "nested invocation must not clear outer caches"
     df.count()
     plans.QUERIES["flagship_revenue"](spark, SF)  # no persists of its own
