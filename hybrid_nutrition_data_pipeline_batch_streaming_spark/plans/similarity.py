@@ -45,12 +45,14 @@ from pyspark.sql.window import Window
 
 from ..catalog import Catalog
 from ..operators.blocking import capped_blocking_join, capped_pair_sql
+from ..session import checkpoint_truncate
 from .registry import ORACLE, query
 
 N_QUERIES = 20  # bounded probe set
 TOP_K = 5
 N_BANDS = 4
 BAND_BITS = 4
+EMB_DIM = 64
 
 
 def _to_double(arr: Column) -> Column:
@@ -70,6 +72,48 @@ def _norm(a: Column) -> Column:
 
 def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# Static unrolled twins of _dot/_norm for FIXED-width arrays (r12, guide §4.1):
+# Spark's higher-order aggregate/zip_with lambdas are CodegenFallback — every
+# row pays interpreted per-step evaluation (the embedding family's measured
+# exec cost was dominated by these folds on broadcast-join outputs). A static
+# `0.0 + x[0]*y[0] + x[1]*y[1] + ...` chain is the IDENTICAL left-fold IEEE
+# operation sequence — including the leading 0.0 (sign-of-zero) — but
+# whole-stage-codegen compiles it. Built as ONE SQL string (one py4j call,
+# the simhash r12 precedent) instead of ~4·dim Column-method round trips.
+# Callers pass column NAMES or a per-element template containing ``{i}``
+# (e.g. the raw-scan form below); dims are structural constants of each
+# plan, so out-of-range subscripts cannot occur.
+#
+# PLACEMENT RULE (measured, r12): never point a chain at an array alias
+# computed in the ADJACENT projection — CollapseProject merges the two
+# Projects and inlines one full copy of the array-building expression per
+# subscript (64× for a transform()). Chains are safe when their input is a
+# leaf scan column, sits behind a join/exchange/persist barrier, or uses
+# the per-element raw template so each term touches only the scan column.
+def _elem(x: str, i: int) -> str:
+    return x.format(i=i) if "{i}" in x else f"{x}[{i}]"
+
+
+def _dot_s(x: str, y: str, dim: int = EMB_DIM) -> Column:
+    return F.expr(
+        "0.0D + " + " + ".join(f"{_elem(x, i)} * {_elem(y, i)}" for i in range(dim))
+    )
+
+
+def _norm_s(x: str, dim: int = EMB_DIM) -> Column:
+    return F.expr(
+        "sqrt(0.0D + "
+        + " + ".join(f"{_elem(x, i)} * {_elem(x, i)}" for i in range(dim))
+        + ")"
+    )
+
+
+#: Per-element template for norms taken straight off the embeddings scan —
+#: identical values to ``_norm(_to_double(embedding))`` (cast each element
+#: to double, multiply, left-fold) without materializing the double array.
+_RAW_E = "CAST(embedding[{i}] AS DOUBLE)"
 
 
 # DuckDB twins (expressions over DOUBLE[] columns {x}, {y}).
@@ -121,11 +165,13 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are precomputed per side (not per candidate pair) — same doubles
     # (identical fold), ~3× less array work in the pairwise stage.
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("qe")
-    ).withColumn("qn", _norm(F.col("qe")))
+        F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("qe"),
+        _norm_s(_RAW_E).alias("qn"),
+    )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), _to_double(F.col("embedding")).alias("ce")
-    ).withColumn("cn", _norm(F.col("ce")))
+        F.col("vec_id").alias("neighbor_id"), _to_double(F.col("embedding")).alias("ce"),
+        _norm_s(_RAW_E).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -239,14 +285,15 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the re-rank. Uncached, the bucket/norm projection over the full
     # embedding table re-computed per band (~10 passes at 4 bands); the
     # build-once/probe-many split is the point of an ANN index.
-    base = (
+    # r12: eager cut (was a lazy persist) — the four band-join legs and
+    # both rescore legs materialize concurrently and raced to fill it.
+    base = checkpoint_truncate(
         cat.embeddings.select(
             "vec_id",
             e.alias("e"),
             *[_band_bucket(e, b).alias(f"b{b}") for b in range(N_BANDS)],
+            _norm_s(_RAW_E).alias("n"),
         )
-        .withColumn("n", _norm(F.col("e")))
-        .persist()
     )
     q = base.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -712,12 +759,14 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       its nprobe cells' posting lists — the IVF contract.
     """
     cat = Catalog(spark, sf_dir)
-    base = (
+    # r12: eager cut (was a lazy persist) — corpus, centroid set and both
+    # rescore sides materialize concurrently and raced to fill it.
+    base = checkpoint_truncate(
         cat.embeddings.select(
-            "vec_id", _to_double(F.col("embedding")).alias("e")
+            "vec_id",
+            _to_double(F.col("embedding")).alias("e"),
+            _norm_s(_RAW_E).alias("n"),
         )
-        .withColumn("n", _norm(F.col("e")))
-        .persist()  # read as corpus, centroid set, and both rescore sides
     )
     cent = base.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
@@ -817,11 +866,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     work the way FAISS caps probe lists."""
     cat = Catalog(spark, sf_dir)
     e = _to_double(F.col("embedding"))
-    base = cat.embeddings.select(
-        "vec_id",
-        e.alias("e"),
-        *[_band_bucket(e, b).alias(f"b{b}") for b in range(N_BANDS)],
-    ).withColumn("n", _norm(F.col("e"))).persist()
+    # r12: eager cut (was a lazy persist) — four band-join legs plus both
+    # rescore joins materialize concurrently and raced to fill it.
+    base = checkpoint_truncate(
+        cat.embeddings.select(
+            "vec_id",
+            e.alias("e"),
+            *[_band_bucket(e, b).alias(f"b{b}") for b in range(N_BANDS)],
+            _norm_s(_RAW_E).alias("n"),
+        )
+    )
     pairs = None
     for b in range(N_BANDS):
         # ≤2^BAND_BITS distinct keys: the occupancy census broadcasts for
@@ -1087,10 +1141,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
       to the DuckDB oracle.
     """
     cat = Catalog(spark, sf_dir)
-    base = (
-        cat.embeddings.select("vec_id", _to_double(F.col("embedding")).alias("e"))
-        .withColumn("n", _norm(F.col("e")))
-        .persist()  # read as corpus, centroid set, and both pair sides
+    # r12: eager cut (was a lazy persist) — corpus, centroid set and both
+    # pair sides materialize concurrently and raced to fill it.
+    base = checkpoint_truncate(
+        cat.embeddings.select(
+            "vec_id",
+            _to_double(F.col("embedding")).alias("e"),
+            _norm_s(_RAW_E).alias("n"),
+        )
     )
     cent = base.where(F.col("vec_id") < SEM_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
@@ -1111,7 +1169,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cell")
         )
     )
-    enr = assign.join(base, "vec_id").persist()  # vec_id, cell, e, n
+    # r12: eager cut — both self-join sides raced to fill the lazy persist.
+    enr = checkpoint_truncate(assign.join(base, "vec_id"))  # vec_id, cell, e, n
     lhs = enr.select(
         F.col("vec_id").alias("a_id"), "cell", F.col("e").alias("ae"), F.col("n").alias("an")
     )
@@ -1186,10 +1245,13 @@ def cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     {CENTROID_DIMS} of 64 dims are value-checked to keep the result
     hashable (the plan is identical for all 64)."""
     cat = Catalog(spark, sf_dir)
-    base = (
-        cat.embeddings.select("vec_id", _to_double(F.col("embedding")).alias("e"))
-        .withColumn("n", _norm(F.col("e")))
-        .persist()
+    # r12: eager cut (was a lazy persist; see dedup_semantic).
+    base = checkpoint_truncate(
+        cat.embeddings.select(
+            "vec_id",
+            _to_double(F.col("embedding")).alias("e"),
+            _norm_s(_RAW_E).alias("n"),
+        )
     )
     cent = base.where(F.col("vec_id") < SEM_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
@@ -1229,8 +1291,6 @@ def cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # One full Lloyd iteration (assign → update → reassign), value-checked
 # ---------------------------------------------------------------------------
-
-EMB_DIM = 64
 
 _UPD_MEANS_SQL = ", ".join(
     f"CAST(SUM(CAST(b.e[{d + 1}] AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*)"
@@ -1283,10 +1343,14 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n rows cross the wire once), one broadcast reassign. A multi-round
     loop adds localCheckpoint per round (plans/graph.py pattern)."""
     cat = Catalog(spark, sf_dir)
-    base = (
-        cat.embeddings.select("vec_id", _to_double(F.col("embedding")).alias("e"))
-        .withColumn("n", _norm(F.col("e")))
-        .persist()
+    # r12: eager cut (was a lazy persist) — both assign passes, the update
+    # join and the centroid seed raced to fill it.
+    base = checkpoint_truncate(
+        cat.embeddings.select(
+            "vec_id",
+            _to_double(F.col("embedding")).alias("e"),
+            _norm_s(_RAW_E).alias("n"),
+        )
     )
 
     def assign_against(cent: DataFrame) -> DataFrame:
@@ -1310,17 +1374,19 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent0 = base.where(F.col("vec_id") < SEM_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
     )
-    a0 = assign_against(cent0).persist()
-    cnt = F.count("*")
+    a0 = checkpoint_truncate(assign_against(cent0))
+    # r12: the 64 exact-decimal mean aggregates are built as F.expr strings
+    # (one py4j call each) instead of 6-call Column-method chains — measured
+    # construction for this query was 1.18 s, mostly this block's round
+    # trips. Identical aggregate semantics.
     upd = (
         a0.join(base.select("vec_id", "e"), "vec_id")
         .groupBy("cell")
         .agg(
             *[
-                (
-                    F.sum(F.element_at(F.col("e"), d + 1).cast("decimal(25,12)"))
-                    .cast("double")
-                    / cnt
+                F.expr(
+                    f"CAST(SUM(CAST(e[{d}] AS DECIMAL(25,12))) AS DOUBLE)"
+                    " / COUNT(*)"
                 ).alias(f"m{d}")
                 for d in range(EMB_DIM)
             ]
@@ -1329,7 +1395,7 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").alias("cid"),
             F.array(*[F.col(f"m{d}") for d in range(EMB_DIM)]).alias("ce"),
         )
-        .withColumn("cn", _norm(F.col("ce")))
+        .withColumn("cn", _norm_s("ce"))
     )
     a1 = assign_against(upd)
     return (
@@ -1410,9 +1476,13 @@ def pipeline_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (the exact-baseline shape of ``similarity_topk``)."""
     from .text import embed_feature_hash
 
-    emb = embed_feature_hash(spark, sf_dir).select(
-        "doc_id", F.array(*[F.col(f"e{i}") for i in range(8)]).alias("e")
-    ).persist()
+    # r12: eager cut (was a lazy persist) — the broadcast probe leg and
+    # the corpus leg raced to fill it.
+    emb = checkpoint_truncate(
+        embed_feature_hash(spark, sf_dir).select(
+            "doc_id", F.array(*[F.col(f"e{i}") for i in range(8)]).alias("e")
+        )
+    )
     q = emb.where(F.col("doc_id") < EMBED_QUERIES).select(
         F.col("doc_id").alias("query_id"), F.col("e").alias("qe")
     )
@@ -1422,7 +1492,7 @@ def pipeline_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select(F.col("doc_id").alias("neighbor_id"), F.col("e").alias("ce")),
             F.col("query_id") != F.col("neighbor_id"),
         )
-        .select("query_id", "neighbor_id", _dot(F.col("qe"), F.col("ce")).alias("cosine"))
+        .select("query_id", "neighbor_id", _dot_s("qe", "ce", 8).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1442,15 +1512,19 @@ PQ_K = 16    # centroids per subspace → 4-bit codes, 64 dims → 8 bytes
 PQ_SHORTLIST = 100  # ADC candidates exact-reranked per query
 
 
-def _sub_l2sq(e: Column, ce: Column, s: Column) -> Column:
-    """Squared L2 between subvectors s of ``e`` and ``ce`` — sequential
-    left fold over the PQ_DSUB dims, bit-deterministic in both engines."""
-    def step(acc: Column, i: Column) -> Column:
-        idx = (s * PQ_DSUB + i).cast("int")
-        d = F.element_at(e, idx) - F.element_at(ce, idx)
-        return acc + d * d
-
-    return F.aggregate(F.sequence(F.lit(1), F.lit(PQ_DSUB)), F.lit(0.0), step)
+def _sub_l2sq_s(e: str, ce: str, s: str) -> Column:
+    """Squared L2 between subvectors ``s`` of ``e`` and ``ce`` — the
+    sequential left fold over the PQ_DSUB dims unrolled as one static
+    codegen-able chain (r12; see ``_dot_s``): identical IEEE operation
+    sequence to ``aggregate(sequence(1, PQ_DSUB), 0.0, acc + d*d)``,
+    bit-deterministic in both engines. ``s`` is a column name; subscripts
+    are 0-based Spark SQL array indexing."""
+    terms = " + ".join(
+        f"(({e}[{s}*{PQ_DSUB}+{i}] - {ce}[{s}*{PQ_DSUB}+{i}])"
+        f" * ({e}[{s}*{PQ_DSUB}+{i}] - {ce}[{s}*{PQ_DSUB}+{i}]))"
+        for i in range(PQ_DSUB)
+    )
+    return F.expr(f"0.0D + {terms}")
 
 
 @query(
@@ -1535,14 +1609,24 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives codebooks, codes, tables, shortlists and re-ranked scores
     from the same parquet and matches the full top-{TOP_K} hash."""
     cat = Catalog(spark, sf_dir)
-    raw = cat.embeddings.select(
-        "vec_id", _to_double(F.col("embedding")).alias("r")
-    )
     # Unit-normalize first: on the unit sphere L2² = 2 − 2·cos, so the PQ
     # ranking targets the same cosine neighbors as the exact baseline.
-    base = raw.select(
+    # r12: the norm is hoisted out of the per-element lambda — the fold
+    # subexpression inside transform() was re-evaluated per element (64×
+    # per row, interpreted); the division values are identical. The hoisted
+    # (r, nrm) frame is an eager cut so the divide reads leaf columns (the
+    # _dot_s placement rule) and the three base consumers (pairs, both
+    # rerank sides) stop re-deriving the scan+norm.
+    pre = checkpoint_truncate(
+        cat.embeddings.select(
+            "vec_id",
+            _to_double(F.col("embedding")).alias("r"),
+            _norm_s(_RAW_E).alias("nrm"),
+        )
+    )
+    base = pre.select(
         "vec_id",
-        F.transform(F.col("r"), lambda x: x / _norm(F.col("r"))).alias("e"),
+        F.expr("transform(r, x -> x / nrm)").alias("e"),
     )
     cent = base.where(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").cast("int").alias("j"), F.col("e").alias("ce")
@@ -1557,10 +1641,13 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "s",
             "j",
-            _sub_l2sq(F.col("e"), F.col("ce"), F.col("s")).alias("dist"),
+            _sub_l2sq_s("e", "ce", "s").alias("dist"),
         )
     )
-    pairs = pairs.persist()  # feeds both the code table and the ADC tables
+    # r12: eager cut (was a lazy persist) — the code table and the
+    # broadcast ADC tables materialize concurrently and raced to compute
+    # the uncached pair table.
+    pairs = checkpoint_truncate(pairs)
     codes = (
         pairs.groupBy("vec_id", "s")
         .agg(F.min(F.struct("dist", "j")).alias("m"))
@@ -1582,18 +1669,18 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def adc(acc: Column, s: Column) -> Column:
-        code = F.element_at(F.col("codes"), (s + 1).cast("int"))
-        return acc + F.element_at(F.col("dt"), (s * PQ_K + code + 1).cast("int"))
-
+    # ADC: the fold over subspaces unrolled as a static lookup chain (r12,
+    # same IEEE sequence as aggregate(sequence(0, PQ_M-1), 0.0, acc +
+    # dt[s*PQ_K + codes[s]]); 0-based SQL subscripts).
+    adc_chain = F.expr(
+        "0.0D + " + " + ".join(f"dt[{s} * {PQ_K} + codes[{s}]]" for s in range(PQ_M))
+    )
     scored = (
         codearr.join(F.broadcast(dt), F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0.0), adc
-            ).alias("approx_dist"),
+            adc_chain.alias("approx_dist"),
         )
     )
     wa = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
@@ -1612,7 +1699,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            _dot(F.col("qe"), F.col("ne")).alias("cosine"),
+            _dot_s("qe", "ne").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -1672,11 +1759,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     emb = cat.embeddings
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("qe")
-    ).withColumn("qn", _norm(F.col("qe")))
+        F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("qe"),
+        _norm_s(_RAW_E).alias("qn"),
+    )
     c = emb.select(
-        F.col("vec_id").alias("cand_id"), _to_double(F.col("embedding")).alias("ce")
-    ).withColumn("cn", _norm(F.col("ce")))
+        F.col("vec_id").alias("cand_id"), _to_double(F.col("embedding")).alias("ce"),
+        _norm_s(_RAW_E).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("cand_id"))
@@ -1789,11 +1878,13 @@ def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cat.embeddings
     lam, om = MMR_LAMBDA, round(1 - MMR_LAMBDA, 2)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("qe")
-    ).withColumn("qn", _norm(F.col("qe")))
+        F.col("vec_id").alias("query_id"), _to_double(F.col("embedding")).alias("qe"),
+        _norm_s(_RAW_E).alias("qn"),
+    )
     c = emb.select(
-        F.col("vec_id").alias("cand_id"), _to_double(F.col("embedding")).alias("ce")
-    ).withColumn("cn", _norm(F.col("ce")))
+        F.col("vec_id").alias("cand_id"), _to_double(F.col("embedding")).alias("ce"),
+        _norm_s(_RAW_E).alias("cn"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     short = (
         F.broadcast(q)
@@ -1817,7 +1908,7 @@ def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(lam) * F.col("cosine")).alias("s1_score"),
     )
     rest = short.where(F.col("rank") > 1)
-    sim_s1 = _dot(F.col("ce"), F.col("s1e")) / (_norm(F.col("ce")) * _norm(F.col("s1e")))
+    sim_s1 = _dot_s("ce", "s1e") / (_norm_s("ce") * _norm_s("s1e"))
     r2 = (
         rest.join(s1, "query_id")
         .withColumn("mmr_score", F.lit(lam) * F.col("cosine") - F.lit(om) * sim_s1)
@@ -1833,7 +1924,7 @@ def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mmr_score").alias("s2_score"),
         )
     )
-    sim_s2 = _dot(F.col("ce"), F.col("s2e")) / (_norm(F.col("ce")) * _norm(F.col("s2e")))
+    sim_s2 = _dot_s("ce", "s2e") / (_norm_s("ce") * _norm_s("s2e"))
     r3 = (
         rest.join(s1.select("query_id", "s1e"), "query_id")
         .join(s2.select("query_id", "s2_id", "s2e"), "query_id")
@@ -2005,7 +2096,7 @@ def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.array(*[F.col(f"c{d}") for d in range(_CSIM_DIMS)]).alias("cv"),
     )
-    withn = vecs.withColumn("nrm", _norm(F.col("cv")))
+    withn = vecs.withColumn("nrm", _norm_s("cv", _CSIM_DIMS))
     a = withn.select(
         F.col("label").alias("label_a"),
         F.col("n_members").alias("n_a"),
@@ -2023,7 +2114,7 @@ def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        (_dot(F.col("cva"), F.col("cvb")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+        (_dot_s("cva", "cvb", _CSIM_DIMS) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
             "cosine"
         ),
     )

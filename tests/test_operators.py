@@ -492,17 +492,12 @@ def test_query_invocation_releases_previous_caches(spark):
     )
 
     cm = spark._jsparkSession.sharedState().cacheManager()
-    # similarity_ann_lsh persists its band-bucket index frame (r12: the
-    # former exemplar bm25_search reads the staged doc_tf leaf and no
-    # longer persists anything).
-    plans.QUERIES["similarity_ann_lsh"](spark, SF).count()
-    assert not cm.isEmpty(), "expected similarity_ann_lsh to leave cached frames"
     # er_golden_records persists its canonical-id frame FIRST, then nests
-    # the registered fuzzy_match_names: outer entry clears the lsh
-    # leftovers, and the nested call must leave the outer's persisted frame
-    # alone (r12: the former exemplar graph_triangles switched its edge
-    # persist to an eager localCheckpoint, which never registers in the
-    # CacheManager).
+    # the registered fuzzy_match_names — a surviving cache entry after the
+    # build proves the nested invocation did not clear the outer's persist
+    # (r12: the former exemplars graph_triangles and similarity_ann_lsh
+    # switched their persists to eager localCheckpoints, which never
+    # register in the CacheManager).
     df = plans.QUERIES["er_golden_records"](spark, SF)
     assert not cm.isEmpty(), "nested invocation must not clear outer caches"
     df.count()
