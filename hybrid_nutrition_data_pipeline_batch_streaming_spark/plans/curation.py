@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import Catalog
 from .dedup import _SHINGLES_SQL, _shingles
+from ..session import checkpoint_truncate
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -812,8 +813,10 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("t") != "")
         .select("doc_id", "source", bucket.alias("b"))
-        .persist()
     )
+    # r12: eager cut (was a lazy persist) — see the sweep in
+    # OPTIMIZATION_r12.md (1.30 → 0.99 s).
+    tok = checkpoint_truncate(tok)
     counts = tok.groupBy("b").agg(
         F.count("*").alias("r_b"),
         F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))

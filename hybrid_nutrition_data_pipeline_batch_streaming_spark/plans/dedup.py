@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..operators.blocking import capped_blocking_join, capped_pair_sql
+from ..session import checkpoint_truncate
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -880,8 +881,12 @@ def dedup_ngram_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ndocs))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= cutoff))
         .filter(packable.isNull())
-        .persist()  # read by the pair explode AND the per-doc size rollup
     )
+    # r12: eager cut (was a lazy persist) — the pair explode and the
+    # per-doc size rollup materialize concurrently and raced to compute
+    # the uncached posting table (measured 7.99 → 3.14 s min-of-3 at
+    # sf0.1, interleaved sweep 3.23 → 2.08 s).
+    posting = checkpoint_truncate(posting)
     # Per-doc filtered-representation sizes, with the signal floor.
     nsz = (
         posting.select(F.explode("ds").alias("doc_id"))

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Catalog
+from ..session import checkpoint_truncate
 from .registry import query
 
 #: Overflow guard for the decayed score: weights are 2^weeks, so cap the
@@ -78,7 +79,9 @@ def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     # Persisted: the (day, user) projection feeds both the first-seen pass
     # and the per-day activity rollup — one events scan instead of two.
-    daily = cat.events.select(F.to_date("ts").alias("d"), "user_id").persist()
+    daily = checkpoint_truncate(
+        cat.events.select(F.to_date("ts").alias("d"), "user_id")
+    )  # r12: eager cut (was a lazy persist; 0.59 → 0.49 s)
     firsts = daily.groupBy("user_id").agg(F.min("d").alias("first_d"))
     newby = firsts.groupBy(F.col("first_d").alias("d")).agg(
         F.count("*").alias("new_users")

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Catalog
+from ..session import checkpoint_truncate
 from .registry import query
 
 #: Attribution lookback: touches older than this many µs credit nothing.
@@ -300,9 +301,9 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     # One persisted type-filtered scan feeds both sides (was two full
     # event scans).
-    ev = cat.events.where(
-        F.col("event_type").isin("click", "purchase")
-    ).persist()
+    ev = checkpoint_truncate(
+        cat.events.where(F.col("event_type").isin("click", "purchase"))
+    )  # r12: eager cut (was a lazy persist; 0.74 → 0.57 s)
     c = ev.where(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),

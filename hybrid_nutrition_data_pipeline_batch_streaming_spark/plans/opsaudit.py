@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import Catalog
+from ..session import checkpoint_truncate
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -654,8 +655,9 @@ def fifo_match_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so no separate fact scan recomputes it). The two cached subsets are
     # disjoint linestatus slices: one effective pass over lineitem total,
     # where the r1-r6 form scanned it four times.
-    s = cum("F", "cs").withColumnsRenamed({"qty": "sq"}).persist()
-    d = cum("O", "cd").withColumnsRenamed({"qty": "dq"}).persist()
+    # r12: eager cuts (were lazy persists; 1.81 → 1.56 s interleaved).
+    s = checkpoint_truncate(cum("F", "cs").withColumnsRenamed({"qty": "sq"}))
+    d = checkpoint_truncate(cum("O", "cd").withColumnsRenamed({"qty": "dq"}))
     overlap = F.least(F.col("cs"), F.col("cd")) - F.greatest(
         F.col("cs") - F.col("sq"), F.col("cd") - F.col("dq")
     )

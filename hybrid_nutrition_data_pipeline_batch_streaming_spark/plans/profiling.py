@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import Catalog
 from ..functions.parity import MONEY, QTY, dsum
+from ..session import checkpoint_truncate
 from .registry import query
 
 
@@ -713,10 +714,10 @@ def kth_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cents")
         .agg(F.count("*").alias("cnt"))
-        # Persisted: the value-histogram feeds both the total count and
-        # the cumulative pass - one events scan instead of two.
-        .persist()
     )
+    # r12: eager cut (was a lazy persist) — the total count and the
+    # cumulative pass raced to fill it (0.61 → 0.43 s).
+    hist = checkpoint_truncate(hist)
     totals = hist.agg(F.sum("cnt").cast("long").alias("n_rows"))
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     cum = (

@@ -501,7 +501,8 @@ def path_counts_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "n_paths")
         )
 
-    l1 = step(seeds).persist()  # node-scale; read by the output AND level 2
+    # r12: eager cut (was a lazy persist); read by the output AND level 2
+    l1 = checkpoint_truncate(step(seeds))
     l2 = step(l1)
     return l1.select(
         F.col("node").alias("reached"), F.lit(1).alias("hops"), "n_paths"
@@ -1368,13 +1369,15 @@ def join_delta_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base/delta split reads the cache — uncached, orders and lineitem
     # were each scanned four times (the md5 gate can't push down, so each
     # where() was a full pass).
-    o = (
+    # r12: eager cuts (were lazy persists) — the base and delta splits of
+    # each side materialize concurrently and raced to fill the caches
+    # (2.08 → 1.52 s interleaved).
+    o = checkpoint_truncate(
         cat.orders.select(
             "o_orderkey", "o_orderpriority", is_delta_o.alias("is_d")
         )
-        .persist()
     )
-    lp = (
+    lp = checkpoint_truncate(
         cat.lineitem.select(
             "l_orderkey",
             F.expr(
@@ -1382,7 +1385,6 @@ def join_delta_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents"),
             is_delta_l.alias("is_d"),
         )
-        .persist()
     )
     o_b = o.where(~F.col("is_d")).drop("is_d")
     o_d = o.where(F.col("is_d")).drop("is_d")

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..session import checkpoint_truncate
 from .registry import query
 
 #: KMV sketch size (bottom-k).
@@ -178,7 +179,9 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.documents.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
         .where(F.col("t") != "")
     )
-    tf = tok.groupBy("t").agg(F.count("*").cast("long").alias("c")).persist()
+    tf = checkpoint_truncate(
+        tok.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    )  # r12: eager cut (was a lazy persist; 0.69 → 0.62 s)
     row_structs = F.array(
         *[
             F.struct(

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..session import checkpoint_truncate
 from .registry import query
 
 
@@ -657,7 +658,9 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Four consumers (marginals ×2, total, main stream) — materialize the
     # bigram-count table once instead of re-exploding the corpus per branch.
-    cxy = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy")).persist()
+    # r12: eager cut (was a lazy persist) — the four consumers raced to
+    # fill it (1.30 → 0.70 s interleaved).
+    cxy = checkpoint_truncate(bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy")))
     cx = cxy.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
     cy = cxy.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
     n = cxy.agg(F.sum("c_xy").alias("n_total"))

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import Catalog
 from ..functions.parity import MONEY, dsum
+from ..session import checkpoint_truncate
 from .registry import query
 
 
@@ -62,25 +63,25 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     full event scans), and s1/s2 are persisted because each feeds both the
     next stage and its own census row."""
     cat = Catalog(spark, sf_dir)
-    ev = (
+    # r12: eager cuts (were lazy persists) — the three stage filters and
+    # the census legs materialize concurrently and raced to fill the
+    # caches (1.07 → 0.80 s interleaved).
+    ev = checkpoint_truncate(
         cat.events.select("user_id", "event_type", F.col("ts").alias("ts"))
         .where(F.col("event_type").isin("signup", "click", "purchase"))
-        .persist()
     )
 
-    s1 = (
+    s1 = checkpoint_truncate(
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .persist()
     )
-    s2 = (
+    s2 = checkpoint_truncate(
         ev.where(F.col("event_type") == "click")
         .join(s1, "user_id")
         .where(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .persist()
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")

@@ -492,15 +492,22 @@ def test_query_invocation_releases_previous_caches(spark):
     )
 
     cm = spark._jsparkSession.sharedState().cacheManager()
-    # er_golden_records persists its canonical-id frame FIRST, then nests
-    # the registered fuzzy_match_names — a surviving cache entry after the
-    # build proves the nested invocation did not clear the outer's persist
-    # (r12: the former exemplars graph_triangles and similarity_ann_lsh
+    # similarity_maxsim persists its chunk-bag frame (r12: most former
+    # exemplars — graph_triangles, similarity_ann_lsh, er_golden_records —
     # switched their persists to eager localCheckpoints, which never
-    # register in the CacheManager).
-    df = plans.QUERIES["er_golden_records"](spark, SF)
-    assert not cm.isEmpty(), "nested invocation must not clear outer caches"
-    df.count()
+    # register in the CacheManager; maxsim's cut measured a loss and
+    # stays a lazy persist).
+    plans.QUERIES["similarity_maxsim"](spark, SF).count()
+    assert not cm.isEmpty(), "expected similarity_maxsim to leave cached frames"
+    # The nested-invocation contract, probed at the mechanism level: with
+    # _DEPTH held (as during an outer query's build), a registered-query
+    # call must NOT clear the cache the outer build already registered.
+    registry._DEPTH += 1
+    try:
+        plans.QUERIES["flagship_revenue"](spark, SF)
+        assert not cm.isEmpty(), "nested invocation must not clear outer caches"
+    finally:
+        registry._DEPTH -= 1
     plans.QUERIES["flagship_revenue"](spark, SF)  # no persists of its own
     assert cm.isEmpty(), "top-level invocation must release prior caches"
     assert registry._DEPTH == 0

@@ -499,7 +499,9 @@ def test_bm25_probe_broadcasts_terms_and_stats(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
-    assert "InMemoryTableScan" in plan  # tf posting table built once, reused
+    # tf posting table built once, reused — r12: an eager localCheckpoint
+    # leaf (Scan ExistingRDD) instead of a lazy persist (InMemoryTableScan)
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
 
 
 def test_join_range_binned_is_equi_join_no_bnlj(spark):
@@ -919,7 +921,8 @@ def test_prf_reuses_the_posting_table_and_takes_ordered(spark):
     plan = _plan(spark, "search_prf_expand", execute=True)
     plan = plan.split("== Initial Plan ==")[0]
     assert "TakeOrderedAndProject" in plan
-    assert "InMemoryTableScan" in plan
+    # r12: the index is an eager localCheckpoint leaf (see bm25 twin above)
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
 
 
