@@ -813,10 +813,12 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("t") != "")
         .select("doc_id", "source", bucket.alias("b"))
+        # r12: examined, converted to an eager cut, then REVERTED — the
+        # token explode is a trivially-rebuildable corpus-sized frame; the
+        # M=100 A/B read eager 15.4 s vs lazy 12.8 s (the persist fill
+        # pipelines into the first consumer pass).
+        .persist()
     )
-    # r12: eager cut (was a lazy persist) — see the sweep in
-    # OPTIMIZATION_r12.md (1.30 → 0.99 s).
-    tok = checkpoint_truncate(tok)
     counts = tok.groupBy("b").agg(
         F.count("*").alias("r_b"),
         F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))

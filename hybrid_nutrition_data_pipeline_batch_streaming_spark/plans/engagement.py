@@ -79,9 +79,10 @@ def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     # Persisted: the (day, user) projection feeds both the first-seen pass
     # and the per-day activity rollup — one events scan instead of two.
-    daily = checkpoint_truncate(
-        cat.events.select(F.to_date("ts").alias("d"), "user_id")
-    )  # r12: eager cut (was a lazy persist; 0.59 → 0.49 s)
+    # r12: examined and kept LAZY — trivially-rebuildable corpus-sized
+    # projection (the measured class where an eager cut regresses M=100;
+    # see OPTIMIZATION_r12.md persist sweep).
+    daily = cat.events.select(F.to_date("ts").alias("d"), "user_id").persist()
     firsts = daily.groupBy("user_id").agg(F.min("d").alias("first_d"))
     newby = firsts.groupBy(F.col("first_d").alias("d")).agg(
         F.count("*").alias("new_users")

@@ -301,9 +301,11 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     # One persisted type-filtered scan feeds both sides (was two full
     # event scans).
-    ev = checkpoint_truncate(
-        cat.events.where(F.col("event_type").isin("click", "purchase"))
-    )  # r12: eager cut (was a lazy persist; 0.74 → 0.57 s)
+    # r12: examined and kept LAZY — trivially-rebuildable corpus-sized
+    # filter (the measured class where an eager cut regresses M=100).
+    ev = cat.events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).persist()
     c = ev.where(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),

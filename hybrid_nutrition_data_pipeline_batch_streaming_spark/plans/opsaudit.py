@@ -655,9 +655,11 @@ def fifo_match_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so no separate fact scan recomputes it). The two cached subsets are
     # disjoint linestatus slices: one effective pass over lineitem total,
     # where the r1-r6 form scanned it four times.
-    # r12: eager cuts (were lazy persists; 1.81 → 1.56 s interleaved).
-    s = checkpoint_truncate(cum("F", "cs").withColumnsRenamed({"qty": "sq"}))
-    d = checkpoint_truncate(cum("O", "cd").withColumnsRenamed({"qty": "dq"}))
+    # r12: examined and kept LAZY — corpus-sized prefix-sum tables
+    # (sf0.1 A/Bs read 0.86 and 1.07 across two sweeps — neutral — and the
+    # measured M=100 class regresses under eager cuts).
+    s = cum("F", "cs").withColumnsRenamed({"qty": "sq"}).persist()
+    d = cum("O", "cd").withColumnsRenamed({"qty": "dq"}).persist()
     overlap = F.least(F.col("cs"), F.col("cd")) - F.greatest(
         F.col("cs") - F.col("sq"), F.col("cd") - F.col("dq")
     )

@@ -1369,15 +1369,20 @@ def join_delta_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base/delta split reads the cache — uncached, orders and lineitem
     # were each scanned four times (the md5 gate can't push down, so each
     # where() was a full pass).
-    # r12: eager cuts (were lazy persists) — the base and delta splits of
-    # each side materialize concurrently and raced to fill the caches
-    # (2.08 → 1.52 s interleaved).
-    o = checkpoint_truncate(
+    # r12: examined and kept LAZY — these are CORPUS-SIZED projections
+    # (full orders/lineitem); the sf0.1 eager-cut win (1.93 → 1.69 s) came
+    # from the base/delta splits racing to fill the cache, but the M=100
+    # A/B read eager 36.4-46.0 s vs lazy 25.9-28.6 s: at scale the persist
+    # fill pipelines into the first consumer pass while an eager cut pays a
+    # separate full materialization job. Eager cuts stay reserved for
+    # BOUNDED frames (vocabulary/domain/node-scale).
+    o = (
         cat.orders.select(
             "o_orderkey", "o_orderpriority", is_delta_o.alias("is_d")
         )
+        .persist()
     )
-    lp = checkpoint_truncate(
+    lp = (
         cat.lineitem.select(
             "l_orderkey",
             F.expr(
@@ -1385,6 +1390,7 @@ def join_delta_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents"),
             is_delta_l.alias("is_d"),
         )
+        .persist()
     )
     o_b = o.where(~F.col("is_d")).drop("is_d")
     o_d = o.where(F.col("is_d")).drop("is_d")

@@ -145,9 +145,11 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 1, n1), F.slice(toks, 2, n1),
         lambda x, y: F.concat_ws(" ", x, y),
     )
-    bg = checkpoint_truncate(
-        cat.documents.select("doc_id", F.explode(bigrams).alias("ph"))
-    )  # r12: eager cut (was a lazy persist; 0.87 → 0.65 s)
+    # r12: examined and kept LAZY — corpus-sized bigram explode (the
+    # measured class where an eager cut regresses M=100).
+    bg = cat.documents.select(
+        "doc_id", F.explode(bigrams).alias("ph")
+    ).persist()
     top1 = (
         bg.groupBy("ph")
         .agg(F.count("*").alias("c"))

@@ -1141,14 +1141,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
       to the DuckDB oracle.
     """
     cat = Catalog(spark, sf_dir)
-    # r12: eager cut (was a lazy persist) — corpus, centroid set and both
-    # pair sides materialize concurrently and raced to fill it.
-    base = checkpoint_truncate(
+    # r12: examined, converted to an eager cut, then REVERTED to lazy —
+    # base and enr are corpus-sized vector frames and the M=100 A/B read
+    # eager 15.2 s vs lazy 10.5 s (two blocking ~100 MB materializations
+    # vs persist fills that pipeline into the first consumer pass); the
+    # sf0.1 eager win (1.85 → 1.38 s) was the small-input race.
+    base = (
         cat.embeddings.select(
             "vec_id",
             _to_double(F.col("embedding")).alias("e"),
             _norm_s(_RAW_E).alias("n"),
         )
+        .persist()
     )
     cent = base.where(F.col("vec_id") < SEM_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
@@ -1169,8 +1173,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cell")
         )
     )
-    # r12: eager cut — both self-join sides raced to fill the lazy persist.
-    enr = checkpoint_truncate(assign.join(base, "vec_id"))  # vec_id, cell, e, n
+    enr = assign.join(base, "vec_id").persist()  # vec_id, cell, e, n
     lhs = enr.select(
         F.col("vec_id").alias("a_id"), "cell", F.col("e").alias("ae"), F.col("n").alias("an")
     )
@@ -1245,7 +1248,10 @@ def cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     {CENTROID_DIMS} of 64 dims are value-checked to keep the result
     hashable (the plan is identical for all 64)."""
     cat = Catalog(spark, sf_dir)
-    # r12: eager cut (was a lazy persist; see dedup_semantic).
+    # r12: eager cut (was a lazy persist) — three concurrent legs; M=100
+    # kmeans A/B (same base shape, one more leg) read eager≈lazy, so the
+    # sf0.1 race win stands (unlike dedup_semantic, which adds a second
+    # corpus-sized enr frame and reverted).
     base = checkpoint_truncate(
         cat.embeddings.select(
             "vec_id",

@@ -63,25 +63,30 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     full event scans), and s1/s2 are persisted because each feeds both the
     next stage and its own census row."""
     cat = Catalog(spark, sf_dir)
-    # r12: eager cuts (were lazy persists) — the three stage filters and
-    # the census legs materialize concurrently and raced to fill the
-    # caches (1.07 → 0.80 s interleaved).
-    ev = checkpoint_truncate(
+    # r12: examined, converted to eager cuts, then REVERTED — the events
+    # projection is a trivially-rebuildable corpus-sized frame and the
+    # M=100 A/B read eager 16.3 s vs lazy 12.1 s (the sf0.1 win, 1.07 →
+    # 0.80 s, was the small-input race; the persist fill pipelines into
+    # the first consumer pass at scale).
+    ev = (
         cat.events.select("user_id", "event_type", F.col("ts").alias("ts"))
         .where(F.col("event_type").isin("signup", "click", "purchase"))
+        .persist()
     )
 
-    s1 = checkpoint_truncate(
+    s1 = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
-    s2 = checkpoint_truncate(
+    s2 = (
         ev.where(F.col("event_type") == "click")
         .join(s1, "user_id")
         .where(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
