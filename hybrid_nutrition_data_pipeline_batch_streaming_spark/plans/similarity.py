@@ -200,6 +200,22 @@ def _band_bucket(arr_double: Column, band: int) -> Column:
     return bucket.cast("int")
 
 
+def _band_bucket_raw(band: int) -> Column:
+    """``_band_bucket`` taken straight off the embeddings scan column (r12,
+    the ``_dot_s`` placement rule): passing the ``_to_double`` transform
+    Column inlined one full 64-element transform copy per bit reference —
+    16 interpreted array builds per row across 4 bands, each consulted for
+    ONE element. Identical values: ``CAST(embedding[j] AS DOUBLE) > 0`` is
+    exactly ``e[j] > 0`` on the cast array (the per-element cast is the
+    same op), and a NULL element falls to the 0 branch in both forms."""
+    terms = " + ".join(
+        f"(CASE WHEN CAST(embedding[{band * BAND_BITS + i}] AS DOUBLE) > 0"
+        f" THEN {2 ** i} ELSE 0 END)"
+        for i in range(BAND_BITS)
+    )
+    return F.expr(f"CAST({terms} AS INT)")
+
+
 def _band_sql(band: int) -> str:
     return " + ".join(
         f"CASE WHEN e[{band * BAND_BITS + i + 1}] > 0 THEN {2**i} ELSE 0 END"
@@ -291,7 +307,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.embeddings.select(
             "vec_id",
             e.alias("e"),
-            *[_band_bucket(e, b).alias(f"b{b}") for b in range(N_BANDS)],
+            *[_band_bucket_raw(b).alias(f"b{b}") for b in range(N_BANDS)],
             _norm_s(_RAW_E).alias("n"),
         )
     )
@@ -872,7 +888,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.embeddings.select(
             "vec_id",
             e.alias("e"),
-            *[_band_bucket(e, b).alias(f"b{b}") for b in range(N_BANDS)],
+            *[_band_bucket_raw(b).alias(f"b{b}") for b in range(N_BANDS)],
             _norm_s(_RAW_E).alias("n"),
         )
     )
