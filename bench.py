@@ -233,13 +233,19 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - t0)
     spark.catalog.clearCache()
-    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
+    # 2-decimal seconds (VERDICT r12 item 2): the driver's PERF comparison
+    # reads this line from a bounded stdout tail, and BENCH_r05-r11 all
+    # failed to parse because the line outgrew the captured window. Two
+    # decimals (10 ms — far below the host's run-to-run noise) plus compact
+    # separators keep the full line ~2.4 KB, inside a 4 KB tail with room;
+    # BENCHLOG.jsonl keeps the same line verbatim for full history.
+    timings = {name: round(min(ts), 2) for name, ts in runs.items()}
     dispersion = sorted(max(ts) / min(ts) for ts in runs.values())
     dispersion_med = round(dispersion[len(dispersion) // 2], 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
     # Field order is load-bearing (VERDICT r8 item 2): the driver's
     # BENCH_rN.json artifact keeps only the LAST ~2000 characters of stdout,
     # and the 86-entry `queries` dict is longer than that — so the summary
@@ -255,8 +261,10 @@ def main() -> None:
             "cache_convention": "cold",
             "calibration_s": calibration_s,
             "repeat_dispersion_med": dispersion_med,
-        }
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 4096, f"bench summary line too long: {len(line)}"
     print(line)
     # Full-fidelity history independent of driver truncation: append each
     # run's complete line to a committed log (VERDICT r8 item 2).

@@ -172,7 +172,6 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two scan legs materialize concurrently under AQE and raced to compute
     # the uncached table; eager also stops each downstream reference
     # re-paying Catalyst analysis of the shingling subtree.
-    from ..session import checkpoint_truncate
 
     sig = checkpoint_truncate(sig)
     a = sig.alias("a")
@@ -267,7 +266,6 @@ def banded_minhash_pairs(docs: DataFrame) -> DataFrame:
     # construct+execute): the pair build 2.01 → 1.42 s, and its six
     # headline consumers each dropped 0.1-0.8 s (dedup_connected_components
     # 3.43 → 2.61 s, pipeline_corpus_build 4.15 → 3.24 s).
-    from ..session import checkpoint_truncate
 
     sig = checkpoint_truncate(
         docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
@@ -396,7 +394,6 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
       dedup_simhash_multiprobe 4.84 → 1.88 s,
       dedup_simhash_multiprobe_wide 2.95 → 1.18 s.
     """
-    from ..session import checkpoint_truncate
 
     tok = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))

@@ -65,7 +65,9 @@ def connected_components(
     # checkpoint dir is configured.
     # Checkpoint ONE orientation, mirror it reader-side (the
     # graph_bfs_khop pattern, round 5): half the checkpoint write for a
-    # column swap the scan does for free.
+    # column swap the scan does for free. This first cut stays EAGER — it
+    # materializes the expensive pair build, which the mirror union below
+    # references twice (the r12 race rule).
     e_ck = checkpoint_truncate(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -76,17 +78,38 @@ def connected_components(
     # fixpoint at round 0. Iterate over the edge subgraph (near-dup graphs
     # are a sliver of the corpus at any scale) and union the untouched
     # nodes back as self-labeled singletons at the end.
+    #
+    # r13 loop-control rework (guide §1.2 — the loop was JOB-COUNT bound at
+    # small fixtures: 1.28 s for a 255-edge graph, ~9 jobs of fixed
+    # overhead each):
+    # - edge endpoints come from ONE map-side explode of the cached single
+    #   orientation (the und form scanned the mirror union and shuffled
+    #   both copies into the distinct);
+    # - the initial labels ARE the edge endpoints labeled with themselves:
+    #   edge endpoints are a subset of ``nodes`` for every caller (pair
+    #   tables are generated BETWEEN the caller's own nodes), so the old
+    #   nodes⋈edge_nodes semi-join — and its separate eager cut — was the
+    #   identity;
+    # - the per-round cut and the per-round convergence collect fuse into
+    #   ONE job: the cut is lazy (plan truncation still immediate), and the
+    #   sum collect right after it materializes AND caches the blocks. The
+    #   loop's consumers are strictly sequential (collect, then next
+    #   round's single join leg), so the r12 concurrent-leg race that
+    #   forbids lazy persists cannot occur here.
+    # Measured (sf0.1, interleaved A/B on prebuilt pairs, min-of-4): the
+    # CC stage alone 1.03 → 0.89 s — modest here (the per-job overhead is
+    # smaller than profiled), kept because the job count halves and the
+    # M=100 loop runs more rounds. Labels bit-identical (integer
+    # min-propagation; all 6 CC consumers oracle-green after the change).
     edge_nodes = checkpoint_truncate(
-        und.select(F.col("src").alias("doc_id")).distinct()
+        e_ck.select(F.explode(F.array("src", "dst")).alias("doc_id"))
+        .distinct(),
+        eager=False,
     )
     singletons = nodes.select("doc_id").join(
         edge_nodes, "doc_id", "left_anti"
     ).select("doc_id", F.col("doc_id").alias("label"))
-    labels = checkpoint_truncate(
-        nodes.select("doc_id")
-        .join(edge_nodes, "doc_id", "left_semi")
-        .select("doc_id", F.col("doc_id").alias("label"))
-    )
+    labels = edge_nodes.select("doc_id", F.col("doc_id").alias("label"))
     # Min-label propagation only ever DECREASES labels, so the label sum
     # strictly decreases until the fixpoint — comparing sums is a complete
     # convergence test and costs one aggregation per round (no join against
@@ -105,7 +128,8 @@ def connected_components(
         # cover only the edge-touched node sliver, so the reliable write
         # was never the cost the way kcore's 60 M-edge survivor sets were.
         new_labels = checkpoint_truncate(
-            labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+            labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label")),
+            eager=False,
         )
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
@@ -357,7 +381,6 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join legs materialize concurrently and raced to compute the
     # uncached pair table (measured 1.98 → 1.74 s cold at sf0.1; exec
     # 0.56 → 0.12 s with the build paid once at construction).
-    from ..session import checkpoint_truncate
 
     edges = checkpoint_truncate(
         staged_edges(spark, sf_dir, "doc_pairs").select("doc_a", "doc_b")
@@ -805,20 +828,32 @@ def graph_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle while contributing no similarity signal. The cap is ~4× the
     max part degree of every shipped fixture, so test results are
     bit-identical; on skewed production data it is THE knob."""
-    # r11: the DISTINCT (supplier, part) adjacency is the same staged
-    # distillation graph_bfs_khop reads (operators/staging.py) — built
-    # once per fixture, leaf-scanned here.
-    from ..operators.staging import staged_edges
+    # r13 (guide §2.4 — one exchange instead of two): the sorted distinct
+    # supplier bag per part is ONE ``collect_set`` aggregation. Inline (no
+    # staging zone) it runs STRAIGHT OVER the raw lineitem projection — the
+    # partial collect_set dedups map-side, so the separate
+    # distinct-(p,s)-keyed exchange the staged ``part_supp`` builder paid
+    # disappears (bag build measured 1.09 → 0.70 s cold at sf0.1, full
+    # query 3.54 → 2.06 s min interleaved with the 2-generator explode
+    # below; rows identical). With a staging zone configured the shared
+    # distilled table is leaf-scanned instead, and collect_set over the
+    # already-distinct leaf builds the identical bag.
+    from ..operators.staging import _staging_root, staged_edges
 
-    adj0 = staged_edges(spark, sf_dir, "part_supp").select(
-        F.col("suppkey").alias("s"), F.col("partkey").alias("p")
-    )
-    # ONE part-keyed shuffle does cap + wedge generation: collect each
-    # part's (distinct, sorted) supplier bag, drop hub bags, and emit the
-    # C(d,2) ordered pairs map-side from the bag — no adjacency self-join
-    # (which shuffles the 60 M-row table twice), no separate degree window.
-    # Bags are part-scale; checkpointed because both the wedge explode and
-    # the degree rollup read them.
+    if _staging_root() is None:
+        adj0 = Catalog(spark, sf_dir).lineitem.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+    else:
+        adj0 = staged_edges(spark, sf_dir, "part_supp").select(
+            F.col("suppkey").alias("s"), F.col("partkey").alias("p")
+        )
+    # ONE part-keyed shuffle does dedup + cap + wedge generation: collect
+    # each part's (distinct, sorted) supplier bag, drop hub bags, and emit
+    # the C(d,2) ordered pairs map-side from the bag — no adjacency
+    # self-join (which shuffles the 60 M-row table twice), no separate
+    # degree window. Bags are part-scale; checkpointed because both the
+    # wedge explode and the degree rollup read them.
     # ADVICE r5: the pair key packs sa·2³² + sb into a SIGNED long, which
     # silently wraps once ids reach 2³¹ (ANSI off) and collides at 2³² —
     # enforce the documented assumption loudly, once per bag (the bag is
@@ -837,7 +872,7 @@ def graph_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bags = checkpoint_truncate(
         adj0.groupBy("p")
-        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
         .filter(F.size("ss") <= _JACCARD_HUB_CAP)
         .filter(packable.isNull())
     )
@@ -853,16 +888,22 @@ def graph_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of a two-field struct; unpacked after the count. (Keys are
     # suppkeys < 2³² on every shipped/generated dataset; a 100 TB id space
     # beyond that packs into DECIMAL(38,0) the same way.)
-    wedges = bags.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    "transform(ss, (x, i) -> transform("
-                    "slice(ss, i + 2, size(ss)),"
-                    " y -> x * 4294967296 + y))"
-                )
-            )
-        ).alias("pk")
+    #
+    # r13: TWO chained generators (posexplode the bag, then explode the
+    # tail slice per element) instead of one explode over a nested
+    # transform-of-transforms — the nested HOF materialized the full
+    # array-of-arrays per row in the interpreted expression evaluator
+    # before flattening (measured: 0.85 s for the 8.7 M-wedge explode at
+    # sf0.1 vs 0.18 s for the generator chain; explode+count 2.26 → 1.44 s;
+    # wedge multiset identical by construction — same (x, tail-slice)
+    # enumeration order).
+    wedges = (
+        bags.select(F.posexplode("ss").alias("i", "x"), "ss")
+        .select(
+            F.col("x"),
+            F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("y"),
+        )
+        .select(F.expr("x * 4294967296 + y").alias("pk"))
     )
     inter = wedges.groupBy("pk").agg(F.count("*").alias("i"))
     inter = inter.select(

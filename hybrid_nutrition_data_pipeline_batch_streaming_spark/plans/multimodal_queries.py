@@ -36,9 +36,26 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extraction plumbing (X4): binary payload →
     fixed-width feature vector via mapInPandas. The decode body is the
     documented stub (operators/multimodal.py) — plan shape, schema and
-    batching are the real thing. Python-side output → rows-only check."""
+    batching are the real thing. Python-side output → rows-only check.
+
+    The feature vector ships as a comma-joined STRING, not a raw array
+    column (VERDICT r12 item 1): the driver's rows-only canonicalizer
+    sorts the result frame in pandas, and a numpy.ndarray cell crashes its
+    lexsort (`TypeError: unhashable type` — the r12 seat produced no row at
+    all). The join is a deterministic projection (JVM double→string
+    formatting), so the row still pins every feature bit; the full-fidelity
+    array form stays covered by ``mm_decode_stats``'s exact-value oracle
+    and the pytest suite."""
     cat = Catalog(spark, sf_dir)
-    return decode_features(attach_payload(cat.documents))
+    out = decode_features(attach_payload(cat.documents))
+    return out.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.array_join(
+            F.transform(F.col("features"), lambda x: x.cast("string")), ","
+        ).alias("features_str"),
+    )
 
 
 @query(

@@ -99,8 +99,11 @@ def _doc_tf(cat: Catalog):
     # r12: eager cut (was a lazy persist) — still the same optimizer
     # barrier (the scan leaf is a plain attribute source), but the two-plus
     # consumer legs no longer race to fill it (bm25 0.72 → 0.63 s, tfidf
-    # 0.99 → 0.78 s, prf 1.51 → 1.14 s interleaved).
-    return checkpoint_truncate(staged_edges(cat.spark, cat.sf_dir, "doc_tf"))
+    # 0.99 → 0.78 s, prf 1.51 → 1.14 s interleaved). The cut is passed INTO
+    # staged_edges (ADVICE r12) so it applies only to the inline form — a
+    # configured staging zone's parquet leaf is already a lineage cut, and
+    # eagerly re-copying it into executor storage is pure waste.
+    return staged_edges(cat.spark, cat.sf_dir, "doc_tf", cut=checkpoint_truncate)
 
 
 @query(

@@ -605,7 +605,6 @@ def similarity_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``similarity_ann_hyperplane_recall`` (the staged==inline pin in
     tests/test_staging.py keeps that transfer valid either way)."""
     from ..operators.staging import staged_edges
-    from ..session import checkpoint_truncate
 
     cat = Catalog(spark, sf_dir)
     index = staged_edges(

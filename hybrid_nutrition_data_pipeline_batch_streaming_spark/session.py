@@ -109,6 +109,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or par))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Belt-and-braces for the lineage-cut lifecycle (ADVICE r12):
+        # release_caches() frees cut blocks deterministically per query, but
+        # any frame that escapes the registry wrapper (a harness calling
+        # checkpoint_truncate directly) is reclaimed by the ContextCleaner
+        # once its RDD is GC'd — and with a RELIABLE checkpoint dir this conf
+        # also deletes the checkpoint FILES on GC, which otherwise accumulate
+        # per invocation forever.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
@@ -132,7 +140,7 @@ def _apply_checkpoint_dir(spark: SparkSession) -> None:
         spark.sparkContext.setCheckpointDir(ckpt)
 
 
-def checkpoint_truncate(df):
+def checkpoint_truncate(df, eager: bool = True):
     """Truncate a DataFrame's lineage for iterative loops — the one conf
     switch between dev-grade and cluster-grade checkpointing.
 
@@ -151,15 +159,56 @@ def checkpoint_truncate(df):
       right default for local/test runs.
 
     One call site, flipped by session configuration, never by code edits.
+
+    Cost note for the reliable-dir mode (ADVICE r12): ``checkpoint(eager)``
+    runs the frame's plan for the eager count job AND re-runs it for the
+    checkpoint write job (Spark recomputes an uncached RDD when saving it),
+    so every eager cut is computed twice per invocation under
+    ``SPARK_GRAFT_CHECKPOINT_DIR``. That mode exists as the documented
+    M=100 OOM remedy — the double compute is the price of keeping the
+    blocks out of executor storage; the checkpoint FILES are reclaimed by
+    the ContextCleaner (``cleanCheckpoints=true`` in ``get_spark``) and the
+    deterministic per-query release below.
+
+    Every cut frame is TRACKED so ``release_caches`` can free its blocks at
+    the next top-level query (localCheckpoint blocks live in executor
+    storage but never register in the CacheManager, so ``clearCache`` alone
+    leaks them across a long session — ADVICE r12).
+
+    ``eager=False`` (r13) truncates the LOGICAL plan immediately (the
+    Catalyst re-analysis relief is unchanged — the frame becomes a leaf at
+    construction) but defers block materialization to the frame's FIRST
+    action instead of running a dedicated count job. Use it when the very
+    next statement is an action over the cut frame anyway (the CC loop's
+    per-round convergence collect): the action computes AND caches the
+    blocks in one job, halving the loop's job count. NOT safe for frames
+    whose first consumers materialize concurrently (band-join legs under
+    AQE) — they would race to fill the blocks, the r12 lazy-persist
+    pathology.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+        return _track_cut(df.checkpoint(eager=eager))
+    return _track_cut(df.localCheckpoint(eager=eager))
+
+
+#: Lineage-cut frames issued since the last release — localCheckpoint /
+#: checkpoint blocks live OUTSIDE the CacheManager, so clearCache() never
+#: frees them (ADVICE r12); release_caches unpersists them explicitly. The
+#: strong references are intentional: lifecycle is bounded by the registry's
+#: per-query release, not by GC timing.
+_CUT_FRAMES: list = []
+
+
+def _track_cut(df):
+    _CUT_FRAMES.append(df)
+    return df
 
 
 def release_caches(spark: SparkSession) -> None:
-    """Drop every cached plan fragment in this context's CacheManager.
+    """Drop every cached plan fragment in this context's CacheManager, and
+    free the storage blocks of every lineage cut issued since the last
+    release.
 
     Plan functions ``.persist()`` intermediates that are read by multiple
     legs of the SAME query (the cache-boundary discipline, NOTES r7), but
@@ -172,10 +221,29 @@ def release_caches(spark: SparkSession) -> None:
     disk-backed blocks are not LRU-evicted (ADVICE r7). The query registry
     calls this at each top-level query invocation, bounding live cache to
     one query's working set; harnesses may also call it directly between
-    repeats. Correctness is unaffected: a cleared fragment recomputes from
-    lineage.
+    repeats. Correctness is unaffected for persisted fragments (a cleared
+    fragment recomputes from lineage).
+
+    Lineage cuts (``checkpoint_truncate`` / ``scratch_checkpoint``) need
+    the second step (ADVICE r12): their blocks never register in the
+    CacheManager, so without explicit unpersist they accumulate in executor
+    storage until the ContextCleaner happens to GC the RDD — the documented
+    "bounds live cache to one query's working set" contract held only for
+    persists. NOTE the sequencing contract this sharpens: a cut frame is
+    UNRECOVERABLE once its blocks are freed (lineage is truncated by
+    design), so a caller must materialize each query's result before
+    invoking the next top-level query — the same harness shape the
+    registry wrapper already requires.
     """
     spark.catalog.clearCache()
+    for df in _CUT_FRAMES:
+        try:
+            # The cut frame's analyzed plan is a LogicalRDD over the
+            # checkpointed RDD; unpersist its blocks (blocking=False).
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # foreign plan shape / already-stopped context: best effort
+    _CUT_FRAMES.clear()
 
 
 def scratch_checkpoint(df):
@@ -213,7 +281,7 @@ def scratch_checkpoint(df):
     level = StorageLevel.MEMORY_AND_DISK
     mode = spark.conf.get("spark.hybridnutrition.scratchCheckpoint", "auto")
     if mode == "local":
-        return df.localCheckpoint(eager=True, storageLevel=level)
+        return _track_cut(df.localCheckpoint(eager=True, storageLevel=level))
     if mode == "reliable":
         # ADVICE r8: an explicit 'reliable' override with NO checkpoint dir
         # configured would silently degrade (via checkpoint_truncate) to a
@@ -225,10 +293,10 @@ def scratch_checkpoint(df):
                 "scratchCheckpoint=reliable requires a checkpoint dir "
                 "(set SPARK_GRAFT_CHECKPOINT_DIR or sc.setCheckpointDir)"
             )
-        return df.checkpoint(eager=True)
+        return _track_cut(df.checkpoint(eager=True))
     if not sc.master.startswith("local") and sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True, storageLevel=level)
+        return _track_cut(df.checkpoint(eager=True))
+    return _track_cut(df.localCheckpoint(eager=True, storageLevel=level))
 
 
 #: Application ids that already had the package zip shipped via addPyFile.

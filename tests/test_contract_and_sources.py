@@ -745,16 +745,22 @@ def test_oracle_queries_return_driver_hashable_schemas(spark):
     cells and cannot order NullType — and duplicate column names break its
     sort-columns-by-name compare. Every ORACLE-backed query must therefore
     ship only scalar, concretely-typed, uniquely-named top-level columns.
-    (Rows-only queries may return arrays — mm_decode_features does — the
-    driver's weaker check never hashes them.) Catching this at plan time
-    costs seconds; catching it in CORRECTNESS_r{N}.json costs a round."""
+    The same holds for the rows-only WINDOW seats (VERDICT r12 item 1: the
+    driver's rows-only path still SORTS the frame in pandas, and
+    mm_decode_features' raw array column crashed that sort — the r12 seat
+    produced no row at all), so they are checked here too. Catching this at
+    plan time costs seconds; catching it in CORRECTNESS_r{N}.json costs a
+    round."""
     from pyspark.sql import types as T
 
     from hybrid_nutrition_data_pipeline_batch_streaming_spark import plans
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans import (
+        ROWS_ONLY_SEATS,
+    )
 
     banned = (T.ArrayType, T.MapType, T.StructType, T.NullType)
     bad: list[str] = []
-    for name in plans.ORACLE:
+    for name in list(plans.ORACLE) + sorted(ROWS_ONLY_SEATS):
         if name.startswith("stream_"):
             continue  # streaming plans need a running query to resolve
         schema = plans.QUERIES[name](spark, "/root/testdata/sf0.001").schema

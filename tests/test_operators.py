@@ -513,6 +513,69 @@ def test_query_invocation_releases_previous_caches(spark):
     assert registry._DEPTH == 0
 
 
+def test_release_caches_frees_lineage_cut_blocks(spark):
+    """ADVICE r12 (medium): localCheckpoint blocks never register in the
+    CacheManager, so ``clearCache`` alone leaked every eager cut across a
+    long-lived session. ``release_caches`` must now free the tracked cut
+    frames' storage blocks too — and a fresh top-level query invocation
+    (the registry's release point) must do the same implicitly."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark import session as S
+
+    def cut_blocks() -> int:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(1 for i in infos if i.numCachedPartitions() > 0)
+
+    def settles_to(n: int) -> bool:
+        # unpersist(blocking=False): block removal is async — poll briefly.
+        import time as _t
+
+        for _ in range(50):
+            if cut_blocks() == n:
+                return True
+            _t.sleep(0.1)
+        return False
+
+    S.release_caches(spark)  # start clean
+    settles_to(0)  # drain any async removals from earlier tests
+    base = cut_blocks()
+    cut = S.checkpoint_truncate(spark.range(1000).select(F.col("id") * 2))
+    assert cut.count() == 1000
+    assert cut_blocks() > base, "expected the eager cut to hold storage blocks"
+    assert cut in S._CUT_FRAMES or any(
+        d._jdf.equals(cut._jdf) for d in S._CUT_FRAMES
+    ), "checkpoint_truncate must track its frame for release"
+    S.release_caches(spark)
+    assert settles_to(base), "release_caches must free cut blocks"
+    assert not S._CUT_FRAMES, "tracked cut list must be drained"
+    # The registry wrapper path: a top-level query releases the previous
+    # query's cuts at entry.
+    cut2 = S.checkpoint_truncate(spark.range(500).select(F.col("id") + 1))
+    assert cut2.count() == 500 and cut_blocks() > base
+    plans.QUERIES["flagship_revenue"](spark, SF)
+    assert settles_to(base), "top-level invocation must free prior cuts"
+
+
+def test_nested_composite_query_end_to_end(spark):
+    """ADVICE r12 (low): keep a REAL nested exemplar next to the mechanism
+    probe — ``dedup_cluster_report`` invokes the registered
+    ``dedup_connected_components`` as a building block, whose loop issues
+    eager lineage cuts. If the wrapper ever released caches/cut blocks from
+    INSIDE a nested invocation (or at fn exit), the outer plan's
+    materialization would read freed localCheckpoint blocks and fail. The
+    end-to-end collect — after a prior query left release-able state — is
+    the regression canary."""
+    from hybrid_nutrition_data_pipeline_batch_streaming_spark.plans import (
+        registry,
+    )
+
+    # Leave prior state for the composite's top-level release to clear.
+    plans.QUERIES["similarity_maxsim"](spark, SF).count()
+    rows = plans.QUERIES["dedup_cluster_report"](spark, SF).collect()
+    assert registry._DEPTH == 0
+    assert rows, "composite query returned no clusters"
+    assert all(r.cluster_size >= 2 for r in rows)
+
+
 def test_perplexity_filter_contract(spark):
     """LM scores are mean probabilities in (0, 1]; the gate is exactly
     score >= threshold; every scoreable doc (>= 2 alpha tokens) is scored."""
