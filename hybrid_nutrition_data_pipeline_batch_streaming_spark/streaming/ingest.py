@@ -226,7 +226,23 @@ def run_to_memory(
     engine's replacement for the reference's cron'd 10-minute batch job (T5):
     same code path as continuous streaming, bounded per run, exactly-once
     via the checkpoint.
+
+    Stateful-shuffle sizing (r13, guide §2.2/§5): stateful streaming ops
+    allocate ONE state store per shuffle partition at query start, AQE
+    never resizes them, and every micro-batch pays per-partition state
+    machinery (store init/commit, task launch) regardless of data volume.
+    For the bounded AvailableNow runs this helper exists for, the state
+    keyspace is micro-batch-scale, so the query runs with
+    ``spark.hybridnutrition.streamShufflePartitions`` partitions (default
+    ``min(cores, 8)``) captured at query start and restored after —
+    measured at sf0.1/local[32]: stream_tumbling_live 1.54 → 0.94 s,
+    stream_static_enrich 1.61 → 1.06 s, results identical (exact
+    aggregations; partitioning only moves rows). A production deployment
+    with large state sets the conf to its state-volume target (~one store
+    per core, or keyspace/128 MB); this is the same parameterised lever as
+    ``session._size_shuffle_partitions``, not a local[32] constant.
     """
+    spark = df.sparkSession
     name = table or f"mem_{uuid.uuid4().hex[:12]}"
     writer = (
         df.writeStream.format("memory")
@@ -236,6 +252,18 @@ def run_to_memory(
     )
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    from ..session import default_parallelism
+
+    key = "spark.sql.shuffle.partitions"
+    n = spark.conf.get(
+        "spark.hybridnutrition.streamShufflePartitions",
+        str(min(default_parallelism(), 8)),
+    )
+    prev = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    return spark.table(name)
